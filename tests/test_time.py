@@ -1,0 +1,71 @@
+"""Time-scale and GMST oracles.
+
+Oracle values come from the reference's inline tests
+(``src/time.rs:363-422``); tolerances are 1e-12 days (~0.1 us) instead of the
+reference's bit-exact ``assert_eq!`` because our UTC->TT goes through an
+explicit leap-second table rather than hifitime.
+"""
+
+import numpy as np
+import pytest
+
+from outfit_tpu.time import (
+    date_to_mjd,
+    frac_date_to_mjd,
+    gmst,
+    jd_to_mjd,
+    mjd_to_jd,
+    tt_mjd_to_utc,
+    utc_mjd_to_tt,
+)
+from outfit_tpu.constants import T2000
+
+
+def test_date_to_mjd():
+    mjd = date_to_mjd(["2021-01-01T00:00:00", "2021-01-02T00:00:00"])
+    np.testing.assert_allclose(mjd, [59215.0, 59216.0], rtol=0, atol=1e-12)
+
+
+def test_mjd_jd_roundtrip():
+    mjd = np.array([59215.0, 59216.0])
+    jd = mjd_to_jd(mjd)
+    np.testing.assert_array_equal(jd, [2459215.5, 2459216.5])
+    np.testing.assert_array_equal(jd_to_mjd(jd), mjd)
+
+
+@pytest.mark.parametrize(
+    "datestr,expected",
+    [
+        ("2021 1 1.0", 59215.00080074074),
+        ("2021 1 1.5", 59215.50080074074),
+        ("2021 1 1.75", 59215.75080074074),
+        ("2021 1 1.875", 59215.87580074074),
+        ("2021 1 1.999", 59215.99980074074),
+        ("2021 1 1.9999", 59216.00070074073),
+        ("1976 09 20.93878", 43041.93932611111),
+    ],
+)
+def test_frac_date_to_mjd(datestr, expected):
+    assert frac_date_to_mjd(datestr) == pytest.approx(expected, abs=1e-9)
+
+
+def test_utc_tt_roundtrip():
+    mjd_utc = np.linspace(43000.0, 61000.0, 997)
+    tt = utc_mjd_to_tt(mjd_utc)
+    back = tt_mjd_to_utc(tt)
+    np.testing.assert_allclose(back, mjd_utc, rtol=0, atol=1e-12)
+
+
+def test_gmst_oracle():
+    assert float(gmst(57028.478514610404)) == pytest.approx(
+        4.851925725092499, abs=1e-13
+    )
+    assert float(gmst(T2000)) == pytest.approx(4.894961212789145, abs=1e-13)
+
+
+def test_gmst_batched():
+    t = np.array([57028.478514610404, T2000, 60000.25])
+    g = np.asarray(gmst(t))
+    assert g.shape == (3,)
+    assert np.all((g >= 0) & (g < 2 * np.pi))
+    assert g[0] == pytest.approx(4.851925725092499, abs=1e-13)
