@@ -1,0 +1,316 @@
+"""Universal-variable Kepler kernel oracles.
+
+Oracles come from the reference's inline tests (``src/kepler/stumpff.rs``,
+``src/kepler/propagation.rs``, ``src/orb_elem.rs``) plus an independent
+scipy-DOP853 two-body integration, mirroring the reference's own
+ground-truth methodology (``propagation.rs:245-249``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from outfit_tpu.constants import GAUSS_GRAV_SQUARED
+from outfit_tpu.kepler import (
+    KeplerParams,
+    SolverConfig,
+    propagate_universal,
+    s_funct,
+    solve_kepuni,
+    velocity_correction,
+)
+from outfit_tpu.elements import ccek1, eccentricity_control
+from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class TestStumpff:
+    def test_real_data_oracle(self):
+        # src/kepler/stumpff.rs:404-414
+        s0, s1, s2, s3 = s_funct(-15.279808141051223, -1.6298946008705195e-4)
+        assert float(s0) == pytest.approx(0.9810334785583247, abs=1e-13)
+        assert float(s1) == pytest.approx(-15.183083836892674, abs=1e-12)
+        assert float(s2) == pytest.approx(116.3665517484714, abs=1e-10)
+        assert float(s3) == pytest.approx(-593.4390119881925, abs=1e-9)
+
+    def test_zero_psi(self):
+        s0, s1, s2, s3 = s_funct(0.0, 2.0)
+        assert float(s0) == 1.0 and float(s1) == 0.0
+        assert float(s2) == 0.0 and float(s3) == 0.0
+
+    def test_zero_alpha(self):
+        psi = 2.0
+        s0, s1, s2, s3 = s_funct(psi, 0.0)
+        assert float(s0) == pytest.approx(1.0, abs=1e-14)
+        assert float(s1) == pytest.approx(psi, abs=1e-14)
+        assert float(s2) == pytest.approx(psi**2 / 2, abs=1e-14)
+        assert float(s3) == pytest.approx(psi**3 / 6, abs=1e-14)
+
+    @pytest.mark.parametrize("psi,alpha", [(0.01, 0.1), (2.5, 1.0), (10.0, 5.0), (1.0, 0.5)])
+    def test_invariants(self, psi, alpha):
+        s0, s1, s2, s3 = map(float, s_funct(psi, alpha))
+        assert s0 == pytest.approx(1.0 + alpha * s2, rel=1e-12)
+        assert s1 == pytest.approx(psi + alpha * s3, rel=1e-12)
+
+    def test_symmetry(self):
+        s0p, s1p, s2p, s3p = map(float, s_funct(1.0, 0.5))
+        s0n, s1n, s2n, s3n = map(float, s_funct(-1.0, 0.5))
+        assert s0p == pytest.approx(s0n, abs=1e-12)
+        assert s2p == pytest.approx(s2n, abs=1e-12)
+        assert s1p == pytest.approx(-s1n, abs=1e-12)
+        assert s3p == pytest.approx(-s3n, abs=1e-12)
+
+    def test_against_trig_closed_form(self):
+        # For alpha < 0: s0 = cos(psi*sqrt(-alpha)), s1 = sin(...)/sqrt(-alpha)
+        rng = np.random.default_rng(0)
+        psi = rng.uniform(-50, 50, 256)
+        alpha = -(10.0 ** rng.uniform(-5, 1, 256))
+        s0, s1, _, _ = s_funct(psi, alpha)
+        w = np.sqrt(-alpha)
+        np.testing.assert_allclose(_np(s0), np.cos(psi * w), atol=5e-12)
+        np.testing.assert_allclose(_np(s1), np.sin(psi * w) / w, atol=5e-12, rtol=5e-12)
+        # hyperbolic: s0 = cosh(psi*sqrt(alpha))
+        alpha_h = 10.0 ** rng.uniform(-5, -1, 256)
+        psi_h = rng.uniform(-20, 20, 256)
+        s0h, s1h, _, _ = s_funct(psi_h, alpha_h)
+        wh = np.sqrt(alpha_h)
+        np.testing.assert_allclose(_np(s0h), np.cosh(psi_h * wh), rtol=1e-12)
+        np.testing.assert_allclose(_np(s1h), np.sinh(psi_h * wh) / wh, rtol=1e-12)
+
+    def test_batched_shape(self):
+        s = s_funct(jnp.ones((4, 7)), -0.5 * jnp.ones((4, 7)))
+        assert all(x.shape == (4, 7) for x in s)
+
+
+#: (position, velocity, t0, t1, expected_r1, expected_v1) from
+#: src/kepler/propagation.rs tests (scipy DOP853 + mpmath ground truth).
+_PROPAG_FIXTURES = [
+    (
+        [-8.264959160036185e-1, 3.9196606084860963e-1, 2.2299196071828425e-2],
+        [-5.4473671119342e-3, -2.107596146728544e-2, 1.5608111521258896e-3],
+        6.072555422778894e4,
+        6.0727546704688815e4,
+        [-0.83670766718652, 0.34968043043198, 0.02539102537652],
+        [-0.00479883489139, -0.02136507308119, 0.00154221064858],
+    ),
+    (
+        [-8.209687552250132e-1, 3.782813412927746e-1, 2.5673305402857578e-2],
+        [-5.290803826727631e-3, -2.1207542445249382e-2, 1.601930231829977e-3],
+        6.072555414035025e4,
+        6.0727546617250126e4,
+        [-0.8308499934162212, 0.33573406780460846, 0.028843689480680244],
+        [-0.004623556668660562, -0.021495885832796668, 0.0015799033389438464],
+    ),
+]
+
+
+class TestPropagation:
+    @pytest.mark.parametrize("fix", _PROPAG_FIXTURES)
+    def test_reference_fixtures(self, fix):
+        pos, vel, t0, t1, er1, ev1 = fix
+        res = propagate_universal(jnp.array(pos), jnp.array(vel), t0, t1)
+        assert int(res.status) == 0
+        assert np.linalg.norm(_np(res.r1) - er1) < 1e-9
+        assert np.linalg.norm(_np(res.v1) - ev1) < 1e-9
+
+    def test_lagrange_identity(self):
+        pos, vel, t0, t1, _, _ = _PROPAG_FIXTURES[0]
+        res = propagate_universal(jnp.array(pos), jnp.array(vel), t0, t1)
+        ident = float(res.f_lag * res.g_dot - res.g_lag * res.f_dot)
+        assert ident == pytest.approx(1.0, abs=1e-12)
+
+    def test_vs_scipy_dop853_random_orbits(self):
+        """Independent ground truth across orbital regimes (batched)."""
+        mu = GAUSS_GRAV_SQUARED
+        rng = np.random.default_rng(42)
+        n = 32
+        # random bound + some unbound orbits
+        r0 = rng.uniform(0.3, 5.0, (n, 1)) * _unit(rng, n)
+        vcirc = np.sqrt(mu / np.linalg.norm(r0, axis=1, keepdims=True))
+        v0 = vcirc * rng.uniform(0.3, 1.35, (n, 1)) * _unit(rng, n)
+        dt = rng.uniform(-300, 300, n)
+
+        res = propagate_universal(jnp.array(r0), jnp.array(v0), 0.0, jnp.array(dt))
+        ok = _np(res.status) == 0
+        assert ok.mean() > 0.9  # most random states propagate fine
+
+        def rhs(_, y):
+            r = y[:3]
+            rn = np.linalg.norm(r)
+            return np.concatenate([y[3:], -mu * r / rn**3])
+
+        for i in range(n):
+            if not ok[i]:
+                continue
+            sol = solve_ivp(
+                rhs,
+                (0.0, dt[i]),
+                np.concatenate([r0[i], v0[i]]),
+                method="DOP853",
+                rtol=1e-12,
+                atol=1e-14,
+            )
+            truth = sol.y[:, -1]
+            assert np.linalg.norm(_np(res.r1[i]) - truth[:3]) < 1e-8, f"lane {i}"
+            assert np.linalg.norm(_np(res.v1[i]) - truth[3:]) < 1e-8, f"lane {i}"
+
+    def test_warm_start_matches_cold(self):
+        pos, vel, t0, t1, _, _ = _PROPAG_FIXTURES[0]
+        cold = propagate_universal(jnp.array(pos), jnp.array(vel), t0, t1)
+        warm = propagate_universal(
+            jnp.array(pos), jnp.array(vel), t0, t1, psi_guess=cold.psi
+        )
+        np.testing.assert_allclose(_np(warm.r1), _np(cold.r1), atol=1e-13)
+
+    def test_degenerate_zero_position(self):
+        res = propagate_universal(jnp.zeros(3), jnp.array([0.0, 0.01, 0.0]), 0.0, 1.0)
+        assert int(res.status) != 0
+
+
+def _unit(rng, n):
+    v = rng.normal(size=(n, 3))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+class TestVelocityCorrection:
+    def test_recovers_exact_velocity(self):
+        """If x1 is the true propagated position, f-g correction with the true
+        v2 returns v2 itself (x1 = f*x2 + g*v2 identity)."""
+        pos, vel, t0, t1, _, _ = _PROPAG_FIXTURES[0]
+        x2 = jnp.array(pos)
+        v2 = jnp.array(vel)
+        dt = 5.0
+        fwd = propagate_universal(x2, v2, 0.0, dt)
+        x1 = fwd.r1
+        res = velocity_correction(x1, x2, v2, dt, peri_max=1e3, ecc_max=5.0)
+        assert int(res.status) == 0
+        np.testing.assert_allclose(_np(res.v2_corrected), _np(v2), atol=1e-12)
+
+    def test_perturbed_velocity_converges(self):
+        """Iterating the correction from a perturbed velocity converges to
+        the true one (the Gauss-iteration usage pattern)."""
+        pos, vel, _, _, _, _ = _PROPAG_FIXTURES[1]
+        x2 = jnp.array(pos)
+        v_true = jnp.array(vel)
+        dt = -8.0
+        x1 = propagate_universal(x2, v_true, 0.0, dt).r1
+        v = v_true * 1.02
+        for _ in range(8):
+            out = velocity_correction(x1, x2, v, dt, 1e3, 5.0)
+            v = out.v2_corrected
+        assert int(out.status) == 0
+        np.testing.assert_allclose(_np(v), _np(v_true), atol=1e-12)
+
+    def test_degenerate_angular_momentum(self):
+        x = jnp.array([1.0, 0.0, 0.0])
+        res = velocity_correction(x * 1.1, x, x * 0.01, 1.0, 1e3, 5.0)
+        assert int(res.status) != 0
+
+    def test_batched(self):
+        pos, vel, _, _, _, _ = _PROPAG_FIXTURES[0]
+        x2 = jnp.tile(jnp.array(pos), (5, 1))
+        v2 = jnp.tile(jnp.array(vel), (5, 1))
+        dts = jnp.linspace(-10, 10, 5)
+        x1 = propagate_universal(x2, v2, 0.0, dts).r1
+        res = velocity_correction(x1, x2, v2, dts, 1e3, 5.0)
+        assert res.v2_corrected.shape == (5, 3)
+        # dt=0 lane has unstable g; others must be clean
+        st = _np(res.status)
+        assert (st[np.abs(_np(dts)) > 1e-9] == 0).all()
+
+
+class TestCcek1:
+    def test_reference_oracle(self):
+        # src/orb_elem.rs:330-368
+        pos = jnp.array([-0.6235500510031639, 1.2114681148601605, 0.2520005914377604])
+        vel = jnp.array([-1.5549845137774663e-2, -4.631577489268288e-3, -9.363362126133925e-4])
+        out = ccek1(pos, vel)
+        assert int(out.kind) == KIND_KEPLERIAN
+        expected = [
+            1.8155297166304232,
+            0.2892182648825829,
+            0.20434785751952972,
+            0.0072890133690443745,
+            1.2263737249473103,
+            0.44554742955734405,
+        ]
+        np.testing.assert_allclose(_np(out.elements), expected, rtol=0, atol=5e-13)
+
+    def test_energy_invariant(self):
+        pos = jnp.array([-0.6235500510031639, 1.2114681148601605, 0.2520005914377604])
+        vel = jnp.array([-1.5549845137774663e-2, -4.631577489268288e-3, -9.363362126133925e-4])
+        out = ccek1(pos, vel)
+        a = float(out.elements[0])
+        r = float(jnp.linalg.norm(pos))
+        v2 = float(jnp.sum(vel * vel))
+        energy = v2 / 2 - GAUSS_GRAV_SQUARED / r
+        assert energy == pytest.approx(-GAUSS_GRAV_SQUARED / (2 * a), abs=5e-12)
+
+    def test_roundtrip_through_propagation(self):
+        """ccek1 of a propagated state preserves (a, e, i, node, argp)."""
+        pos = jnp.array([-0.6235500510031639, 1.2114681148601605, 0.2520005914377604])
+        vel = jnp.array([-1.5549845137774663e-2, -4.631577489268288e-3, -9.363362126133925e-4])
+        el0 = ccek1(pos, vel)
+        prop = propagate_universal(pos, vel, 0.0, 123.456)
+        el1 = ccek1(prop.r1, prop.v1)
+        np.testing.assert_allclose(
+            _np(el0.elements[:5]), _np(el1.elements[:5]), atol=1e-10
+        )
+
+    def test_hyperbolic_state(self):
+        pos = jnp.array([1.0, 0.2, 0.1])
+        vel = jnp.array([0.01, 0.025, 0.002])  # well above escape speed
+        out = ccek1(pos, vel)
+        assert int(out.kind) == 1
+        assert float(out.elements[1]) > 1.0  # eccentricity
+        assert float(out.elements[0]) > 0.0  # perihelion distance
+
+
+class TestEccentricityControl:
+    def test_accept_bound_orbit(self):
+        pos = jnp.array([-0.6235500510031639, 1.2114681148601605, 0.2520005914377604])
+        vel = jnp.array([-1.5549845137774663e-2, -4.631577489268288e-3, -9.363362126133925e-4])
+        acc, ecc, peri, energy = eccentricity_control(pos, vel, 1e3, 1.0)
+        assert bool(acc)
+        assert float(ecc) == pytest.approx(0.2892182648825829, abs=1e-10)
+        assert float(energy) < 0
+
+    def test_reject_high_ecc(self):
+        pos = jnp.array([1.0, 0.0, 0.0])
+        vel = jnp.array([0.0, 0.025, 0.0])  # hyperbolic
+        acc, ecc, _, _ = eccentricity_control(pos, vel, 1e3, 1.0)
+        assert not bool(acc)
+        assert float(ecc) > 1.0
+
+
+class TestSolverJit:
+    def test_jit_and_vmap_compose(self):
+        pos, vel, t0, t1, er1, _ = _PROPAG_FIXTURES[0]
+
+        f = jax.jit(lambda p, v, dt: propagate_universal(p, v, 0.0, dt))
+        batch_p = jnp.tile(jnp.array(pos), (16, 1))
+        batch_v = jnp.tile(jnp.array(vel), (16, 1))
+        dts = jnp.full(16, t1 - t0)
+        out = f(batch_p, batch_v, dts)
+        np.testing.assert_allclose(_np(out.r1), np.tile(er1, (16, 1)), atol=1e-9)
+
+    def test_fallback_rescues_hard_lane(self):
+        """Near-parabolic high-e orbit: Newton may struggle; Auto must solve."""
+        mu = GAUSS_GRAV_SQUARED
+        a = 1.5
+        e = 0.999
+        r_peri = a * (1 - e)
+        v_peri = np.sqrt(mu * (2 / r_peri - 1 / a))
+        pos = jnp.array([r_peri, 0.0, 0.0])
+        vel = jnp.array([0.0, v_peri, 0.0])
+        res = propagate_universal(pos, vel, 0.0, 40.0)
+        assert int(res.status) == 0
+        # energy conserved
+        e0 = 0.5 * v_peri**2 - mu / r_peri
+        e1 = 0.5 * float(jnp.sum(res.v1**2)) - mu / float(jnp.linalg.norm(res.r1))
+        assert e1 == pytest.approx(e0, rel=1e-9)
