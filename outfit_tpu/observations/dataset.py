@@ -1,0 +1,218 @@
+"""ObsDataset: the observation container consumed by the fitting pipelines.
+
+Parity surface (photom's ObsDataset, SURVEY 2.12): ``from_mpc_80_col_files``,
+``from_dataframe`` (columnar/parquet ingestion), ``push_observation``,
+``with_error_model``/``apply_model_errors``, ``apply_batch_rms_correction``,
+``iter_traj_id``, ``get_observation``, ``get_observer``, ``len_trajectory``,
+``materialize_trajectory``.
+
+TPU-first design: struct-of-arrays (numpy, host-side) with integer indices
+into trajectory-id and observer tables — directly convertible into the
+padded device arrays the batched kernels consume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from outfit_tpu.observations.error_model import ErrorModel, batch_rms_correction
+from outfit_tpu.observations.mpc80 import MpcRecord, parse_file
+from outfit_tpu.observations.observatories import Observer, get_observatory
+
+
+@dataclass
+class Observation:
+    """Single-observation view (parity: photom Observation surface)."""
+
+    index: int
+    traj_id: str
+    mjd_tt: float
+    ra: float
+    dec: float
+    ra_error: float
+    dec_error: float
+    observer: Observer
+
+
+@dataclass
+class ObsDataset:
+    mjd_tt: np.ndarray = field(default_factory=lambda: np.empty(0))
+    ra: np.ndarray = field(default_factory=lambda: np.empty(0))
+    dec: np.ndarray = field(default_factory=lambda: np.empty(0))
+    ra_error: np.ndarray = field(default_factory=lambda: np.empty(0))  # radians
+    dec_error: np.ndarray = field(default_factory=lambda: np.empty(0))
+    traj_index: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    observer_index: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    traj_ids: List[str] = field(default_factory=list)
+    observers: List[Observer] = field(default_factory=list)
+    mag: np.ndarray = field(default_factory=lambda: np.empty(0))
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def from_records(cls, records: Sequence[MpcRecord]) -> "ObsDataset":
+        return cls._build(records)
+
+    @classmethod
+    def from_mpc_80_col_files(cls, paths: Iterable[str]) -> "ObsDataset":
+        records: List[MpcRecord] = []
+        for p in paths:
+            records.extend(parse_file(p))
+        return cls._build(records)
+
+    @classmethod
+    def from_mpc_80_col(cls, path: str) -> "ObsDataset":
+        return cls.from_mpc_80_col_files([path])
+
+    @classmethod
+    def from_dataframe(cls, df, *, traj_col="trajectory_id", mjd_col="mjd_tt",
+                       ra_col="ra", dec_col="dec", obs_col="observatory",
+                       angles_in_degrees=True) -> "ObsDataset":
+        """Columnar ingestion (pandas / pyarrow-backed parquet).
+
+        Parity: photom's ``from_lazy`` polars path (SURVEY 2.12) —
+        ``pd.read_parquet`` upstream covers the parquet case.
+        """
+        import math
+
+        scale = math.pi / 180.0 if angles_in_degrees else 1.0
+        records = [
+            MpcRecord(
+                traj_id=str(df[traj_col].iloc[i]),
+                mjd_tt=float(df[mjd_col].iloc[i]),
+                ra=float(df[ra_col].iloc[i]) * scale,
+                dec=float(df[dec_col].iloc[i]) * scale,
+                mag=None,
+                band=" ",
+                observatory=str(df[obs_col].iloc[i]) if obs_col in df else "500",
+                discovery=False,
+            )
+            for i in range(len(df))
+        ]
+        return cls._build(records)
+
+    @classmethod
+    def _build(cls, records: Sequence[MpcRecord]) -> "ObsDataset":
+        ds = cls()
+        traj_map: Dict[str, int] = {}
+        obs_map: Dict[str, int] = {}
+        n = len(records)
+        ds.mjd_tt = np.empty(n)
+        ds.ra = np.empty(n)
+        ds.dec = np.empty(n)
+        ds.ra_error = np.full(n, np.nan)
+        ds.dec_error = np.full(n, np.nan)
+        ds.traj_index = np.empty(n, dtype=np.int64)
+        ds.observer_index = np.empty(n, dtype=np.int64)
+        ds.mag = np.full(n, np.nan)
+        for i, r in enumerate(records):
+            ti = traj_map.setdefault(r.traj_id, len(traj_map))
+            if ti == len(ds.traj_ids):
+                ds.traj_ids.append(r.traj_id)
+            oi = obs_map.setdefault(r.observatory, len(obs_map))
+            if oi == len(ds.observers):
+                ds.observers.append(get_observatory(r.observatory))
+            ds.mjd_tt[i] = r.mjd_tt
+            ds.ra[i] = r.ra
+            ds.dec[i] = r.dec
+            ds.traj_index[i] = ti
+            ds.observer_index[i] = oi
+            if r.mag is not None:
+                ds.mag[i] = r.mag
+        return ds
+
+    def push_observation(
+        self, traj_id: str, mjd_tt: float, ra: float, dec: float,
+        ra_error: float, dec_error: float, observer: Observer,
+    ) -> None:
+        """Append one observation (angles/sigmas in radians)."""
+        if traj_id in self.traj_ids:
+            ti = self.traj_ids.index(traj_id)
+        else:
+            ti = len(self.traj_ids)
+            self.traj_ids.append(traj_id)
+        key = observer.code or observer.name or f"obs{len(self.observers)}"
+        oi = None
+        for j, ob in enumerate(self.observers):
+            if (ob.code or ob.name) == key and ob == observer:
+                oi = j
+                break
+        if oi is None:
+            oi = len(self.observers)
+            self.observers.append(observer)
+        self.mjd_tt = np.append(self.mjd_tt, mjd_tt)
+        self.ra = np.append(self.ra, ra)
+        self.dec = np.append(self.dec, dec)
+        self.ra_error = np.append(self.ra_error, ra_error)
+        self.dec_error = np.append(self.dec_error, dec_error)
+        self.traj_index = np.append(self.traj_index, ti)
+        self.observer_index = np.append(self.observer_index, oi)
+        self.mag = np.append(self.mag, np.nan)
+
+    # -- error models ---------------------------------------------------------
+
+    def apply_error_model(self, model: ErrorModel) -> "ObsDataset":
+        """Assign per-observation sigmas (parity: with_error_model +
+        apply_model_errors).  Mutates and returns self."""
+        codes = [self.observers[i].code or "?" for i in self.observer_index]
+        sig = model.sigma_rad(codes)
+        self.ra_error = sig.copy()
+        self.dec_error = sig.copy()
+        return self
+
+    def apply_batch_rms_correction(self, gap_max_days: float) -> "ObsDataset":
+        """Parity: photom's apply_batch_rms_correction (sqrt-N batch
+        inflation within (trajectory, station) groups)."""
+        self.ra_error = batch_rms_correction(
+            self.mjd_tt, self.traj_index, self.observer_index, self.ra_error, gap_max_days
+        )
+        self.dec_error = batch_rms_correction(
+            self.mjd_tt, self.traj_index, self.observer_index, self.dec_error, gap_max_days
+        )
+        return self
+
+    # -- access ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.mjd_tt)
+
+    @property
+    def n_trajectories(self) -> int:
+        return len(self.traj_ids)
+
+    def iter_traj_id(self):
+        return iter(self.traj_ids)
+
+    def len_trajectory(self, traj_id: str) -> int:
+        ti = self.traj_ids.index(traj_id)
+        return int(np.sum(self.traj_index == ti))
+
+    def trajectory_obs_indices(self, traj_id: str) -> np.ndarray:
+        """Observation indices of one trajectory, sorted by epoch."""
+        ti = self.traj_ids.index(traj_id)
+        idx = np.nonzero(self.traj_index == ti)[0]
+        return idx[np.argsort(self.mjd_tt[idx], kind="stable")]
+
+    def get_observation(self, i: int) -> Observation:
+        return Observation(
+            index=i,
+            traj_id=self.traj_ids[self.traj_index[i]],
+            mjd_tt=float(self.mjd_tt[i]),
+            ra=float(self.ra[i]),
+            dec=float(self.dec[i]),
+            ra_error=float(self.ra_error[i]),
+            dec_error=float(self.dec_error[i]),
+            observer=self.observers[self.observer_index[i]],
+        )
+
+    def get_observer(self, i: int) -> Observer:
+        return self.observers[i]
+
+    def iter_observer(self):
+        return iter(self.observers)
+
+    def materialize_trajectory(self, traj_id: str) -> List[Observation]:
+        return [self.get_observation(int(i)) for i in self.trajectory_obs_indices(traj_id)]

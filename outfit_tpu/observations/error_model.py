@@ -1,0 +1,100 @@
+"""Astrometric error models and batch RMS correction.
+
+Parity surface: photom's ``ObsErrorModel::FCCT14`` + ``apply_model_errors``
++ ``apply_batch_rms_correction(gap_max)`` (SURVEY 2.12).
+
+FCCT14 (Farnocchia, Chesley, Chamberlin & Tholen 2015) assigns per-station
+(and per-catalog) astrometric 1-sigma values.  The full published table is
+keyed by star catalog flags not present in our fixtures' 80-col data; this
+implementation uses the station-level values for the major surveys and a
+configurable default, which is the dominant effect.  Values in arcsec.
+
+Batch RMS correction: within each (trajectory, station) group, observations
+closer than ``gap_max`` days form a batch; each member's sigma is inflated
+by sqrt(batch size), preventing dense same-night batches from overwhelming
+the fit (the Vereš/Farnocchia weighting scheme the reference applies).
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict
+
+import numpy as np
+
+from outfit_tpu.constants import RADSEC
+
+#: FCCT14-style station weights (arcsec, both RA*cos(dec) and Dec)
+_FCCT14_STATION = {
+    "703": 1.0,
+    "691": 0.6,
+    "291": 0.6,
+    "F51": 0.2,
+    "F52": 0.2,
+    "G96": 0.5,
+    "G45": 0.6,
+    "704": 1.0,
+    "E12": 0.75,
+    "W84": 0.15,
+    "X05": 0.1,
+    "T05": 0.5,
+    "T08": 0.5,
+    "M22": 0.5,
+    "W68": 0.5,
+    "568": 0.25,
+    "D29": 0.75,
+    "705": 0.3,
+    "695": 0.5,
+    "V00": 0.5,
+}
+
+
+@dataclass
+class ErrorModel:
+    """Per-station astrometric error model (sigmas in arcsec)."""
+
+    default_arcsec: float = 1.0
+    station_arcsec: Dict[str, float] = field(default_factory=lambda: dict(_FCCT14_STATION))
+
+    @classmethod
+    def fcct14(cls) -> "ErrorModel":
+        return cls()
+
+    @classmethod
+    def constant(cls, arcsec: float) -> "ErrorModel":
+        return cls(default_arcsec=arcsec, station_arcsec={})
+
+    def sigma_rad(self, station_codes) -> np.ndarray:
+        """Per-observation sigma (radians) for RA*cos(dec) and Dec alike."""
+        out = np.array(
+            [self.station_arcsec.get(c, self.default_arcsec) for c in station_codes]
+        )
+        return out * RADSEC
+
+
+def batch_rms_correction(mjd, traj_idx, obs_idx, sigma, gap_max_days: float):
+    """Inflate sigmas by sqrt(batch size) within same-(trajectory, station)
+    groups of observations separated by <= gap_max_days.
+
+    All inputs are 1-D arrays over observations; returns the corrected sigma
+    array (same order).
+    """
+    mjd = np.asarray(mjd)
+    sigma = np.asarray(sigma, dtype=np.float64).copy()
+    keys = {}
+    for i in range(len(mjd)):
+        keys.setdefault((int(traj_idx[i]), int(obs_idx[i])), []).append(i)
+    for _, idxs in keys.items():
+        idxs = sorted(idxs, key=lambda i: mjd[i])
+        batch = [idxs[0]]
+        batches = []
+        for i in idxs[1:]:
+            if mjd[i] - mjd[batch[-1]] <= gap_max_days:
+                batch.append(i)
+            else:
+                batches.append(batch)
+                batch = [i]
+        batches.append(batch)
+        for b in batches:
+            factor = np.sqrt(len(b))
+            for i in b:
+                sigma[i] *= factor
+    return sigma

@@ -1,0 +1,159 @@
+"""Ephemeris subsystem: Chebyshev tables, analytic source, SPK round-trip.
+
+The reference validates against downloaded DE440 files
+(``src/lib.rs:446-463``); this environment has no network, so validation is
+(a) internal consistency at the reference's tolerances where possible, and
+(b) a synthetic SPK write->parse round-trip exercising the NAIF parser.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from outfit_tpu.constants import AU
+from outfit_tpu.ephem import Body, JPLEphem
+from outfit_tpu.ephem.analytic import (
+    build_analytic_tables,
+    moon_geocentric_ecliptic,
+    planet_position_ecliptic,
+    _ecl_to_equ,
+)
+from outfit_tpu.ephem.chebyshev import BodyTable, fit_body_table, interpolate_body
+from outfit_tpu.ephem.naif import NaifEphemeris, write_synthetic_spk
+
+
+@pytest.fixture(scope="module")
+def eph():
+    return JPLEphem.analytic(56000.0, 58000.0)
+
+
+class TestChebyshevFit:
+    def test_fit_reproduces_function(self):
+        fn = lambda t: np.stack(
+            [np.cos(0.05 * t), np.sin(0.05 * t), 0.1 * np.cos(0.11 * t)], axis=-1
+        )
+        table = fit_body_table(fn, 1000.0, 1500.0, granule_days=16.0, n_coeff=14)
+        t = np.linspace(1000.0, 1499.9, 777)
+        pos, vel = interpolate_body(table, jnp.array(t))
+        np.testing.assert_allclose(np.asarray(pos), fn(t), atol=1e-12)
+        # velocity = d/dt
+        dt = 1e-5
+        vnum = (fn(t + dt) - fn(t - dt)) / (2 * dt)
+        np.testing.assert_allclose(np.asarray(vel), vnum, atol=1e-7)
+
+    def test_interpolation_is_jittable(self):
+        fn = lambda t: np.stack([np.cos(0.05 * t), np.sin(0.05 * t), 0 * t], axis=-1)
+        table = fit_body_table(fn, 0.0, 100.0, 16.0, 10)
+        f = jax.jit(lambda t: interpolate_body(table, t)[0])
+        out = f(jnp.linspace(1.0, 99.0, 64))
+        assert out.shape == (64, 3)
+
+
+class TestAnalyticSource:
+    def test_fit_residual_vs_direct(self):
+        tables = build_analytic_tables(57000.0, 57400.0)
+        t = np.linspace(57010.0, 57390.0, 333)
+        for body in (Body.EMB, Body.MARS_BARY, Body.MOON):
+            pos, _ = interpolate_body(tables[body], jnp.array(t))
+            if body == Body.MOON:
+                direct = _ecl_to_equ(moon_geocentric_ecliptic(t))
+            else:
+                direct = _ecl_to_equ(planet_position_ecliptic(body, t))
+            # table interpolation error must be negligible vs source accuracy
+            # (< 1e-11 AU ~ 1.5 m; the source itself is ~1e-5 AU vs DE440)
+            assert np.abs(np.asarray(pos) - direct).max() < 1e-11
+
+    def test_earth_heliocentric_distance(self, eph):
+        t = np.linspace(56100.0, 57900.0, 500)
+        pos, vel = eph.earth_ephemeris(jnp.array(t))
+        r = np.linalg.norm(np.asarray(pos), axis=1)
+        assert r.min() > 0.9815 and r.max() < 1.0175
+        v = np.linalg.norm(np.asarray(vel), axis=1)
+        assert 0.015 < v.min() and v.max() < 0.0185  # AU/day
+
+    def test_earth_velocity_is_position_derivative(self, eph):
+        t = np.array([56500.25, 57000.7])
+        pos_p, _ = eph.earth_ephemeris(jnp.array(t + 5e-4))
+        pos_m, _ = eph.earth_ephemeris(jnp.array(t - 5e-4))
+        _, vel = eph.earth_ephemeris(jnp.array(t))
+        vnum = (np.asarray(pos_p) - np.asarray(pos_m)) / 1e-3
+        np.testing.assert_allclose(np.asarray(vel), vnum, atol=1e-9)
+
+    def test_earth_orbit_plane_is_ecliptic(self, eph):
+        # angular momentum of Earth's orbit ~ ecliptic pole: in equatorial
+        # coords (0, -sin eps, cos eps)
+        t = np.linspace(56100.0, 56465.0, 100)
+        pos, vel = eph.earth_ephemeris(jnp.array(t))
+        h = np.cross(np.asarray(pos), np.asarray(vel)).mean(axis=0)
+        h /= np.linalg.norm(h)
+        eps = 0.40909280422232897
+        np.testing.assert_allclose(h, [0.0, -np.sin(eps), np.cos(eps)], atol=2e-4)
+
+    def test_moon_geocentric_distance(self):
+        t = np.linspace(56000.0, 57000.0, 400)
+        r = np.linalg.norm(moon_geocentric_ecliptic(t), axis=1) * AU
+        assert r.min() > 350_000 and r.max() < 410_000  # km
+
+    def test_body_ephemeris_mars(self, eph):
+        t = jnp.array([56800.0])
+        pos, vel = eph.body_ephemeris(Body.MARS_BARY, t)
+        r = float(jnp.linalg.norm(pos))
+        assert 1.38 < r < 1.67
+        assert float(jnp.linalg.norm(vel)) < 0.016
+
+    def test_kepler_energy_consistency(self, eph):
+        """Mars's orbital energy from the analytic state matches -mu/2a for
+        Standish's a — the state synthesis is dynamically consistent."""
+        from outfit_tpu.constants import GAUSS_GRAV_SQUARED
+
+        t = jnp.array([57123.0])
+        pos, vel = eph.body_ephemeris(Body.MARS_BARY, t)
+        r = float(jnp.linalg.norm(pos))
+        v2 = float(jnp.sum(vel**2))
+        energy = v2 / 2 - GAUSS_GRAV_SQUARED / r
+        a = -GAUSS_GRAV_SQUARED / (2 * energy)
+        assert a == pytest.approx(1.5237, abs=2e-3)
+
+    def test_batched_epoch_shapes(self, eph):
+        t = jnp.ones((4, 5)) * 56600.0
+        pos, vel = eph.earth_ephemeris(t)
+        assert pos.shape == (4, 5, 3)
+
+
+class TestNaifRoundTrip:
+    def test_synthetic_spk(self, tmp_path, eph):
+        """Write the analytic EMB table as a Type-2 SPK, parse it back, and
+        compare interpolation to the original at 1e-12 AU (the reference's
+        cache-consistency tolerance)."""
+        path = str(tmp_path / "synthetic.bsp")
+        emb = eph.tables[Body.EMB]
+        sun_zero = BodyTable(emb.t0, emb.granule_days, jnp.zeros_like(emb.coeffs))
+        write_synthetic_spk(
+            path, [(3, 0, emb), (10, 0, sun_zero)]
+        )
+        parsed = NaifEphemeris(path)
+        seg = parsed.segment_for(3, 0)
+        assert seg.data_type == 2
+        t = jnp.linspace(emb.t0 + 1.0, emb.t_end - 1.0, 97)
+        p0, v0 = interpolate_body(emb, t)
+        p1, v1 = interpolate_body(seg.table, t)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-12)
+
+    def test_facade_from_naif_file(self, tmp_path, eph):
+        path = str(tmp_path / "synthetic2.bsp")
+        z = lambda tb: BodyTable(tb.t0, tb.granule_days, jnp.zeros_like(tb.coeffs))
+        emb = eph.tables[Body.EMB]
+        moon = eph.tables[Body.MOON]
+        write_synthetic_spk(path, [(3, 0, emb), (10, 0, z(emb)), (301, 3, moon)])
+        ephem2 = JPLEphem.new("naif:whatever", path=path)
+        t = jnp.array([56500.0, 57000.0])
+        p2, v2 = ephem2.earth_ephemeris(t)
+        p1, v1 = eph.earth_ephemeris(t)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-12)
+
+    def test_missing_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            JPLEphem.new("horizon:DE440", path=None)

@@ -1,0 +1,166 @@
+"""Observation ingestion (photom-equivalent) + observer geometry/caches.
+
+Fixtures are the reference's own MPC 80-col test files
+(``/root/reference/tests/data``); cache invariance mirrors
+``tests/test_cache_consistency.rs`` (1e-12).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from outfit_tpu.constants import DPI, ERAU, RADSEC
+from outfit_tpu.ephem import JPLEphem
+from outfit_tpu.frames import RefEpoch, RefSystem, rotpn
+from outfit_tpu.observations import ErrorModel, ObsDataset
+from outfit_tpu.observations.mpc80 import parse_line
+from outfit_tpu.observations.observatories import (
+    Observer,
+    get_observatory,
+    parallax_from_geodetic,
+)
+from outfit_tpu.observer import ObserverCache
+from outfit_tpu.observer.geometry import gast
+from outfit_tpu.time.scales import Ut1Provider
+
+DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="module")
+def eph():
+    return JPLEphem.analytic(53500.0, 61500.0)
+
+
+class TestMpc80:
+    def test_parse_provisional_line(self):
+        line = "     K09R05F* C2009 09 15.22735 22 52 23.37 -14 47 05.4          20.7 Vr~097wG96"
+        r = parse_line(line)
+        assert r.traj_id == "K09R05F"
+        assert r.discovery
+        assert r.observatory == "G96"
+        # RA 22h52m23.37s, Dec -14d47m05.4s
+        assert r.ra == pytest.approx((22 + 52 / 60 + 23.37 / 3600) * DPI / 24, rel=1e-12)
+        assert r.dec == pytest.approx(-(14 + 47 / 60 + 5.4 / 3600) * np.pi / 180, rel=1e-12)
+        # epoch: 2009-09-15.22735 UTC -> TT  (TT-UTC = 66.184 s in 2009)
+        assert r.mjd_tt == pytest.approx(55089.22735 + 66.184 / 86400.0, abs=1e-9)
+
+    def test_parse_numbered_line(self):
+        line = "08467         C2024 12 03.05243000 23 45.348+08 01 18.05         18.93cV~8TCpW68"
+        r = parse_line(line)
+        assert r.traj_id == "08467"
+        assert r.observatory == "W68"
+        assert r.dec == pytest.approx((8 + 1 / 60 + 18.05 / 3600) * np.pi / 180, rel=1e-12)
+
+    def test_all_fixture_files_parse(self):
+        ds = ObsDataset.from_mpc_80_col_files(
+            [f"{DATA}/{n}.obs" for n in ("2015AB", "8467", "33803", "K25D50B")]
+        )
+        # 247 records: every fixture line is a valid optical record
+        # (2015AB.obs has 37 lines, the last without trailing newline)
+        assert len(ds) == 247
+        assert ds.n_trajectories == 5  # 2015AB holds K09R05F + K15A00B
+        for tid in ds.iter_traj_id():
+            idx = ds.trajectory_obs_indices(tid)
+            assert (np.diff(ds.mjd_tt[idx]) >= 0).all()
+
+    def test_error_model_and_batch_correction(self):
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        ds.apply_error_model(ErrorModel.fcct14())
+        base = ds.ra_error.copy()
+        assert np.isfinite(base).all()
+        ds.apply_batch_rms_correction(8.0 / 24.0)
+        # batches exist (several same-night G96 points) -> some sigmas inflated
+        assert (ds.ra_error >= base - 1e-18).all()
+        assert (ds.ra_error > base * 1.2).any()
+
+    def test_push_observation(self):
+        ds = ObsDataset()
+        ds.push_observation("X1", 60000.0, 1.0, 0.5, 1e-6, 1e-6, Observer.geocenter())
+        ds.push_observation("X1", 60001.0, 1.01, 0.51, 1e-6, 1e-6, Observer.geocenter())
+        assert len(ds) == 2 and ds.n_trajectories == 1
+        assert ds.len_trajectory("X1") == 2
+
+
+class TestObservatories:
+    def test_parallax_from_geodetic_mauna_kea(self):
+        # reference pins 568 at rho_cos=0.94171, rho_sin=0.33725
+        # (observer_centric_cache.rs:404-410)
+        _, c, s = parallax_from_geodetic(204.5278, 19.8261, 4213.0)
+        assert c == pytest.approx(0.94171, abs=3e-5)
+        assert s == pytest.approx(0.33725, abs=3e-5)
+
+    def test_known_codes_resolve(self):
+        for code in ("G96", "F51", "W68", "691", "705"):
+            o = get_observatory(code)
+            assert o.rho_cos_phi > 0.5
+
+    def test_unknown_code_falls_back(self):
+        o = get_observatory("ZZ9")
+        assert "UNKNOWN" in (o.name or "")
+
+
+class TestObserverCache:
+    def test_geometry_magnitudes(self, eph):
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        cache = ObserverCache.build(ds, eph)
+        geo_r = np.linalg.norm(np.asarray(cache.geo_pos_ecl), axis=1)
+        # ground stations sit within ~1 Earth radius of the geocenter
+        assert (geo_r < 1.1 * ERAU).all() and (geo_r > 0.8 * ERAU).all()
+        helio_r = np.linalg.norm(np.asarray(cache.helio_pos_equ), axis=1)
+        assert (np.abs(helio_r - 1.0) < 0.02).all()
+        # diurnal velocity ~ omega x r
+        geo_v = np.linalg.norm(np.asarray(cache.geo_vel_ecl), axis=1)
+        assert (geo_v < DPI * 1.003 * ERAU * 1.1).all()
+
+    def test_pvobs_observer_right_ascension(self, eph):
+        """In the true-equator-of-date frame the observer's RA equals
+        GAST + east longitude."""
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        cache = ObserverCache.build(ds, eph)
+        ut1 = Ut1Provider()
+        g = np.asarray(gast(ds.mjd_tt, ut1))
+        # rotate geocentric ecliptic-J2000 back to true-of-date equatorial
+        # via the transpose of the forward matrix (the direct rotpn reverse
+        # path hits the reference's Eclm-epoch-mismatch Y-axis branch, which
+        # is reproduced bug-for-bug and is not the inverse)
+        for i in (0, 7, 20):
+            m = np.asarray(
+                rotpn(
+                    RefSystem.equt(RefEpoch.of_date(float(ds.mjd_tt[i]))),
+                    RefSystem.eclm(RefEpoch.j2000()),
+                )
+            ).T
+            v = m @ np.asarray(cache.geo_pos_ecl[i])
+            ra = np.arctan2(v[1], v[0]) % DPI
+            lam = ds.observers[ds.observer_index[i]].longitude
+            expected = (g[i] + lam) % DPI
+            assert abs((ra - expected + np.pi) % DPI - np.pi) < 1e-10
+
+    def test_cache_consistency_under_composition(self, eph):
+        """Cached heliocentric positions are invariant under dataset
+        composition (parity: tests/test_cache_consistency.rs at 1e-12)."""
+        ds_a = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        ds_ab = ObsDataset.from_mpc_80_col_files(
+            [f"{DATA}/8467.obs", f"{DATA}/2015AB.obs"]
+        )
+        ca = ObserverCache.build(ds_a, eph)
+        cab = ObserverCache.build(ds_ab, eph)
+        # match observations by (epoch, ra): positions must agree to 1e-12
+        for tid in ds_a.iter_traj_id():
+            ia = ds_a.trajectory_obs_indices(tid)
+            ib = ds_ab.trajectory_obs_indices(tid)
+            np.testing.assert_allclose(
+                np.asarray(ca.helio_pos_equ)[ia],
+                np.asarray(cab.helio_pos_equ)[ib],
+                rtol=0,
+                atol=1e-12,
+            )
+
+    def test_geocenter_observer_matches_earth(self, eph):
+        ds = ObsDataset()
+        ds.push_observation("G", 57000.0, 0.0, 0.0, RADSEC, RADSEC, Observer.geocenter())
+        cache = ObserverCache.build(ds, eph)
+        earth, _ = eph.earth_ephemeris(jnp.array([57000.0]))
+        np.testing.assert_allclose(
+            np.asarray(cache.helio_pos_equ), np.asarray(earth), atol=1e-15
+        )
