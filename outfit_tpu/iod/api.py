@@ -1,0 +1,305 @@
+"""User-facing IOD API: fit_full_iod over a whole dataset.
+
+Behavioral parity with the reference's ``FitIOD`` trait
+(``src/initial_orbit_determination/obs_dataset_api.rs``) and
+``estimate_best_orbit`` (``trajectory.rs:429-545``):
+
+* prepare: error model -> batch RMS correction -> observer cache
+  (``prepare_iod`` :254-275),
+* per-trajectory deterministic noise (the reference XORs a base seed with a
+  stable trajectory hash, :277-296; here: jax.random fold_in with a
+  CRC32 of the trajectory id — same contract: results independent of
+  trajectory order and parallel schedule),
+* triplets x (1 + n_noise_realizations) Monte-Carlo lanes, Gauss candidates,
+  RMS scoring over the triplet window, best-orbit argmin.
+
+TPU-first: every trajectory's lanes are flattened into ONE device batch; a
+single jitted kernel processes all trajectories of a dataset at once.  The
+lane batch is the axis to shard across chips (outfit_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN
+from outfit_tpu.elements.types import (
+    CometaryElements,
+    EquinoctialElements,
+    KeplerianElements,
+    cometary_to_equinoctial,
+    keplerian_to_equinoctial,
+)
+from outfit_tpu.iod.gauss import GaussTriplets, candidates_to_elements, gauss_candidates
+from outfit_tpu.iod.params import IODParams
+from outfit_tpu.iod.scoring import rms_orbit_error
+from outfit_tpu.iod.triplets import generate_triplet_indices, select_rms_interval
+from outfit_tpu.observations.error_model import ErrorModel
+from outfit_tpu.observer.cache import ObserverCache
+from outfit_tpu.time.scales import Ut1Provider
+
+
+@dataclass
+class FitResult:
+    """Per-trajectory IOD outcome (parity: FitOrbitResult::IODGauss)."""
+
+    traj_id: str
+    ok: bool
+    error: Optional[str] = None
+    rms: float = float("inf")
+    corrected: bool = False
+    epoch: float = 0.0
+    kind: int = KIND_KEPLERIAN  # 0 = Keplerian, 1 = Cometary (ccek1 output)
+    elements: Optional[np.ndarray] = None  # (6,) ccek1 element set
+    equinoctial: Optional[np.ndarray] = None  # (6,) a,h,k,p,q,lambda (ecliptic)
+
+    @property
+    def keplerian(self) -> Optional[KeplerianElements]:
+        if self.elements is None or self.kind != KIND_KEPLERIAN:
+            return None
+        e = self.elements
+        return KeplerianElements(self.epoch, e[0], e[1], e[2], e[3], e[4], e[5])
+
+
+def stable_hash(traj_id: str) -> int:
+    """Order-stable trajectory hash (determinism contract,
+    obs_dataset_api.rs:277-296)."""
+    return zlib.crc32(traj_id.encode("utf-8"))
+
+
+def _lane_select(rms, valid, corrected):
+    """Per-lane candidate choice: corrected-preferred, then min RMS.
+
+    Parity: ``prelim_orbit`` corrected-first policy (gauss.rs:1238-1247)
+    with min-RMS tie-breaking instead of solver discovery order.
+    """
+    finite = jnp.isfinite(rms)
+    corr_ok = corrected & valid & finite
+    any_corr = jnp.any(corr_ok, axis=-1, keepdims=True)
+    eligible = jnp.where(any_corr, corr_ok, valid & finite)
+    score = jnp.where(eligible, rms, jnp.inf)
+    best = jnp.argmin(score, axis=-1)
+    best_rms = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0]
+    return best, best_rms
+
+
+def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: IODParams):
+    """Jitted core: candidates -> elements -> scores -> per-lane best."""
+    cands = gauss_candidates(tri, params)
+    state_elems = candidates_to_elements(cands)
+
+    kind = state_elems.kind  # (L, 8)
+    el = state_elems.elements  # (L, 8, 6)
+
+    # equinoctial conversion for scoring (Keplerian or hyperbolic Cometary)
+    kep = KeplerianElements(
+        cands.epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+    )
+    eq_from_kep = keplerian_to_equinoctial(kep)
+    com = CometaryElements(
+        cands.epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+    )
+    eq_from_com = cometary_to_equinoctial(com)
+    is_kep = kind == KIND_KEPLERIAN
+    eq = EquinoctialElements(
+        cands.epoch,
+        *[
+            jnp.where(is_kep, a, jnp.where(jnp.isfinite(b), b, 0.0))
+            for a, b in zip(eq_from_kep[1:], eq_from_com[1:])
+        ],
+    )
+
+    mjd, ra, dec, sra, sdec, helio = obs_arrays
+    obs_mjd = mjd[lane_traj][:, None, :]  # (L, 1, N)
+    obs_ra = ra[lane_traj][:, None, :]
+    obs_dec = dec[lane_traj][:, None, :]
+    obs_sra = sra[lane_traj][:, None, :]
+    obs_sdec = sdec[lane_traj][:, None, :]
+    obs_helio = helio[lane_traj][:, None, :, :]
+    wmask = window_mask[:, None, :]
+
+    rms = rms_orbit_error(
+        eq, obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio, wmask
+    )  # (L, 8)
+
+    best_cand, best_rms = _lane_select(rms, cands.valid, cands.corrected)
+
+    take = lambda x: jnp.take_along_axis(
+        x, best_cand.reshape(best_cand.shape + (1,) * (x.ndim - 1)), axis=1
+    )[:, 0]
+    return (
+        best_rms,
+        take(kind),
+        take(el),
+        take(eq.vector),
+        take(cands.epoch),
+        take(cands.corrected),
+    )
+
+
+_iod_kernel_jit = jax.jit(_iod_kernel, static_argnames=("params",))
+
+
+def fit_full_iod(
+    dataset,
+    ephem,
+    params: IODParams = IODParams(),
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    cache: Optional[ObserverCache] = None,
+) -> Dict[str, FitResult]:
+    """Batch IOD over every trajectory of the dataset.
+
+    Parity: ``fit_full_iod`` (obs_dataset_api.rs:145-172); the rayon
+    parallel variant is subsumed — all trajectories run as one device batch,
+    and per-trajectory deterministic seeding keeps results schedule-
+    independent (the reference's bitwise sequential==parallel contract).
+    """
+    params = params.validated()
+    if error_model is not None:
+        dataset.apply_error_model(error_model)
+        dataset.apply_batch_rms_correction(params.gap_max)
+    if np.isnan(dataset.ra_error).any():
+        dataset.apply_error_model(ErrorModel.fcct14())
+        dataset.apply_batch_rms_correction(params.gap_max)
+    if cache is None:
+        cache = ObserverCache.build(dataset, ephem, ut1)
+
+    helio = np.asarray(cache.helio_pos_equ)
+
+    results: Dict[str, FitResult] = {}
+    lane_ra, lane_dec, lane_t, lane_pos = [], [], [], []
+    lane_sra, lane_sdec = [], []
+    lane_traj = []
+    windows = []
+    traj_rows = []  # (tid, obs_indices)
+
+    n_real = params.n_noise_realizations + 1
+    base_key = jax.random.PRNGKey(seed)
+
+    kept_tids = []
+    for tid in dataset.iter_traj_id():
+        idx = dataset.trajectory_obs_indices(tid)
+        epochs = dataset.mjd_tt[idx]
+        trips = generate_triplet_indices(
+            epochs,
+            params.dt_min,
+            params.dt_max_triplet,
+            params.optimal_interval_time,
+            params.max_obs_for_triplets,
+            params.max_triplets,
+        )
+        if not trips:
+            span = float(epochs[-1] - epochs[0]) if len(epochs) else 0.0
+            results[tid] = FitResult(
+                tid,
+                ok=False,
+                error=f"NoFeasibleTriplets(span={span:.3f}, n_obs={len(idx)}, "
+                f"dt_min={params.dt_min}, dt_max={params.dt_max_triplet})",
+            )
+            continue
+
+        t_row = len(traj_rows)
+        traj_rows.append((tid, idx))
+        kept_tids.append(tid)
+
+        key = jax.random.fold_in(base_key, stable_hash(tid))
+        z = np.array(jax.random.normal(key, (len(trips), n_real, 3, 2)))
+        z[:, 0, :, :] = 0.0  # realization 0 = exact triplet
+
+        for k_t, (i1, i2, i3) in enumerate(trips):
+            g_idx = idx[[i1, i2, i3]]
+            w0, w1 = select_rms_interval(epochs, i1, i3, params.extf, params.dtmax)
+            for r in range(n_real):
+                lane_ra.append(
+                    dataset.ra[g_idx]
+                    + z[k_t, r, :, 0] * dataset.ra_error[g_idx] * params.noise_scale
+                )
+                lane_dec.append(
+                    dataset.dec[g_idx]
+                    + z[k_t, r, :, 1] * dataset.dec_error[g_idx] * params.noise_scale
+                )
+                lane_t.append(dataset.mjd_tt[g_idx])
+                lane_pos.append(helio[g_idx])
+                lane_traj.append(t_row)
+                windows.append((w0, w1))
+
+    if not traj_rows:
+        return results
+
+    n_max = max(len(idx) for _, idx in traj_rows)
+    T = len(traj_rows)
+    obs_mjd = np.zeros((T, n_max))
+    obs_ra = np.zeros((T, n_max))
+    obs_dec = np.zeros((T, n_max))
+    obs_sra = np.ones((T, n_max))
+    obs_sdec = np.ones((T, n_max))
+    obs_helio = np.zeros((T, n_max, 3))
+    obs_valid = np.zeros((T, n_max), dtype=bool)
+    for t_row, (_, idx) in enumerate(traj_rows):
+        n = len(idx)
+        obs_mjd[t_row, :n] = dataset.mjd_tt[idx]
+        obs_ra[t_row, :n] = dataset.ra[idx]
+        obs_dec[t_row, :n] = dataset.dec[idx]
+        obs_sra[t_row, :n] = dataset.ra_error[idx]
+        obs_sdec[t_row, :n] = dataset.dec_error[idx]
+        obs_helio[t_row, :n] = helio[idx]
+        obs_valid[t_row, :n] = True
+
+    L = len(lane_ra)
+    window_mask = np.zeros((L, n_max), dtype=bool)
+    for li, (w0, w1) in enumerate(windows):
+        window_mask[li, w0 : w1 + 1] = True
+
+    tri = GaussTriplets(
+        jnp.asarray(np.stack(lane_ra)),
+        jnp.asarray(np.stack(lane_dec)),
+        jnp.asarray(np.stack(lane_t)),
+        jnp.asarray(np.stack(lane_pos)),
+    )
+    obs_arrays = tuple(
+        jnp.asarray(x) for x in (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
+    )
+    lane_traj_arr = jnp.asarray(np.array(lane_traj))
+    wmask = jnp.asarray(window_mask)
+
+    best_rms, kind, el, eqv, epoch, corrected = _iod_kernel_jit(
+        tri, obs_arrays, lane_traj_arr, wmask, params
+    )
+
+    best_rms = np.asarray(best_rms)
+    kind = np.asarray(kind)
+    el = np.asarray(el)
+    eqv = np.asarray(eqv)
+    epoch = np.asarray(epoch)
+    corrected = np.asarray(corrected)
+    lane_traj_np = np.array(lane_traj)
+
+    for t_row, tid in enumerate(kept_tids):
+        lanes = np.nonzero(lane_traj_np == t_row)[0]
+        rms_l = best_rms[lanes]
+        if not np.isfinite(rms_l).any():
+            results[tid] = FitResult(
+                tid, ok=False,
+                error=f"NoViableOrbit(attempts={len(lanes)})",
+            )
+            continue
+        li = lanes[int(np.argmin(rms_l))]
+        results[tid] = FitResult(
+            tid,
+            ok=True,
+            rms=float(best_rms[li]),
+            corrected=bool(corrected[li]),
+            epoch=float(epoch[li]),
+            kind=int(kind[li]),
+            elements=el[li],
+            equinoctial=eqv[li],
+        )
+    return results

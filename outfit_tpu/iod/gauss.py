@@ -1,0 +1,292 @@
+"""Batched Gauss IOD core kernel.
+
+Behavioral parity with ``src/initial_orbit_determination/gauss.rs``:
+
+* ``gauss_prelim`` (:532-549): scaled time intervals, LOS unit matrix + inverse,
+* ``coeff_eight_poly`` (:585-614): sparse degree-8 coefficients (c0, c3, c6),
+* Descartes prefilter (:214-240, :1130-1135) as a lane mask,
+* root solving via batched Aberth (roots.py), filters Re>0, |Im|<eps,
+  r2 plausibility window (:1148-1150),
+* ``position_vector_and_reference_epoch`` (:702-724) incl. light-time
+  correction and the min-rho2 spurious-root rejection,
+* ``gibbs_correction`` (:754-781),
+* ``accept_root`` (:816-870) with eccentricity control,
+* ``pos_and_vel_correction`` (:1284-1418): fixed-trip masked version of the
+  two-sided Lagrange f-g refinement with chi warm-starts, averaged
+  velocities, C-vector rebuild, dynamic acceptability, Frobenius
+  convergence; iteration-level failures skip the commit (the reference's
+  ``continue``), hard rejects clear the corrected flag.
+
+Candidate axis: all 8 polynomial roots are carried with validity masks
+instead of the reference's first-3-in-discovery-order early exit
+(``max_tested_solutions``); selection happens at scoring time
+(corrected-preferred, then min RMS), which subsumes the reference's policy.
+
+Lane layout: every array has a leading lane axis L = (triplet x realization);
+positions are row-major: ``pos[..., j, :]`` = vector at epoch j.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from outfit_tpu.constants import GAUSS_GRAV, ROT_EQUMJ2000_TO_ECLMJ2000, VLIGHT_AU
+from outfit_tpu.elements.orb_elem import ccek1, eccentricity_control
+from outfit_tpu.iod.params import IODParams
+from outfit_tpu.iod.roots import aberth_deg8, descartes_upper_bound
+from outfit_tpu.kepler.universal import velocity_correction
+
+_EPS = float(jnp.finfo(jnp.float64).eps)
+
+
+class GaussTriplets(NamedTuple):
+    """Batched observation triplets (lane axis L).
+
+    Parity: ``GaussObs`` (gauss.rs:150-157); obs_pos[l, j, :] is the observer
+    heliocentric position at epoch j, equatorial J2000, AU.
+    """
+
+    ra: jnp.ndarray  # (L, 3) radians
+    dec: jnp.ndarray  # (L, 3)
+    time: jnp.ndarray  # (L, 3) MJD TT
+    obs_pos: jnp.ndarray  # (L, 3, 3)
+
+
+class GaussCandidates(NamedTuple):
+    """Per-(lane, root) candidate states after accept + correction."""
+
+    pos: jnp.ndarray  # (L, 8, 3, 3) positions at the three epochs (equ J2000)
+    vel: jnp.ndarray  # (L, 8, 3) velocity at central epoch
+    epoch: jnp.ndarray  # (L, 8) light-time-corrected reference epoch
+    valid: jnp.ndarray  # (L, 8) accept_root passed
+    corrected: jnp.ndarray  # (L, 8) f-g correction committed and survived
+
+
+def unit_vectors(ra, dec):
+    cd = jnp.cos(dec)
+    return jnp.stack([cd * jnp.cos(ra), cd * jnp.sin(ra), jnp.sin(dec)], axis=-1)
+
+
+def _inv3(m):
+    """Closed-form batched 3x3 inverse (adjugate / det); returns (inv, det)."""
+    a = m
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    det_safe = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    return adj / det_safe[..., None, None], det
+
+
+def gauss_prelim(tri: GaussTriplets):
+    """tau1/tau3, LOS matrix S (columns = unit vectors), S^-1, a, b vectors."""
+    t = tri.time
+    tau1 = GAUSS_GRAV * (t[..., 0] - t[..., 1])
+    tau3 = GAUSS_GRAV * (t[..., 2] - t[..., 1])
+    tau13 = tau3 - tau1
+    a = jnp.stack(
+        [tau3 / tau13, -jnp.ones_like(tau1), -(tau1 / tau13)], axis=-1
+    )
+    b = jnp.stack(
+        [
+            a[..., 0] * (tau13**2 - tau3**2) / 6.0,
+            jnp.zeros_like(tau1),
+            a[..., 2] * (tau13**2 - tau1**2) / 6.0,
+        ],
+        axis=-1,
+    )
+    u = unit_vectors(tri.ra, tri.dec)  # (L, 3epoch, 3coord)
+    s_mat = jnp.swapaxes(u, -1, -2)  # columns are unit vectors
+    s_inv, det = _inv3(s_mat)
+    nonsingular = jnp.abs(det) > 1e2 * _EPS
+    return tau1, tau3, s_mat, s_inv, a, b, u, nonsingular
+
+
+def coeff_eight_poly(tri: GaussTriplets, s_mat, s_inv, a, b):
+    """Sparse coefficients (c0, c3, c6).  Parity: gauss.rs:585-614."""
+    ra_vec = jnp.einsum("...j,...jc->...c", a, tri.obs_pos)
+    rb_vec = jnp.einsum("...j,...jc->...c", b, tri.obs_pos)
+    row1 = s_inv[..., 1, :]  # second row of S^-1
+    a2star = jnp.einsum("...c,...c->...", row1, ra_vec)
+    b2star = jnp.einsum("...c,...c->...", row1, rb_vec)
+    p2 = tri.obs_pos[..., 1, :]
+    r22 = jnp.sum(p2 * p2, axis=-1)
+    s2 = s_mat[..., :, 1]
+    s2r2 = jnp.sum(s2 * p2, axis=-1)
+    c6 = -(a2star**2) - r22 - 2.0 * a2star * s2r2
+    c3 = -2.0 * b2star * (a2star + s2r2)
+    c0 = -(b2star**2)
+    return c0, c3, c6
+
+
+def _positions_from_cvec(tri, s_inv, u, c_vec, min_rho2):
+    """rho solve + light-time epoch.  Parity: gauss.rs:702-724.
+
+    c_vec: (..., 3).  Returns (pos (..., 3, 3), epoch, rho2_ok).
+    """
+    gcap = jnp.einsum("...j,...jc->...c", c_vec, tri.obs_pos)
+    crhom = jnp.einsum("...ij,...j->...i", s_inv, gcap)
+    rho = -crhom / c_vec
+    rho2_ok = rho[..., 1] >= min_rho2
+    pos = tri.obs_pos + rho[..., None] * u
+    epoch = tri.time[..., 1] - rho[..., 1] / VLIGHT_AU
+    return pos, epoch, rho2_ok
+
+
+def gibbs_velocity(pos, tau1, tau3):
+    """Gibbs velocity at the central epoch.  Parity: gauss.rs:754-781."""
+    tau13 = tau3 - tau1
+    r = jnp.linalg.norm(pos, axis=-1)  # (..., 3)
+    rm3 = 1.0 / r**3
+    d1 = tau3 * (rm3[..., 0] / 12.0 - 1.0 / (tau1 * tau13))
+    d2 = (tau1 + tau3) * (rm3[..., 1] / 12.0 - 1.0 / (tau1 * tau3))
+    d3 = -tau1 * (rm3[..., 2] / 12.0 + 1.0 / (tau3 * tau13))
+    d = jnp.stack([-d1, d2, d3], axis=-1)
+    return GAUSS_GRAV * jnp.einsum("...j,...jc->...c", d, pos)
+
+
+def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
+    """Roots -> accepted prelim states -> f-g corrected states, all masked."""
+    tau1, tau3, s_mat, s_inv, a, b, u, nonsing = gauss_prelim(tri)
+    c0, c3, c6 = coeff_eight_poly(tri, s_mat, s_inv, a, b)
+
+    descartes_ok = descartes_upper_bound(c0, c3, c6) > 0
+
+    roots = aberth_deg8(c0, c3, c6, params.aberth_max_iter, params.aberth_eps)
+    r2 = roots.real  # (L, 8)
+    root_ok = (
+        (jnp.abs(roots.imag) < params.root_imag_eps)
+        & (r2 > 0.0)
+        & (r2 >= params.r2_min_au)
+        & (r2 <= params.r2_max_au)
+        & descartes_ok[..., None]
+        & nonsing[..., None]
+    )
+    r2_safe = jnp.where(root_ok, r2, 1.0)
+
+    # --- accept_root (prelim state per root) --------------------------------
+    r2m3 = 1.0 / r2_safe**3
+    c_vec = jnp.stack(
+        [
+            a[..., None, 0] + b[..., None, 0] * r2m3,
+            -jnp.ones_like(r2m3),
+            a[..., None, 2] + b[..., None, 2] * r2m3,
+        ],
+        axis=-1,
+    )  # (L, 8, 3)
+
+    tri8 = GaussTriplets(
+        tri.ra[..., None, :],
+        tri.dec[..., None, :],
+        tri.time[..., None, :],
+        tri.obs_pos[..., None, :, :],
+    )
+    pos, epoch, rho2_ok = _positions_from_cvec(
+        tri8, s_inv[..., None, :, :], u[..., None, :, :], c_vec, params.min_rho2_au
+    )
+    t1_, t3_ = tau1[..., None], tau3[..., None]
+    vel = gibbs_velocity(pos, t1_, t3_)
+    acc, _, _, _ = eccentricity_control(
+        pos[..., 1, :], vel, params.max_perihelion_au, params.max_ecc
+    )
+    valid = root_ok & rho2_ok & acc
+
+    # --- pos_and_vel_correction (fixed-trip masked) -------------------------
+    dt01 = (tri.time[..., 0] - tri.time[..., 1])[..., None]
+    dt21 = (tri.time[..., 2] - tri.time[..., 1])[..., None]
+    dt_ok = (jnp.abs(dt01) > _EPS) & (jnp.abs(dt21) > _EPS)
+
+    def body(_, st):
+        cpos, cvel, cepoch, chi1, chi2, alive, committed, done = st
+        x1 = cpos[..., 0, :]
+        x2 = cpos[..., 1, :]
+        x3 = cpos[..., 2, :]
+        left = velocity_correction(
+            x1, x2, cvel, dt01, params.max_perihelion_au, params.max_ecc,
+            chi_guess=chi1, eps=params.kepler_eps,
+        )
+        right = velocity_correction(
+            x3, x2, cvel, dt21, params.max_perihelion_au, params.max_ecc,
+            chi_guess=chi2, eps=params.kepler_eps,
+        )
+        iter_ok = (left.status == 0) & (right.status == 0)
+        chi1n = jnp.where(iter_ok, left.psi, chi1)
+        chi2n = jnp.where(iter_ok, right.psi, chi2)
+
+        new_vel = 0.5 * (left.v2_corrected + right.v2_corrected)
+        fl = left.f * right.g - right.f * left.g
+        fl_ok = jnp.isfinite(fl) & (jnp.abs(fl) > _EPS)
+        inv_f = 1.0 / jnp.where(fl_ok, fl, 1.0)
+        cv = jnp.stack(
+            [right.g * inv_f, -jnp.ones_like(inv_f), -left.g * inv_f], axis=-1
+        )
+        new_pos, new_epoch, rho_ok = _positions_from_cvec(
+            tri8, s_inv[..., None, :, :], u[..., None, :, :], cv,
+            params.min_rho2_au,
+        )
+        acc_i, _, _, _ = eccentricity_control(
+            new_pos[..., 1, :], new_vel, params.max_perihelion_au, params.max_ecc
+        )
+        # hard reject: dynamically unacceptable -> candidate loses correction
+        hard_reject = iter_ok & fl_ok & rho_ok & ~acc_i
+        commit = iter_ok & fl_ok & rho_ok & acc_i & alive & ~done
+
+        denom = jnp.sqrt(jnp.sum(new_pos**2, axis=(-1, -2)))
+        rel_err = jnp.sqrt(
+            jnp.sum((new_pos - cpos) ** 2, axis=(-1, -2))
+        ) / jnp.where(denom > _EPS, denom, 1.0)
+
+        cpos = jnp.where(commit[..., None, None], new_pos, cpos)
+        cvel = jnp.where(commit[..., None], new_vel, cvel)
+        cepoch = jnp.where(commit, new_epoch, cepoch)
+        alive = alive & ~hard_reject
+        committed = committed | commit
+        done = done | (commit & (rel_err <= params.newton_eps))
+        return (cpos, cvel, cepoch, chi1n, chi2n, alive, committed, done)
+
+    init = (
+        pos,
+        vel,
+        epoch,
+        jnp.zeros_like(epoch),
+        jnp.zeros_like(epoch),
+        valid & dt_ok,
+        jnp.zeros_like(valid),
+        jnp.zeros_like(valid),
+    )
+    cpos, cvel, cepoch, _, _, alive, committed, _ = jax.lax.fori_loop(
+        0, params.newton_max_it, body, init
+    )
+
+    corrected = valid & alive & committed
+    out_pos = jnp.where(corrected[..., None, None], cpos, pos)
+    out_vel = jnp.where(corrected[..., None], cvel, vel)
+    out_epoch = jnp.where(corrected, cepoch, epoch)
+    return GaussCandidates(out_pos, out_vel, out_epoch, valid, corrected)
+
+
+def candidates_to_elements(cands: GaussCandidates):
+    """Central state -> ecliptic frame -> orbital elements per candidate.
+
+    Parity: ``compute_orbit_from_state`` (gauss.rs:906-923) + ccek1.
+    Returns (kind (L,8), elements (L,8,6)).
+    """
+    rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000)
+    p_ecl = jnp.einsum("ij,...j->...i", rot, cands.pos[..., 1, :])
+    v_ecl = jnp.einsum("ij,...j->...i", rot, cands.vel)
+    return ccek1(p_ecl, v_ecl)

@@ -1,0 +1,52 @@
+"""IOD configuration.
+
+Parity: ``IODParams`` (``src/initial_orbit_determination/mod.rs:224-343``)
+with identical defaults.  Frozen dataclass -> hashable -> jit-static.
+"""
+
+from dataclasses import dataclass
+
+_EPS = 2.220446049250313e-16
+
+
+@dataclass(frozen=True)
+class IODParams:
+    # --- triplet generation / Monte Carlo ---
+    n_noise_realizations: int = 20
+    noise_scale: float = 1.0
+    extf: float = -1.0
+    dtmax: float = 30.0
+    dt_min: float = 0.03
+    dt_max_triplet: float = 150.0
+    optimal_interval_time: float = 20.0
+    max_obs_for_triplets: int = 100
+    max_triplets: int = 10
+    gap_max: float = 8.0 / 24.0
+
+    # --- physical plausibility / filtering ---
+    max_ecc: float = 5.0
+    max_perihelion_au: float = 1.0e3
+    min_rho2_au: float = 0.01
+
+    # --- Gauss polynomial / solver controls ---
+    aberth_max_iter: int = 50
+    aberth_eps: float = 1.0e-6
+    kepler_eps: float = 1e3 * _EPS
+    max_tested_solutions: int = 3
+    r2_min_au: float = 0.05
+    r2_max_au: float = 200.0
+
+    # --- numerical tolerances / iterations ---
+    newton_eps: float = 1.0e-10
+    newton_max_it: int = 50
+    root_imag_eps: float = 1.0e-6
+
+    def validated(self) -> "IODParams":
+        """Parity: IODParamsBuilder::build() validation (:544-624)."""
+        if self.dt_min <= 0 or self.dt_max_triplet <= self.dt_min:
+            raise ValueError("require 0 < dt_min < dt_max_triplet")
+        if self.noise_scale < 0 or self.max_triplets < 1:
+            raise ValueError("noise_scale >= 0 and max_triplets >= 1 required")
+        if self.r2_min_au <= 0 or self.r2_max_au <= self.r2_min_au:
+            raise ValueError("require 0 < r2_min_au < r2_max_au")
+        return self
