@@ -1,0 +1,11 @@
+"""Differential orbit correction (weighted least squares), batched.
+
+Rebuilds ``src/differential_orbit_correction/`` (3.1k LoC): per-observation
+partials, normal-equation solves, projection-based chi-squared outlier
+rejection, the nested Newton / rejection loops, and the ``fit_lsq`` API —
+as trajectory-batched masked kernels (one device batch fits every
+trajectory of a dataset simultaneously).
+"""
+
+from outfit_tpu.lsq.config import DifferentialCorrectionConfig, OutlierRejectionConfig  # noqa: F401
+from outfit_tpu.lsq.api import fit_lsq, LsqResult  # noqa: F401

@@ -1,0 +1,194 @@
+"""fit_lsq: IOD-seeded differential correction over a whole dataset.
+
+Behavioral parity with ``FitLSQ::fit_lsq``
+(``src/differential_orbit_correction/obs_dataset_api.rs:129-224``) and the
+``differential_correction`` driver (``diff_cor mod.rs:60-115``):
+
+* seed orbits from a supplied IOD result map or by running fit_full_iod,
+* convert seeds to equinoctial, run the batched correction loops,
+* fall back to the IOD orbit when the correction fails (status != OK),
+* return elements + full 6x6 covariance + 1-sigma uncertainties +
+  normalised RMS per trajectory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outfit_tpu.elements.types import EquinoctialElements, equinoctial_to_keplerian
+from outfit_tpu.elements.uncertainty import uncertainties_from_covariance
+from outfit_tpu.iod.api import FitResult, fit_full_iod
+from outfit_tpu.iod.params import IODParams
+from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+from outfit_tpu.lsq.iteration import SEL_ACTIVE, SEL_FORCED_OUT, ObsArrays
+from outfit_tpu.lsq.loop import (
+    STATUS_OK,
+    run_differential_correction,
+)
+from outfit_tpu.observations.error_model import ErrorModel
+from outfit_tpu.observer.cache import ObserverCache
+from outfit_tpu.time.scales import Ut1Provider
+
+_STATUS_NAMES = {
+    1: None,
+    2: "BizarreOrbit",
+    3: "DifferentialCorrectionDiverged",
+    4: "DifferentialCorrectionFailed(inversion)",
+}
+
+
+@dataclass
+class LsqResult:
+    """Per-trajectory LSQ outcome.
+
+    Parity: ``DifferentialCorrectionOutput`` (diff_cor.rs:202-243) +
+    the IOD-fallback semantics of the driver (mod.rs:113).
+    """
+
+    traj_id: str
+    ok: bool
+    error: Optional[str] = None
+    fell_back_to_iod: bool = False
+    normalised_rms: float = float("inf")
+    epoch: float = 0.0
+    equinoctial: Optional[np.ndarray] = None  # (6,) ecliptic J2000
+    covariance: Optional[np.ndarray] = None  # (6, 6)
+    uncertainties: Optional[np.ndarray] = None  # (6,) 1-sigma
+    n_active_obs: int = 0
+    total_newton_iterations: int = 0
+    iod: Optional[FitResult] = None
+
+    @property
+    def keplerian(self):
+        if self.equinoctial is None:
+            return None
+        return equinoctial_to_keplerian(
+            EquinoctialElements(self.epoch, *map(jnp.float64, self.equinoctial))
+        )
+
+
+_run_jit = jax.jit(run_differential_correction, static_argnames=("cfg",))
+
+
+def fit_lsq(
+    dataset,
+    ephem,
+    iod_params: IODParams = IODParams(),
+    config: DifferentialCorrectionConfig = DifferentialCorrectionConfig(),
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    initial_orbits: Optional[Dict[str, FitResult]] = None,
+) -> Dict[str, LsqResult]:
+    """IOD + differential correction for every trajectory of the dataset."""
+    if error_model is not None:
+        dataset.apply_error_model(error_model)
+        dataset.apply_batch_rms_correction(iod_params.gap_max)
+    if np.isnan(dataset.ra_error).any():
+        dataset.apply_error_model(ErrorModel.fcct14())
+        dataset.apply_batch_rms_correction(iod_params.gap_max)
+    cache = ObserverCache.build(dataset, ephem, ut1)
+
+    if initial_orbits is None:
+        initial_orbits = fit_full_iod(
+            dataset, ephem, iod_params, seed=seed, ut1=ut1, cache=cache
+        )
+
+    results: Dict[str, LsqResult] = {}
+    rows = []
+    for tid in dataset.iter_traj_id():
+        iod = initial_orbits.get(tid)
+        if iod is None or not iod.ok or iod.equinoctial is None:
+            err = iod.error if iod is not None else "no IOD seed"
+            results[tid] = LsqResult(tid, ok=False, error=f"IOD failed: {err}", iod=iod)
+            continue
+        if not np.isfinite(iod.equinoctial).all():
+            results[tid] = LsqResult(
+                tid, ok=False, error="IOD seed not finite", iod=iod
+            )
+            continue
+        rows.append((tid, iod))
+
+    if not rows:
+        return results
+
+    helio = np.asarray(cache.helio_pos_equ)
+    n_max = max(len(dataset.trajectory_obs_indices(tid)) for tid, _ in rows)
+    T = len(rows)
+    arr = {
+        k: np.zeros((T, n_max))
+        for k in ("mjd", "ra", "dec", "sra", "sdec")
+    }
+    hp = np.zeros((T, n_max, 3))
+    valid = np.zeros((T, n_max), dtype=bool)
+    el0 = np.zeros((T, 6))
+    ep0 = np.zeros(T)
+    for t, (tid, iod) in enumerate(rows):
+        idx = dataset.trajectory_obs_indices(tid)
+        n = len(idx)
+        arr["mjd"][t, :n] = dataset.mjd_tt[idx]
+        arr["ra"][t, :n] = dataset.ra[idx]
+        arr["dec"][t, :n] = dataset.dec[idx]
+        arr["sra"][t, :n] = dataset.ra_error[idx]
+        arr["sdec"][t, :n] = dataset.dec_error[idx]
+        arr["sra"][t, n:] = 1.0
+        arr["sdec"][t, n:] = 1.0
+        hp[t, :n] = helio[idx]
+        valid[t, :n] = True
+        el0[t] = iod.equinoctial
+        ep0[t] = iod.epoch
+
+    obs = ObsArrays(
+        jnp.asarray(arr["mjd"]),
+        jnp.asarray(arr["ra"]),
+        jnp.asarray(arr["dec"]),
+        jnp.asarray(arr["sra"]),
+        jnp.asarray(arr["sdec"]),
+        jnp.asarray(hp),
+        jnp.asarray(valid),
+    )
+
+    out = _run_jit(jnp.asarray(el0), jnp.asarray(ep0), obs, config)
+
+    status = np.asarray(out.status)
+    elements = np.asarray(out.elements)
+    rms = np.asarray(out.normalised_rms)
+    cov = np.asarray(out.covariance)
+    sel = np.asarray(out.selection)
+    m = np.asarray(out.num_measurements)
+    its = np.asarray(out.total_newton_iterations)
+    sigmas = np.asarray(uncertainties_from_covariance(out.covariance))
+
+    for t, (tid, iod) in enumerate(rows):
+        if status[t] == STATUS_OK and np.isfinite(elements[t]).all():
+            results[tid] = LsqResult(
+                tid,
+                ok=True,
+                normalised_rms=float(rms[t]),
+                epoch=float(ep0[t]),
+                equinoctial=elements[t],
+                covariance=cov[t],
+                uncertainties=sigmas[t],
+                n_active_obs=int(np.sum(sel[t][valid[t]] == SEL_ACTIVE)),
+                total_newton_iterations=int(its[t]),
+                iod=iod,
+            )
+        else:
+            # fall back to the IOD orbit (diff_cor mod.rs:113)
+            results[tid] = LsqResult(
+                tid,
+                ok=True,
+                error=_STATUS_NAMES.get(int(status[t]), f"status={status[t]}"),
+                fell_back_to_iod=True,
+                normalised_rms=float(iod.rms),
+                epoch=float(iod.epoch),
+                equinoctial=np.array(iod.equinoctial),
+                n_active_obs=int(valid[t].sum()),
+                iod=iod,
+            )
+    return results

@@ -1,0 +1,193 @@
+"""One Newton step of differential correction, batched over trajectories.
+
+Behavioral parity:
+
+* observation partials ``compute_obs_and_partials_2body``
+  (``observation_ephemeris.rs:418-450``): two-body propagation with analytic
+  6x3 element Jacobians, chain rule through the ecliptic->equatorial rotation
+  and the position-dependence of the aberration correction (the reference
+  ignores d(vel)/d(elem) inside the aberration term; reproduced),
+* residuals with RA wrapping and debiasing (``single_iteration.rs:196-207``),
+* ``solve_weighted_least_squares`` (``least_square.rs:225-310``): GtWG normal
+  matrix, free-element row/col masking with unit diagonal, Cholesky-or-
+  fallback inversion, normalised RMS, correction norm |dx|_C
+  (``single_iteration.rs:257-260``).
+
+Shapes: trajectories T, padded observations N.  Selection codes:
+0 = Active, 1 = Rejected, 2 = ForcedOut, 3 = padding.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from outfit_tpu.constants import DPI, ROT_ECLMJ2000_TO_EQUMJ2000, VLIGHT_AU
+from outfit_tpu.elements.twobody import propagate_twobody
+from outfit_tpu.elements.types import EquinoctialElements
+
+SEL_ACTIVE = 0
+SEL_REJECTED = 1
+SEL_FORCED_OUT = 2
+SEL_PAD = 3
+
+_EPS = float(jnp.finfo(jnp.float64).eps)
+
+
+class ObsArrays(NamedTuple):
+    """Padded per-trajectory observation data (T, N)."""
+
+    mjd: jnp.ndarray
+    ra: jnp.ndarray
+    dec: jnp.ndarray
+    sigma_ra: jnp.ndarray
+    sigma_dec: jnp.ndarray
+    helio_pos: jnp.ndarray  # (T, N, 3) observer heliocentric, equatorial J2000
+    valid: jnp.ndarray  # (T, N) bool: real observation (not padding)
+
+
+class IterationResult(NamedTuple):
+    corrected: jnp.ndarray  # (T, 6) corrected element vector
+    correction_norm: jnp.ndarray  # (T,)
+    normalised_rms: jnp.ndarray  # (T,)
+    normal_matrix: jnp.ndarray  # (T, 6, 6)
+    covariance: jnp.ndarray  # (T, 6, 6)
+    inversion_ok: jnp.ndarray  # (T,)
+    num_measurements: jnp.ndarray  # (T,) int
+    residual_ra: jnp.ndarray  # (T, N)
+    residual_dec: jnp.ndarray  # (T, N)
+    d_ra: jnp.ndarray  # (T, N, 6)
+    d_dec: jnp.ndarray  # (T, N, 6)
+    obs_active: jnp.ndarray  # (T, N) bool — actually used this iteration
+
+
+def observation_partials(elements_vec, epoch, obs: ObsArrays):
+    """Predicted (RA, Dec) + d/d(elem) for every (trajectory, observation).
+
+    ``elements_vec`` (T, 6) equinoctial in ecliptic J2000; ``epoch`` (T,).
+    Returns (ra, dec, d_ra (T,N,6), d_dec (T,N,6), prop_ok (T,N)).
+    """
+    eq = EquinoctialElements(
+        epoch[:, None],
+        elements_vec[:, None, 0],
+        elements_vec[:, None, 1],
+        elements_vec[:, None, 2],
+        elements_vec[:, None, 3],
+        elements_vec[:, None, 4],
+        elements_vec[:, None, 5],
+    )
+    st = propagate_twobody(eq, epoch[:, None], obs.mjd, compute_derivatives=True)
+
+    rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
+    pos = jnp.einsum("ij,...j->...i", rot, st.position)  # (T, N, 3) equ
+    vel = jnp.einsum("ij,...j->...i", rot, st.velocity)
+    dpos = jnp.einsum("ij,...ej->...ei", rot, st.dpos_delem)  # (T, N, 6, 3)
+
+    rel = pos - obs.helio_pos
+    rel_norm = jnp.linalg.norm(rel, axis=-1)
+    cor = rel - (rel_norm[..., None] / VLIGHT_AU) * vel
+    x, y, z = cor[..., 0], cor[..., 1], cor[..., 2]
+    rho_xy2 = x * x + y * y
+    rho_xy = jnp.sqrt(rho_xy2)
+    rho2 = rho_xy2 + z * z
+    ra = jnp.arctan2(y, x) % DPI
+    dec = jnp.arctan2(z, rho_xy)
+
+    grad_ra = jnp.stack(
+        [-y / rho_xy2, x / rho_xy2, jnp.zeros_like(x)], axis=-1
+    )
+    grad_dec = jnp.stack(
+        [-z * x / (rho_xy * rho2), -z * y / (rho_xy * rho2), rho_xy / rho2],
+        axis=-1,
+    )
+    ab = 1.0 / (rel_norm * VLIGHT_AU)
+    d_ra_d_pos = grad_ra - (jnp.sum(grad_ra * vel, axis=-1) * ab)[..., None] * rel
+    d_dec_d_pos = grad_dec - (jnp.sum(grad_dec * vel, axis=-1) * ab)[..., None] * rel
+
+    d_ra = jnp.einsum("...ec,...c->...e", dpos, d_ra_d_pos)  # (T, N, 6)
+    d_dec = jnp.einsum("...ec,...c->...e", dpos, d_dec_d_pos)
+
+    prop_ok = st.converged & jnp.isfinite(ra) & jnp.isfinite(dec)
+    return ra, dec, d_ra, d_dec, prop_ok
+
+
+def _angular_diff(obs, calc):
+    """(obs - calc) wrapped to (-pi, pi].  Parity: least_square.rs:188-199."""
+    d = (obs - calc) % DPI
+    return jnp.where(d > jnp.pi, d - DPI, d)
+
+
+def single_iteration(
+    elements_vec,
+    epoch,
+    selection,
+    obs: ObsArrays,
+    free_elements,
+) -> IterationResult:
+    """One batched Newton step.  Parity: ``single_iteration`` (:140-300)."""
+    ra_c, dec_c, d_ra, d_dec, prop_ok = observation_partials(
+        elements_vec, epoch, obs
+    )
+
+    active = (selection == SEL_ACTIVE) & obs.valid & prop_ok
+    usable = obs.valid & prop_ok  # residuals/partials kept for rejected
+    # observations too so the outlier step evaluates chi^2 against the
+    # CURRENT orbit (the reference keeps stale rejection-time residuals for
+    # rejected points, single_iteration.rs:73-85 — current-orbit residuals
+    # make recovery behave as intended and are strictly more accurate)
+
+    res_ra = jnp.where(usable, _angular_diff(obs.ra, ra_c), 0.0)
+    res_dec = jnp.where(usable, obs.dec - dec_c, 0.0)
+    g_ra = jnp.where(usable[..., None], d_ra, 0.0)
+    g_dec = jnp.where(usable[..., None], d_dec, 0.0)
+
+    # only ACTIVE observations contribute to the fit (weights masked)
+    w_ra = jnp.where(active, 1.0 / obs.sigma_ra**2, 0.0)
+    w_dec = jnp.where(active, 1.0 / obs.sigma_dec**2, 0.0)
+
+    normal = jnp.einsum("tnj,tn,tnk->tjk", g_ra, w_ra, g_ra) + jnp.einsum(
+        "tnj,tn,tnk->tjk", g_dec, w_dec, g_dec
+    )
+    rhs = jnp.einsum("tnj,tn,tn->tj", g_ra, w_ra, res_ra) + jnp.einsum(
+        "tnj,tn,tn->tj", g_dec, w_dec, res_dec
+    )
+    q = jnp.sum(w_ra * res_ra**2 + w_dec * res_dec**2, axis=-1)
+    m = (2 * jnp.sum(active, axis=-1)).astype(jnp.int32)
+
+    # free-element mask: zero fixed rows/cols, unit diagonal
+    free = jnp.asarray(free_elements, bool)
+    fmask = free[:, None] & free[None, :]
+    normal = jnp.where(fmask, normal, 0.0) + jnp.diag(jnp.where(free, 0.0, 1.0))
+    rhs = jnp.where(free, rhs, 0.0)
+
+    # inversion (Cholesky semantics: require positive-definiteness; the
+    # batched jnp.linalg.inv covers the reference's QR fallback numerics)
+    finite = jnp.isfinite(normal).all(axis=(-1, -2))
+    normal_safe = jnp.where(finite[:, None, None], normal, jnp.eye(6))
+    cov = jnp.linalg.inv(normal_safe)
+    inv_ok = finite & jnp.isfinite(cov).all(axis=(-1, -2)) & (m >= 1)
+
+    dx = jnp.einsum("tjk,tk->tj", cov, rhs)
+    dx = jnp.where(free, dx, 0.0)
+    dx = jnp.where(inv_ok[:, None], dx, 0.0)
+
+    corr_norm = jnp.sqrt(
+        jnp.maximum(jnp.einsum("tj,tjk,tk->t", dx, normal, dx), 0.0)
+    )
+    rms = jnp.sqrt(q / jnp.maximum(m, 1))
+    rms = jnp.where(m > 0, rms, 0.0)
+
+    corrected = elements_vec + dx
+    return IterationResult(
+        corrected,
+        corr_norm,
+        rms,
+        normal,
+        cov,
+        inv_ok,
+        m,
+        res_ra,
+        res_dec,
+        g_ra,
+        g_dec,
+        active,
+    )

@@ -41,6 +41,9 @@ class ObserverCache(NamedTuple):
         """Build from an ObsDataset + ephemeris.  Parity: OutfitCache::build."""
         if ut1 is None:
             ut1 = Ut1Provider()
+        if len(dataset.observers) == 0:  # empty dataset
+            z = jnp.zeros((0, 3))
+            return cls(jnp.zeros(0), z, z, z, z)
         # per-observer fixed vectors, gathered per observation
         fixed_pos = np.stack(
             [np.asarray(earth_fixed_position(o)) for o in dataset.observers]

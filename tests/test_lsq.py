@@ -1,0 +1,184 @@
+"""Differential correction: closure, outlier rejection, fallbacks, fixtures.
+
+The reference validates against DE440-based oracles at 1e-10
+(``tests/test_diff_cor.rs``); without network, correctness is carried by
+closure tests (exact recovery of synthesized orbits — a *stronger* check
+than regression pinning) plus structural parity tests.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from outfit_tpu.constants import RADSEC, ROT_ECLMJ2000_TO_EQUMJ2000
+from outfit_tpu.elements.twobody import propagate_twobody
+from outfit_tpu.elements.types import (
+    EquinoctialElements,
+    KeplerianElements,
+    keplerian_to_equinoctial,
+)
+from outfit_tpu.ephem import JPLEphem
+from outfit_tpu.iod import IODParams
+from outfit_tpu.iod.scoring import apparent_radec
+from outfit_tpu.lsq import DifferentialCorrectionConfig, fit_lsq
+from outfit_tpu.observations import ErrorModel, ObsDataset
+from outfit_tpu.observations.observatories import Observer
+
+DATA = "/root/reference/tests/data"
+_IOD = IODParams(n_noise_realizations=3)
+
+
+@pytest.fixture(scope="module")
+def eph():
+    return JPLEphem.analytic(53500.0, 61500.0)
+
+
+def _synth_dataset(eph, kep_true, epochs, sigma_arcsec=0.5, noise=None, tid="SYNTH", ds=None):
+    eq_true = keplerian_to_equinoctial(kep_true)
+    t0 = float(kep_true.reference_epoch)
+    st = propagate_twobody(
+        EquinoctialElements(*[jnp.broadcast_to(f, epochs.shape) for f in eq_true]),
+        t0, jnp.asarray(epochs), compute_derivatives=False,
+    )
+    rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
+    earth, _ = eph.earth_ephemeris(jnp.asarray(epochs))
+    ra, dec = apparent_radec(
+        jnp.einsum("ij,...j->...i", rot, st.position),
+        jnp.einsum("ij,...j->...i", rot, st.velocity),
+        earth,
+    )
+    ra = np.asarray(ra).copy()
+    dec = np.asarray(dec).copy()
+    if noise is not None:
+        rng = np.random.default_rng(noise)
+        ra += rng.normal(0, sigma_arcsec * RADSEC, ra.shape) / np.cos(dec)
+        dec += rng.normal(0, sigma_arcsec * RADSEC, dec.shape)
+    if ds is None:
+        ds = ObsDataset()
+    for i, t in enumerate(epochs):
+        ds.push_observation(
+            tid, float(t), float(ra[i]), float(dec[i]),
+            sigma_arcsec * RADSEC, sigma_arcsec * RADSEC, Observer.geocenter(),
+        )
+    return ds
+
+
+_KEP_TRUE = (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3)
+_EPOCHS = 57000.0 + np.array([0.0, 1.0, 2.0, 5.0, 8.0, 12.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0])
+
+
+class TestClosure:
+    def test_exact_recovery(self, eph):
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS)
+        res = fit_lsq(ds, eph, _IOD, seed=42)
+        r = res["SYNTH"]
+        assert r.ok and not r.fell_back_to_iod
+        assert r.normalised_rms < 1e-6
+        kep = r.keplerian
+        assert float(kep.semi_major_axis) == pytest.approx(2.3, abs=1e-9)
+        assert float(kep.eccentricity) == pytest.approx(0.15, abs=1e-9)
+        assert float(kep.inclination) == pytest.approx(0.12, abs=1e-9)
+        assert float(kep.ascending_node_longitude) == pytest.approx(1.1, abs=1e-8)
+        assert float(kep.periapsis_argument) == pytest.approx(0.7, abs=1e-8)
+        assert r.uncertainties is not None and (r.uncertainties > 0).all()
+
+    def test_noisy_recovery_within_uncertainty(self, eph):
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS, noise=11)
+        res = fit_lsq(ds, eph, _IOD, seed=42)
+        r = res["SYNTH"]
+        assert r.ok and not r.fell_back_to_iod
+        assert 0.3 < r.normalised_rms < 2.5  # ~chi2-consistent fit
+        # fitted a within ~5 sigma_a of truth
+        eq_true = keplerian_to_equinoctial(kep_true)
+        da = abs(float(r.equinoctial[0]) - float(eq_true.semi_major_axis))
+        assert da < 5.0 * float(r.uncertainties[0])
+
+    def test_multi_trajectory_batch(self, eph):
+        ds = _synth_dataset(
+            eph, KeplerianElements(*map(jnp.float64, _KEP_TRUE)), _EPOCHS
+        )
+        kep_b = KeplerianElements(*map(jnp.float64, (57000.0, 1.7, 0.25, 0.3, 2.2, 0.4, 1.5)))
+        ds = _synth_dataset(eph, kep_b, _EPOCHS + 0.37, tid="B", ds=ds)
+        res = fit_lsq(ds, eph, _IOD, seed=42)
+        assert res["SYNTH"].ok and res["B"].ok
+        assert float(res["B"].keplerian.semi_major_axis) == pytest.approx(1.7, abs=1e-8)
+
+
+class TestOutlierRejection:
+    def test_outlier_is_rejected(self, eph):
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS, noise=5)
+        # corrupt one observation by ~40 sigma in Dec
+        ds.dec[6] += 20.0 * RADSEC
+        res = fit_lsq(ds, eph, _IOD, seed=42)
+        r = res["SYNTH"]
+        assert r.ok and not r.fell_back_to_iod
+        assert r.n_active_obs == len(_EPOCHS) - 1  # exactly the outlier dropped
+        assert float(r.keplerian.semi_major_axis) == pytest.approx(2.3, abs=1e-3)
+        assert r.normalised_rms < 2.5
+
+    def test_rejection_can_be_disabled(self, eph):
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS, noise=5)
+        ds.dec[6] += 20.0 * RADSEC
+        cfg = DifferentialCorrectionConfig(enable_outlier_rejection=False)
+        res = fit_lsq(ds, eph, _IOD, config=cfg, seed=42)
+        r = res["SYNTH"]
+        assert r.ok
+        assert r.n_active_obs == len(_EPOCHS)  # nothing rejected
+        assert r.normalised_rms > 2.5  # outlier inflates the fit
+
+
+class TestConfig:
+    def test_fixed_element_stays_fixed(self, eph):
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS, noise=2)
+        res0 = fit_lsq(ds, eph, _IOD, seed=42)
+        a_seed = float(res0["SYNTH"].iod.equinoctial[0])
+        cfg = DifferentialCorrectionConfig(
+            free_elements=(False, True, True, True, True, True)
+        )
+        ds2 = _synth_dataset(eph, kep_true, _EPOCHS, noise=2)
+        res = fit_lsq(ds2, eph, _IOD, config=cfg, seed=42)
+        r = res["SYNTH"]
+        assert r.ok
+        assert float(r.equinoctial[0]) == pytest.approx(a_seed, abs=0.0)
+
+    def test_bizarre_seed_falls_back(self, eph):
+        """A seed pushed to bizarre limits must fall back to the IOD orbit."""
+        from outfit_tpu.iod.api import FitResult
+
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS)
+        bogus = FitResult(
+            "SYNTH", ok=True, rms=1.0, epoch=57015.0, kind=0,
+            elements=np.zeros(6),
+            equinoctial=np.array([2.0e4, 3.0, 3.0, 0.0, 0.0, 1.0]),  # e~4.2, a=2e4
+        )
+        res = fit_lsq(ds, eph, _IOD, seed=42, initial_orbits={"SYNTH": bogus})
+        r = res["SYNTH"]
+        assert r.fell_back_to_iod
+        assert r.error is not None
+
+
+class TestFixtures:
+    def test_2015ab_lsq(self, eph):
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        res = fit_lsq(ds, eph, _IOD, seed=42, error_model=ErrorModel.fcct14())
+        assert len(res) == 2
+        for tid, r in res.items():
+            assert r.ok, f"{tid}: {r.error}"
+        # at least one trajectory should complete the full correction
+        completed = [r for r in res.values() if not r.fell_back_to_iod]
+        assert completed
+        for r in completed:
+            kep = r.keplerian
+            # reference DE440 oracle: a=1.8017, e=0.2836
+            assert float(kep.semi_major_axis) == pytest.approx(1.80, abs=0.05)
+            assert float(kep.eccentricity) == pytest.approx(0.284, abs=0.02)
+            assert r.covariance is not None
+            # covariance symmetric positive-diagonal
+            np.testing.assert_allclose(r.covariance, r.covariance.T, atol=1e-20)
+            assert (np.diag(r.covariance) > 0).all()
