@@ -1,0 +1,160 @@
+"""Benchmark: full IOD+LSQ trajectory fits per second per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the ratio against the BASELINE.json target of 1e5 full
+IOD+LSQ fits/sec on a v5e-8, scaled to a single chip (1e5/8 = 12500
+fits/sec/chip); the reference itself publishes no numbers (BASELINE.md).
+
+The workload mirrors examples/run_full_iod_parallel.rs: K synthetic
+trajectories (12 observations each) pushed through the batched Gauss-IOD
+kernel and the differential-correction loop.  Timing covers the warm jitted
+device execution (the production steady state); host-side dataset prep and
+compile are excluded and reported on stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_iod_lsq(n_traj: int, repeats: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from outfit_tpu.iod.api import _iod_kernel
+    from outfit_tpu.iod.params import IODParams
+    from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+    from outfit_tpu.lsq.iteration import ObsArrays
+    from outfit_tpu.lsq.loop import run_differential_correction
+    from __graft_entry__ import _synthetic_batch
+
+    params = IODParams(n_noise_realizations=3)
+    lanes_per_traj = 8  # ~2 triplets x 4 realizations
+    n_obs = 12
+
+    tri, obs_arrays, lane_traj, window = _synthetic_batch(
+        n_traj=n_traj, lanes_per_traj=lanes_per_traj, n_obs=n_obs, seed=7
+    )
+
+    iod_fn = jax.jit(lambda t, o, lt, w: _iod_kernel(t, o, lt, w, params))
+    t0 = time.time()
+    out = iod_fn(tri, obs_arrays, lane_traj, window)
+    jax.block_until_ready(out)
+    log(f"IOD kernel compile+first run: {time.time() - t0:.1f}s")
+
+    best = min(
+        _timed(lambda: jax.block_until_ready(iod_fn(tri, obs_arrays, lane_traj, window)))
+        for _ in range(repeats)
+    )
+    log(f"IOD warm: {best*1e3:.1f} ms for {n_traj} trajectories")
+
+    # LSQ stage on the same trajectory count
+    rng = np.random.default_rng(5)
+    T, N = n_traj, n_obs
+    el0 = np.tile(np.array([2.3, 0.05, 0.1, 0.01, 0.02, 1.0]), (T, 1))
+    el0 += 1e-3 * rng.normal(size=(T, 6))
+    ep0 = np.full(T, 57000.0)
+    mjd = 57000.0 + np.sort(rng.uniform(0, 60, (T, N)), axis=1)
+    theta = 2 * np.pi * (mjd - 51544.5) / 365.25
+    helio = np.stack(
+        [np.cos(theta), np.sin(theta) * 0.9175, np.sin(theta) * 0.3978], axis=2
+    )
+    obs = ObsArrays(
+        jnp.asarray(mjd),
+        jnp.asarray(rng.uniform(0, 2 * np.pi, (T, N))),
+        jnp.asarray(rng.uniform(-1.0, 1.0, (T, N))),
+        jnp.asarray(np.full((T, N), 2.4e-6)),
+        jnp.asarray(np.full((T, N), 2.4e-6)),
+        jnp.asarray(helio),
+        jnp.asarray(np.ones((T, N), bool)),
+    )
+    cfg = DifferentialCorrectionConfig()
+    lsq_fn = jax.jit(lambda e, t, o: run_differential_correction(e, t, o, cfg))
+    t0 = time.time()
+    res = lsq_fn(jnp.asarray(el0), jnp.asarray(ep0), obs)
+    jax.block_until_ready(res)
+    log(f"LSQ kernel compile+first run: {time.time() - t0:.1f}s")
+
+    best_lsq = min(
+        _timed(
+            lambda: jax.block_until_ready(lsq_fn(jnp.asarray(el0), jnp.asarray(ep0), obs))
+        )
+        for _ in range(repeats)
+    )
+    log(f"LSQ warm: {best_lsq*1e3:.1f} ms for {T} trajectories")
+
+    total = best + best_lsq
+    return n_traj / total
+
+
+def bench_propagation_fallback():
+    """Fallback metric if the full pipeline fails to compile on the target:
+    batched universal-variable two-body propagation steps/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from outfit_tpu.kepler import propagate_universal
+
+    n = 65536
+    rng = np.random.default_rng(0)
+    r0 = rng.uniform(0.5, 4.0, (n, 1)) * _unit(rng, n)
+    v = np.sqrt(2.959e-4 / np.linalg.norm(r0, axis=1, keepdims=True))
+    v0 = v * rng.uniform(0.5, 1.2, (n, 1)) * _unit(rng, n)
+    dts = jnp.asarray(rng.uniform(-200, 200, n))
+    f = jax.jit(lambda p, v, d: propagate_universal(p, v, 0.0, d))
+    out = f(jnp.asarray(r0), jnp.asarray(v0), dts)
+    jax.block_until_ready(out)
+    best = min(
+        _timed(lambda: jax.block_until_ready(f(jnp.asarray(r0), jnp.asarray(v0), dts)))
+        for _ in range(3)
+    )
+    return n / best
+
+
+def _unit(rng, n):
+    x = rng.normal(size=(n, 3))
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _timed(f):
+    t0 = time.time()
+    f()
+    return time.time() - t0
+
+
+def main():
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    target_per_chip = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on v5e-8
+
+    try:
+        # scale the batch until the chip is reasonably full or time budget hit
+        value = bench_iod_lsq(n_traj=512)
+        result = {
+            "metric": "full IOD+LSQ trajectory fits/sec/chip",
+            "value": round(value, 2),
+            "unit": "fits/sec/chip",
+            "vs_baseline": round(value / target_per_chip, 4),
+        }
+    except Exception as e:  # compile/runtime failure on exotic backends
+        log(f"full pipeline bench failed ({type(e).__name__}: {e}); "
+            "falling back to propagation throughput")
+        value = bench_propagation_fallback()
+        result = {
+            "metric": "batched two-body propagation steps/sec/chip (fallback)",
+            "value": round(value, 2),
+            "unit": "steps/sec/chip",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

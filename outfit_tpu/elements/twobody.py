@@ -41,23 +41,32 @@ def solve_generalized_kepler(eq: EquinoctialElements, mean_longitude_t1, max_ite
     """
     tol = 100.0 * _EPS
 
-    def body(_, carry):
-        f, done = carry
+    def body(carry):
+        it, f, done = carry
         res = f - eq.k * jnp.sin(f) + eq.h * jnp.cos(f) - mean_longitude_t1
         der = 1.0 - eq.k * jnp.cos(f) - eq.h * jnp.sin(f)
         step = -res / jnp.where(jnp.abs(der) > _EPS, der, _EPS)
         fn = jnp.where(done, f, f + step)
         done = done | (jnp.abs(step) <= tol)
-        return fn, done
+        return it + 1, fn, done
+
+    def cond(carry):
+        it, _, done = carry
+        return (it < max_iter) & ~jnp.all(done)
 
     e2 = eq.h**2 + eq.k**2
     varpi = jnp.where(
         e2 > 100.0 * _EPS, principal_angle(jnp.arctan2(eq.h, eq.k)), 0.0
     )
     x0 = jnp.pi + varpi
-    f, done = jax.lax.fori_loop(
-        0, max_iter, body, (jnp.broadcast_to(x0, jnp.shape(mean_longitude_t1)),
-                            jnp.zeros(jnp.shape(mean_longitude_t1), bool))
+    _, f, done = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.array(0, jnp.int32),
+            jnp.broadcast_to(x0, jnp.shape(mean_longitude_t1)),
+            jnp.zeros(jnp.shape(mean_longitude_t1), bool),
+        ),
     )
     return f, done
 

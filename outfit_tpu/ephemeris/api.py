@@ -1,0 +1,109 @@
+"""Ephemeris generation entry point.
+
+Parity: ``OrbitalElements::compute`` (``src/ephemeris/mod.rs:189-290``):
+convert to equinoctial once, e >= 1 precheck short-circuits every entry,
+per-observer fixed cache, per-epoch computation with errors collected per
+entry (never aborting).  All (observer, epoch) pairs of a request are
+evaluated as ONE batched device call.
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from outfit_tpu.elements.types import EquinoctialElements, KeplerianElements, keplerian_to_equinoctial
+from outfit_tpu.ephemeris.compute import ApparentPosition, BodyGeometry, compute_apparent
+from outfit_tpu.ephemeris.request import EphemerisRequest
+from outfit_tpu.ephemeris.result import EphemerisEntry, EphemerisResult
+from outfit_tpu.observer.geometry import (
+    earth_fixed_position,
+    earth_fixed_velocity,
+    gast,
+    helio_position,
+    helio_velocity,
+    pvobs,
+)
+from outfit_tpu.time.scales import Ut1Provider
+
+
+@dataclass
+class EphemerisValue:
+    """Combined output value (Position + Geometry views)."""
+
+    position: ApparentPosition
+    geometry: BodyGeometry
+
+
+def compute_ephemeris(
+    elements: Union[EquinoctialElements, KeplerianElements],
+    request: EphemerisRequest,
+    ephem,
+    ut1: Optional[Ut1Provider] = None,
+) -> EphemerisResult:
+    """Compute apparent positions + geometry for every (observer, epoch)."""
+    if isinstance(elements, KeplerianElements):
+        eq = keplerian_to_equinoctial(elements)
+    else:
+        eq = elements
+    if ut1 is None:
+        ut1 = Ut1Provider()
+
+    # flatten (observer, epoch) pairs
+    pairs = []
+    for entry in request.entries:
+        for t in entry.mode.epochs:
+            pairs.append((entry.observer, t))
+    if not pairs:
+        return EphemerisResult([])
+
+    # precheck (mod.rs:223): non-elliptic orbits error every entry
+    ecc = float(np.hypot(float(eq.h), float(eq.k)))
+    if ecc >= 1.0:
+        return EphemerisResult(
+            [
+                EphemerisEntry(t, o, error=f"InvalidOrbit(e={ecc:.3f} >= 1)")
+                for o, t in pairs
+            ]
+        )
+
+    epochs = np.array([t for _, t in pairs])
+    fixed_pos = np.stack(
+        [np.asarray(earth_fixed_position(o)) for o, _ in pairs]
+    )
+    fixed_vel = np.stack(
+        [np.asarray(earth_fixed_velocity(o)) for o, _ in pairs]
+    )
+
+    g = gast(epochs, ut1)
+    geo_pos, geo_vel = pvobs(
+        jnp.asarray(epochs), jnp.asarray(fixed_pos), jnp.asarray(fixed_vel), g
+    )
+    obs_pos = helio_position(ephem, epochs, geo_pos)
+    obs_vel = helio_velocity(ephem, epochs, geo_vel)
+
+    out = compute_apparent(
+        eq,
+        jnp.asarray(epochs),
+        obs_pos,
+        obs_vel,
+        propagator=request.config.propagator,
+        aberration=request.config.aberration,
+        ephem=ephem,
+    )
+
+    ok = np.asarray(out.ok)
+    entries = []
+    for i, (o, t) in enumerate(pairs):
+        if ok[i]:
+            val = EphemerisValue(
+                ApparentPosition(*[float(np.asarray(f)[i]) for f in out.position]),
+                BodyGeometry(*[float(np.asarray(f)[i]) for f in out.geometry]),
+            )
+            entries.append(EphemerisEntry(t, o, value=val))
+        else:
+            entries.append(
+                EphemerisEntry(t, o, error="PropagationFailed or non-finite result")
+            )
+    return EphemerisResult(entries)

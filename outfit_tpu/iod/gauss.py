@@ -177,6 +177,15 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
         & descartes_ok[..., None]
         & nonsing[..., None]
     )
+    # --- candidate compaction: keep the best max_tested_solutions roots ----
+    # (parity: the reference accumulates at most 3 solutions, gauss.rs:
+    # max_tested_solutions; valid roots sorted by ascending r2 — the degree-8
+    # polynomial has at most 3 positive real roots in practice, so this caps
+    # the correction/scoring cost at no loss)
+    n_keep = min(params.max_tested_solutions, 8)
+    order = jnp.argsort(jnp.where(root_ok, r2, jnp.inf), axis=-1)[..., :n_keep]
+    r2 = jnp.take_along_axis(r2, order, axis=-1)
+    root_ok = jnp.take_along_axis(root_ok, order, axis=-1)
     r2_safe = jnp.where(root_ok, r2, 1.0)
 
     # --- accept_root (prelim state per root) --------------------------------
@@ -211,8 +220,8 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
     dt21 = (tri.time[..., 2] - tri.time[..., 1])[..., None]
     dt_ok = (jnp.abs(dt01) > _EPS) & (jnp.abs(dt21) > _EPS)
 
-    def body(_, st):
-        cpos, cvel, cepoch, chi1, chi2, alive, committed, done = st
+    def body(st):
+        it, cpos, cvel, cepoch, chi1, chi2, alive, committed, done = st
         x1 = cpos[..., 0, :]
         x2 = cpos[..., 1, :]
         x3 = cpos[..., 2, :]
@@ -257,9 +266,15 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
         alive = alive & ~hard_reject
         committed = committed | commit
         done = done | (commit & (rel_err <= params.newton_eps))
-        return (cpos, cvel, cepoch, chi1n, chi2n, alive, committed, done)
+        return (it + 1, cpos, cvel, cepoch, chi1n, chi2n, alive, committed, done)
+
+    def cond(st):
+        it, *_, alive, _committed, done = st
+        # keep iterating while some candidate is alive and unconverged
+        return (it < params.newton_max_it) & jnp.any(alive & ~done)
 
     init = (
+        jnp.array(0, jnp.int32),
         pos,
         vel,
         epoch,
@@ -269,8 +284,8 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
         jnp.zeros_like(valid),
         jnp.zeros_like(valid),
     )
-    cpos, cvel, cepoch, _, _, alive, committed, _ = jax.lax.fori_loop(
-        0, params.newton_max_it, body, init
+    _, cpos, cvel, cepoch, _, _, alive, committed, _ = jax.lax.while_loop(
+        cond, body, init
     )
 
     corrected = valid & alive & committed

@@ -10,6 +10,7 @@ discovery order is initialization-dependent and semantically meaningless).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def descartes_upper_bound(c0, c3, c6):
@@ -36,52 +37,106 @@ def descartes_upper_bound(c0, c3, c6):
     return cnt
 
 
+class ComplexRoots:
+    """(re, im) pair container mimicking the complex result surface.
+
+    Complex arithmetic is carried as explicit float64 pairs because the TPU
+    x64-rewriting pipeline does not lower complex128; this also keeps the
+    kernel portable across backends.
+    """
+
+    def __init__(self, re, im):
+        self.real = re
+        self.imag = im
+
+    @property
+    def shape(self):
+        return self.real.shape
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cdiv(ar, ai, br, bi):
+    d = br * br + bi * bi
+    d = jnp.where(d > 1e-300, d, 1.0)
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+
 def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
     """All 8 complex roots of x^8 + c6 x^6 + c3 x^3 + c0, batched.
 
-    Returns roots (..., 8) complex128, sorted by real part ascending.
+    Returns a :class:`ComplexRoots` with (..., 8) float64 ``real``/``imag``,
+    sorted by real part ascending.
     """
     c0 = jnp.asarray(c0, jnp.float64)
     c3 = jnp.asarray(c3, jnp.float64)
     c6 = jnp.asarray(c6, jnp.float64)
     shape = jnp.broadcast_shapes(c0.shape, c3.shape, c6.shape)
-    c0, c3, c6 = (jnp.broadcast_to(c, shape) for c in (c0, c3, c6))
+    c0, c3, c6 = (jnp.broadcast_to(c, shape)[..., None] for c in (c0, c3, c6))
 
-    def p(z):
-        z3 = z * z * z
-        z6 = z3 * z3
-        return z6 * z * z + c6[..., None] * z6 + c3[..., None] * z3 + c0[..., None]
+    def p(zr, zi):
+        z2r, z2i = _cmul(zr, zi, zr, zi)
+        z3r, z3i = _cmul(z2r, z2i, zr, zi)
+        z6r, z6i = _cmul(z3r, z3i, z3r, z3i)
+        z8r, z8i = _cmul(z6r, z6i, z2r, z2i)
+        return (
+            z8r + c6 * z6r + c3 * z3r + c0,
+            z8i + c6 * z6i + c3 * z3i,
+        )
 
-    def dp(z):
-        z2 = z * z
-        z5 = z2 * z2 * z
-        return 8.0 * z5 * z2 + 6.0 * c6[..., None] * z5 + 3.0 * c3[..., None] * z2
+    def dp(zr, zi):
+        z2r, z2i = _cmul(zr, zi, zr, zi)
+        z4r, z4i = _cmul(z2r, z2i, z2r, z2i)
+        z5r, z5i = _cmul(z4r, z4i, zr, zi)
+        z7r, z7i = _cmul(z5r, z5i, z2r, z2i)
+        return (
+            8.0 * z7r + 6.0 * c6 * z5r + 3.0 * c3 * z2r,
+            8.0 * z7i + 6.0 * c6 * z5i + 3.0 * c3 * z2i,
+        )
 
     # Initial circle: radius from the geometric mean of root magnitudes
     # (|c0|^(1/8)), floored to avoid collapse; Bini-style angular offset.
-    r = jnp.maximum(jnp.abs(c0) ** 0.125, 0.3)
-    k = jnp.arange(8)
-    theta = 2.0 * jnp.pi * k / 8.0 + 0.4
-    z = r[..., None] * jnp.exp(1j * theta)
+    r = jnp.maximum(jnp.abs(c0[..., 0]) ** 0.125, 0.3)[..., None]
+    k = np.arange(8)
+    theta = 2.0 * np.pi * k / 8.0 + 0.4
+    zr = r * np.cos(theta)
+    zi = r * np.sin(theta)
+
+    eye = np.eye(8, dtype=bool)
 
     def body(_, z):
-        pz = p(z)
-        dpz = dp(z)
-        newton = pz / jnp.where(jnp.abs(dpz) > 1e-300, dpz, 1.0)
-        diff = z[..., :, None] - z[..., None, :]  # (..., 8, 8)
-        diff = jnp.where(jnp.eye(8, dtype=bool), 1.0, diff)
-        inv_sum = jnp.sum(
-            jnp.where(jnp.eye(8, dtype=bool), 0.0, 1.0 / diff), axis=-1
-        )
-        denom = 1.0 - newton * inv_sum
-        w = newton / jnp.where(jnp.abs(denom) > 1e-300, denom, 1.0)
+        zr, zi = z
+        pr, pi = p(zr, zi)
+        dpr, dpi = dp(zr, zi)
+        nr, ni = _cdiv(pr, pi, dpr, dpi)  # Newton correction
+        # sum over j != i of 1 / (z_i - z_j)
+        dr = zr[..., :, None] - zr[..., None, :]
+        di = zi[..., :, None] - zi[..., None, :]
+        dr = jnp.where(eye, 1.0, dr)
+        di = jnp.where(eye, 0.0, di)
+        ir, ii = _cdiv(jnp.ones_like(dr), jnp.zeros_like(di), dr, di)
+        sr = jnp.sum(jnp.where(eye, 0.0, ir), axis=-1)
+        si = jnp.sum(jnp.where(eye, 0.0, ii), axis=-1)
+        # w = newton / (1 - newton * sum)
+        tr, ti = _cmul(nr, ni, sr, si)
+        wr, wi = _cdiv(nr, ni, 1.0 - tr, -ti)
         # freeze converged roots (relative step at machine precision) to
         # avoid limit-cycle jitter; `eps` (the reference's aberth_eps) is an
         # upper bound only — Aberth is cubically convergent, so running the
         # full fixed iteration count gives full-precision roots.
-        conv = jnp.abs(w) <= jnp.minimum(eps, 1e-13) * (1.0 + jnp.abs(z))
-        return jnp.where(conv, z, z - w)
+        wmag = jnp.sqrt(wr * wr + wi * wi)
+        zmag = jnp.sqrt(zr * zr + zi * zi)
+        conv = wmag <= jnp.minimum(eps, 1e-13) * (1.0 + zmag)
+        return (
+            jnp.where(conv, zr, zr - wr),
+            jnp.where(conv, zi, zi - wi),
+        )
 
-    z = jax.lax.fori_loop(0, max_iter, body, z)
-    order = jnp.argsort(z.real, axis=-1)
-    return jnp.take_along_axis(z, order, axis=-1)
+    zr, zi = jax.lax.fori_loop(0, max_iter, body, (zr, zi))
+    order = jnp.argsort(zr, axis=-1)
+    return ComplexRoots(
+        jnp.take_along_axis(zr, order, axis=-1),
+        jnp.take_along_axis(zi, order, axis=-1),
+    )

@@ -34,6 +34,10 @@ _N_SERIES = 12
 #: Max halvings: covers |beta| up to 4^40 ~ 1e24.
 _MAX_HALVINGS = 40
 
+import numpy as _np
+
+_POW2NEG = jnp.asarray(2.0 ** -_np.arange(_MAX_HALVINGS + 1, dtype=_np.float64))
+
 
 def s_funct(psi, alpha):
     """Compute (s0, s1, s2, s3) for universal anomaly psi and alpha = -1/a.
@@ -49,7 +53,9 @@ def s_funct(psi, alpha):
     k = jnp.ceil(0.5 * jnp.log2(safe / _BETA_THRESHOLD)).astype(jnp.int32)
     k = jnp.clip(k, 0, _MAX_HALVINGS)
 
-    scale = jnp.ldexp(jnp.ones_like(psi), -k)
+    # exact 2^-k via table gather (jnp.ldexp's s64 bitcast does not lower
+    # through the TPU x64 rewriter)
+    scale = _POW2NEG[k]
     psi_r = psi * scale
     beta_r = beta * scale * scale
 
@@ -66,19 +72,30 @@ def s_funct(psi, alpha):
         s3 = s3 + term3
 
     # Masked duplication: double psi k times, scaling s2/s3 cancellation-free.
-    def dup(i, carry):
-        p, s2, s3 = carry
+    # Early exit at the batch-max halving count (typically 0-4 for IOD-scale
+    # arcs; the 40-step bound only pays when some lane actually needs it).
+    kmax = jnp.max(k)
+
+    def dup_cond(carry):
+        i, _, _, _ = carry
+        return i < kmax
+
+    def dup(carry):
+        i, p, s2, s3 = carry
         act = i < k
         s2n = 2.0 * s2 * (2.0 + alpha * s2)
         s3n = 2.0 * (s3 + p * s2 + alpha * s2 * s3)
         pn = 2.0 * p
         return (
+            i + 1,
             jnp.where(act, pn, p),
             jnp.where(act, s2n, s2),
             jnp.where(act, s3n, s3),
         )
 
-    _, s2, s3 = jax.lax.fori_loop(0, _MAX_HALVINGS, dup, (psi_r, s2, s3))
+    _, _, s2, s3 = jax.lax.while_loop(
+        dup_cond, dup, (jnp.array(0, jnp.int32), psi_r, s2, s3)
+    )
 
     s0 = 1.0 + alpha * s2
     s1 = psi + alpha * s3

@@ -72,7 +72,20 @@ class LsqResult:
         )
 
 
-_run_jit = jax.jit(run_differential_correction, static_argnames=("cfg",))
+_jit_cache = {}
+
+
+def _get_runner(cfg: DifferentialCorrectionConfig, ephem):
+    """Compile-cached correction runner; the ephemeris tables are closed
+    over (needed for the N-body propagator, and JPLEphem is not a pytree)."""
+    key = (cfg, id(ephem))
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(
+            lambda el, ep, obs: run_differential_correction(
+                el, ep, obs, cfg, ephem=ephem
+            )
+        )
+    return _jit_cache[key]
 
 
 def fit_lsq(
@@ -153,7 +166,7 @@ def fit_lsq(
         jnp.asarray(valid),
     )
 
-    out = _run_jit(jnp.asarray(el0), jnp.asarray(ep0), obs, config)
+    out = _get_runner(config, ephem)(jnp.asarray(el0), jnp.asarray(ep0), obs)
 
     status = np.asarray(out.status)
     elements = np.asarray(out.elements)

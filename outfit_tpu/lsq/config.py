@@ -9,6 +9,7 @@ from dataclasses import dataclass
 from typing import Tuple
 
 from outfit_tpu.elements.types import EquinoctialLimits
+from outfit_tpu.propagator.config import PropagatorKind
 
 
 @dataclass(frozen=True)
@@ -30,3 +31,4 @@ class DifferentialCorrectionConfig:
     outlier_rejection: OutlierRejectionConfig = OutlierRejectionConfig()
     orbital_limits: EquinoctialLimits = EquinoctialLimits()
     free_elements: Tuple[bool, bool, bool, bool, bool, bool] = (True,) * 6
+    propagator: PropagatorKind = PropagatorKind.two_body()

@@ -60,11 +60,15 @@ class IterationResult(NamedTuple):
     obs_active: jnp.ndarray  # (T, N) bool — actually used this iteration
 
 
-def observation_partials(elements_vec, epoch, obs: ObsArrays):
+def observation_partials(elements_vec, epoch, obs: ObsArrays, propagator=None, ephem=None):
     """Predicted (RA, Dec) + d/d(elem) for every (trajectory, observation).
 
     ``elements_vec`` (T, 6) equinoctial in ecliptic J2000; ``epoch`` (T,).
     Returns (ra, dec, d_ra (T,N,6), d_dec (T,N,6), prop_ok (T,N)).
+
+    ``propagator`` selects two-body (default, analytic Jacobians) or N-body
+    (DOP853 + STM; parity: ``compute_obs_and_partials_nbody``,
+    observation_ephemeris.rs:452-486); N-body needs ``ephem``.
     """
     eq = EquinoctialElements(
         epoch[:, None],
@@ -75,12 +79,23 @@ def observation_partials(elements_vec, epoch, obs: ObsArrays):
         elements_vec[:, None, 4],
         elements_vec[:, None, 5],
     )
-    st = propagate_twobody(eq, epoch[:, None], obs.mjd, compute_derivatives=True)
+    if propagator is not None and propagator.nbody:
+        from outfit_tpu.propagator.nbody import propagate_nbody
+
+        nb = propagate_nbody(eq, obs.mjd, ephem, propagator.config)
+        st_pos, st_vel = nb.position, nb.velocity
+        st_dpos = nb.dpos_delem
+        st_conv = nb.status == 0
+    else:
+        st = propagate_twobody(eq, epoch[:, None], obs.mjd, compute_derivatives=True)
+        st_pos, st_vel, st_dpos, st_conv = (
+            st.position, st.velocity, st.dpos_delem, st.converged
+        )
 
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
-    pos = jnp.einsum("ij,...j->...i", rot, st.position)  # (T, N, 3) equ
-    vel = jnp.einsum("ij,...j->...i", rot, st.velocity)
-    dpos = jnp.einsum("ij,...ej->...ei", rot, st.dpos_delem)  # (T, N, 6, 3)
+    pos = jnp.einsum("ij,...j->...i", rot, st_pos)  # (T, N, 3) equ
+    vel = jnp.einsum("ij,...j->...i", rot, st_vel)
+    dpos = jnp.einsum("ij,...ej->...ei", rot, st_dpos)  # (T, N, 6, 3)
 
     rel = pos - obs.helio_pos
     rel_norm = jnp.linalg.norm(rel, axis=-1)
@@ -106,7 +121,7 @@ def observation_partials(elements_vec, epoch, obs: ObsArrays):
     d_ra = jnp.einsum("...ec,...c->...e", dpos, d_ra_d_pos)  # (T, N, 6)
     d_dec = jnp.einsum("...ec,...c->...e", dpos, d_dec_d_pos)
 
-    prop_ok = st.converged & jnp.isfinite(ra) & jnp.isfinite(dec)
+    prop_ok = st_conv & jnp.isfinite(ra) & jnp.isfinite(dec)
     return ra, dec, d_ra, d_dec, prop_ok
 
 
@@ -122,10 +137,12 @@ def single_iteration(
     selection,
     obs: ObsArrays,
     free_elements,
+    propagator=None,
+    ephem=None,
 ) -> IterationResult:
     """One batched Newton step.  Parity: ``single_iteration`` (:140-300)."""
     ra_c, dec_c, d_ra, d_dec, prop_ok = observation_partials(
-        elements_vec, epoch, obs
+        elements_vec, epoch, obs, propagator, ephem
     )
 
     active = (selection == SEL_ACTIVE) & obs.valid & prop_ok
@@ -159,12 +176,14 @@ def single_iteration(
     normal = jnp.where(fmask, normal, 0.0) + jnp.diag(jnp.where(free, 0.0, 1.0))
     rhs = jnp.where(free, rhs, 0.0)
 
-    # inversion (Cholesky semantics: require positive-definiteness; the
-    # batched jnp.linalg.inv covers the reference's QR fallback numerics)
+    # inversion via unrolled Cholesky (utils.linalg) — jnp.linalg.inv does
+    # not lower on TPU x64; the normal matrix is SPD whenever invertible
+    from outfit_tpu.utils.linalg import cholesky_inverse6
+
     finite = jnp.isfinite(normal).all(axis=(-1, -2))
     normal_safe = jnp.where(finite[:, None, None], normal, jnp.eye(6))
-    cov = jnp.linalg.inv(normal_safe)
-    inv_ok = finite & jnp.isfinite(cov).all(axis=(-1, -2)) & (m >= 1)
+    cov, chol_ok = cholesky_inverse6(normal_safe)
+    inv_ok = finite & chol_ok & jnp.isfinite(cov).all(axis=(-1, -2)) & (m >= 1)
 
     dx = jnp.einsum("tjk,tk->tj", cov, rhs)
     dx = jnp.where(free, dx, 0.0)

@@ -62,6 +62,7 @@ def run_differential_correction(
     obs: ObsArrays,
     cfg: DifferentialCorrectionConfig,
     selection0=None,
+    ephem=None,
 ) -> DiffCorResult:
     """Batched differential correction.
 
@@ -134,7 +135,9 @@ def run_differential_correction(
         def body(i: _In):
             st = i.st
             act = ~i.inner_done
-            res = single_iteration(st.elements, epoch, st.selection, obs, free)
+            res = single_iteration(
+                st.elements, epoch, st.selection, obs, free, cfg.propagator, ephem
+            )
 
             inv_fail = act & ~res.inversion_ok
             bizarre = (

@@ -68,6 +68,23 @@ class ObsDataset:
         return cls.from_mpc_80_col_files([path])
 
     @classmethod
+    def from_ades(cls, path: str) -> "ObsDataset":
+        """ADES XML ingestion; per-record rmsRA/rmsDec (when present) become
+        the observation sigmas, others stay NaN for the error model."""
+        import numpy as np
+
+        from outfit_tpu.observations.ades import ades_sigmas, parse_ades_file
+
+        ds = cls._build(parse_ades_file(path))
+        sig = ades_sigmas(path)
+        for i, (sra, sdec) in enumerate(sig[: len(ds)]):
+            if not np.isnan(sra):
+                ds.ra_error[i] = sra
+            if not np.isnan(sdec):
+                ds.dec_error[i] = sdec
+        return ds
+
+    @classmethod
     def from_dataframe(cls, df, *, traj_col="trajectory_id", mjd_col="mjd_tt",
                        ra_col="ra", dec_col="dec", obs_col="observatory",
                        angles_in_degrees=True) -> "ObsDataset":

@@ -1,0 +1,81 @@
+"""Small fixed-size linear algebra, unrolled for TPU portability.
+
+The reference inverts 6x6 normal matrices with nalgebra Cholesky + QR
+fallback (``least_square.rs:329-341``).  ``jnp.linalg.inv`` does not lower
+through the TPU x64-emulation pipeline, so the Cholesky factorization,
+triangular solves, and the SPD inverse are unrolled here as plain batched
+arithmetic (6x6 is small enough that unrolling beats any LAPACK call
+anyway).  Normal matrices are PSD by construction; non-positive pivots mark
+the inversion failed (the reference's QR fallback only papers over exactly
+those rank-deficient cases and then fails downstream).
+"""
+
+import jax.numpy as jnp
+
+_N = 6
+
+
+def cholesky6(a):
+    """Lower-triangular L with a = L L^T for batched (..., 6, 6) SPD input.
+
+    Returns (L, ok) where ok flags positive-definiteness per batch element.
+    Non-positive pivots are replaced by 1 to keep downstream math finite.
+    """
+    rows = [[None] * _N for _ in range(_N)]
+    ok = jnp.ones(a.shape[:-2], bool)
+    for i in range(_N):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - rows[i][k] * rows[j][k]
+            if i == j:
+                ok = ok & (s > 0.0) & jnp.isfinite(s)
+                d = jnp.sqrt(jnp.where(s > 0.0, s, 1.0))
+                rows[i][j] = d
+            else:
+                rows[i][j] = s / rows[j][j]
+    zero = jnp.zeros_like(a[..., 0, 0])
+    L = jnp.stack(
+        [
+            jnp.stack([rows[i][j] if j <= i else zero for j in range(_N)], axis=-1)
+            for i in range(_N)
+        ],
+        axis=-2,
+    )
+    return L, ok
+
+
+def cholesky_inverse6(a):
+    """Inverse of a batched (..., 6, 6) SPD matrix via Cholesky.
+
+    Returns (inv, ok).  On failure (non-SPD) the result is garbage and ok is
+    False — callers must gate on ok (errors-as-data convention).
+    """
+    L, ok = cholesky6(a)
+    # invert L by forward substitution (unrolled): L @ Linv = I
+    linv = [[None] * _N for _ in range(_N)]
+    for j in range(_N):
+        for i in range(_N):
+            if i < j:
+                linv[i][j] = None
+                continue
+            if i == j:
+                linv[i][j] = 1.0 / L[..., i, i]
+            else:
+                s = 0.0
+                for k in range(j, i):
+                    s = s + L[..., i, k] * linv[k][j]
+                linv[i][j] = -s / L[..., i, i]
+    # inv(a) = Linv^T @ Linv
+    zero = jnp.zeros_like(a[..., 0, 0])
+    out = [[zero] * _N for _ in range(_N)]
+    for i in range(_N):
+        for j in range(_N):
+            s = zero
+            for k in range(max(i, j), _N):
+                s = s + linv[k][i] * linv[k][j]
+            out[i][j] = s
+    inv = jnp.stack(
+        [jnp.stack(out[i], axis=-1) for i in range(_N)], axis=-2
+    )
+    return inv, ok

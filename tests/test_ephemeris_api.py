@@ -1,0 +1,170 @@
+"""Ephemeris generation API: closure vs synthesis, geometry physics.
+
+Mirrors the reference's test strategy (``tests/test_ephemeris.rs``): fit /
+synthesize an orbit, then exercise output-kind x mode combinations and check
+predicted vs observed positions within tight angular thresholds.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from outfit_tpu.constants import RADSEC, ROT_ECLMJ2000_TO_EQUMJ2000
+from outfit_tpu.elements.twobody import propagate_twobody
+from outfit_tpu.elements.types import (
+    EquinoctialElements,
+    KeplerianElements,
+    keplerian_to_equinoctial,
+)
+from outfit_tpu.ephem import JPLEphem
+from outfit_tpu.ephemeris import (
+    AberrationOrder,
+    EphemerisConfig,
+    EphemerisMode,
+    EphemerisRequest,
+    compute_ephemeris,
+)
+from outfit_tpu.iod.scoring import apparent_radec
+from outfit_tpu.observations.observatories import Observer, get_observatory
+from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
+
+
+@pytest.fixture(scope="module")
+def eph():
+    return JPLEphem.analytic(56900.0, 57400.0)
+
+
+@pytest.fixture(scope="module")
+def kep():
+    return KeplerianElements(
+        *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
+    )
+
+
+class TestApparentPosition:
+    def test_matches_synthesis_geocentric(self, eph, kep):
+        """Ephemeris RA/Dec at epoch == the synthesis used for IOD closure."""
+        eq = keplerian_to_equinoctial(kep)
+        epochs = np.array([57005.0, 57020.0, 57100.0])
+        st = propagate_twobody(
+            EquinoctialElements(*[jnp.broadcast_to(f, epochs.shape) for f in eq]),
+            57000.0, jnp.asarray(epochs), compute_derivatives=False,
+        )
+        rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
+        earth, _ = eph.earth_ephemeris(jnp.asarray(epochs))
+        ra_ref, dec_ref = apparent_radec(
+            jnp.einsum("ij,...j->...i", rot, st.position),
+            jnp.einsum("ij,...j->...i", rot, st.velocity),
+            earth,
+        )
+        req = EphemerisRequest().add(Observer.geocenter(), EphemerisMode.at(epochs))
+        res = compute_ephemeris(kep, req, eph)
+        assert res.success_count() == 3
+        for i, e in enumerate(res):
+            assert e.value.position.ra == pytest.approx(float(ra_ref[i]), abs=1e-12)
+            assert e.value.position.dec == pytest.approx(float(dec_ref[i]), abs=1e-12)
+            assert 1.0 < e.value.position.heliocentric_distance < 3.0
+
+    def test_ground_station_parallax(self, eph, kep):
+        """Topocentric vs geocentric positions differ by the diurnal
+        parallax, bounded by ~ Earth radius / distance."""
+        req = (
+            EphemerisRequest()
+            .add(Observer.geocenter(), EphemerisMode.single(57020.0))
+            .add(get_observatory("G96"), EphemerisMode.single(57020.0))
+        )
+        res = compute_ephemeris(kep, req, eph)
+        assert res.success_count() == 2
+        e0, e1 = res.entries
+        dra = abs(e0.value.position.ra - e1.value.position.ra)
+        ddec = abs(e0.value.position.dec - e1.value.position.dec)
+        max_parallax = 4.3e-5 / e0.value.position.geocentric_distance  # rad
+        assert 0 < max(dra, ddec) < 1.5 * max_parallax
+
+    def test_modes(self, eph, kep):
+        req = (
+            EphemerisRequest()
+            .add(Observer.geocenter(), EphemerisMode.single(57010.0))
+            .add(Observer.geocenter(), EphemerisMode.range(57010.0, 57020.0, 5.0))
+        )
+        res = compute_ephemeris(kep, req, eph)
+        assert len(res) == 4  # 1 + 3
+        assert res.success_count() == 4
+        # range mode starts where single mode is: identical first entry
+        assert res.entries[0].value.position.ra == res.entries[1].value.position.ra
+
+    def test_hyperbolic_short_circuit(self, eph):
+        com_like = EquinoctialElements(
+            jnp.float64(57000.0), jnp.float64(2.0), jnp.float64(1.2),
+            jnp.float64(0.3), jnp.float64(0.0), jnp.float64(0.0), jnp.float64(1.0),
+        )  # e ~ 1.24
+        req = EphemerisRequest().add(Observer.geocenter(), EphemerisMode.at([57010.0, 57020.0]))
+        res = compute_ephemeris(com_like, req, eph)
+        assert res.error_count() == 2
+        assert all("InvalidOrbit" in e.error for e in res.errors())
+
+
+class TestAberration:
+    def test_orders_agree_to_second_order(self, eph, kep):
+        req1 = EphemerisRequest(EphemerisConfig(aberration=AberrationOrder.FIRST))
+        req1.add(Observer.geocenter(), EphemerisMode.single(57020.0))
+        req2 = EphemerisRequest(EphemerisConfig(aberration=AberrationOrder.SECOND))
+        req2.add(Observer.geocenter(), EphemerisMode.single(57020.0))
+        r1 = compute_ephemeris(kep, req1, eph).entries[0]
+        r2 = compute_ephemeris(kep, req2, eph).entries[0]
+        diff = abs(r1.value.position.ra - r2.value.position.ra)
+        # first vs second order differ at O((v/c)^2 * rho) ~ sub-mas
+        assert diff < 0.05 * RADSEC
+        assert diff > 0  # but they are not identical
+
+
+class TestGeometry:
+    def test_physical_ranges(self, eph, kep):
+        req = EphemerisRequest().add(
+            get_observatory("F51"), EphemerisMode.range(57000.0, 57300.0, 25.0)
+        )
+        res = compute_ephemeris(kep, req, eph)
+        for e in res.successes():
+            g = e.value.geometry
+            assert 0.0 <= g.phase_angle <= np.pi
+            assert 0.0 <= g.solar_elongation <= np.pi
+            assert abs(g.radial_velocity) < 0.03  # AU/day
+            assert abs(g.d_ra_dt) < 0.2 and abs(g.d_dec_dt) < 0.2
+
+    def test_angular_rates_match_finite_difference(self, eph, kep):
+        dt = 0.01
+        req = EphemerisRequest().add(
+            Observer.geocenter(), EphemerisMode.at([57020.0 - dt, 57020.0, 57020.0 + dt])
+        )
+        res = compute_ephemeris(kep, req, eph)
+        e = [x.value for x in res.entries]
+        fd_ra = (e[2].position.ra - e[0].position.ra) / (2 * dt)
+        fd_dec = (e[2].position.dec - e[0].position.dec) / (2 * dt)
+        # rates are geometric (no aberration chain); allow ~1% agreement
+        assert e[1].geometry.d_ra_dt == pytest.approx(fd_ra, rel=2e-2, abs=1e-6)
+        assert e[1].geometry.d_dec_dt == pytest.approx(fd_dec, rel=2e-2, abs=1e-6)
+
+    def test_radial_velocity_matches_distance_derivative(self, eph, kep):
+        dt = 0.01
+        req = EphemerisRequest().add(
+            Observer.geocenter(), EphemerisMode.at([57020.0 - dt, 57020.0, 57020.0 + dt])
+        )
+        res = compute_ephemeris(kep, req, eph)
+        e = [x.value for x in res.entries]
+        fd = (e[2].position.geocentric_distance - e[0].position.geocentric_distance) / (2 * dt)
+        assert e[1].geometry.radial_velocity == pytest.approx(fd, rel=2e-2, abs=1e-8)
+
+
+class TestNBodyEphemeris:
+    def test_nbody_close_to_twobody_short_arc(self, eph, kep):
+        cfg = EphemerisConfig(
+            propagator=PropagatorKind.n_body(NBodyConfig.with_planets())
+        )
+        req_nb = EphemerisRequest(cfg).add(Observer.geocenter(), EphemerisMode.single(57020.0))
+        req_tb = EphemerisRequest().add(Observer.geocenter(), EphemerisMode.single(57020.0))
+        r_nb = compute_ephemeris(kep, req_nb, eph).entries[0]
+        r_tb = compute_ephemeris(kep, req_tb, eph).entries[0]
+        assert r_nb.ok and r_tb.ok
+        diff = abs(r_nb.value.position.ra - r_tb.value.position.ra)
+        assert diff < 10.0 * RADSEC  # 20-day planetary perturbation is small
+        assert diff > 0

@@ -49,7 +49,8 @@ class TestRoots:
 
     def test_aberth_known_roots(self):
         # x^8 - 256 = 0: roots are 2 * 8th roots of unity
-        roots = np.asarray(aberth_deg8(jnp.float64(-256.0), jnp.float64(0.0), jnp.float64(0.0)))
+        rt = aberth_deg8(jnp.float64(-256.0), jnp.float64(0.0), jnp.float64(0.0))
+        roots = np.asarray(rt.real) + 1j * np.asarray(rt.imag)
         np.testing.assert_allclose(np.abs(roots), 2.0, atol=1e-8)
         # residuals are tiny
         res = roots**8 - 256.0
@@ -58,7 +59,8 @@ class TestRoots:
     def test_aberth_gauss_like_poly(self):
         # realistic Gauss coefficients: c6 ~ -(r2^2 scale), roots near 1 AU
         c6, c3, c0 = -3.0, 1.5, -0.2
-        roots = np.asarray(aberth_deg8(jnp.float64(c0), jnp.float64(c3), jnp.float64(c6)))
+        rt = aberth_deg8(jnp.float64(c0), jnp.float64(c3), jnp.float64(c6))
+        roots = np.asarray(rt.real) + 1j * np.asarray(rt.imag)
         p = roots**8 + c6 * roots**6 + c3 * roots**3 + c0
         assert np.abs(p).max() < 1e-8
         # batched

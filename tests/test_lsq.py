@@ -182,3 +182,24 @@ class TestFixtures:
             # covariance symmetric positive-diagonal
             np.testing.assert_allclose(r.covariance, r.covariance.T, atol=1e-20)
             assert (np.diag(r.covariance) > 0).all()
+
+
+class TestNBodyLsq:
+    def test_nbody_propagator_converges(self, eph):
+        """Diff-cor with the N-body propagator on a short synthetic arc
+        (parity: the N-body sections of tests/test_diff_cor.rs)."""
+        from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
+
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        epochs = 57000.0 + np.array([0.0, 3.0, 7.0, 12.0, 18.0, 25.0])
+        ds = _synth_dataset(eph, kep_true, epochs)
+        cfg = DifferentialCorrectionConfig(
+            propagator=PropagatorKind.n_body(NBodyConfig()),
+            enable_outlier_rejection=False,
+        )
+        res = fit_lsq(ds, eph, _IOD, config=cfg, seed=42)
+        r = res["SYNTH"]
+        assert r.ok and not r.fell_back_to_iod
+        # synthesis was two-body; Sun-only N-body must recover it exactly
+        assert float(r.keplerian.semi_major_axis) == pytest.approx(2.3, abs=1e-7)
+        assert r.normalised_rms < 1e-4
