@@ -128,8 +128,26 @@ def _timed(f):
     return time.time() - t0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: compiles through the axon TPU
+    tunnel take minutes, so artifacts are reused across processes."""
+    import os
+
+    import jax
+
+    d = os.path.expanduser("~/.cache/outfit_tpu/jax_cache")
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+
+    _enable_compile_cache()
 
     log(f"devices: {jax.devices()}")
     target_per_chip = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on v5e-8

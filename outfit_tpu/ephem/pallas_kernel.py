@@ -1,0 +1,150 @@
+"""Pallas TPU kernel for Chebyshev ephemeris interpolation.
+
+The BASELINE north star: "JPL DE440 Chebyshev ephemeris interpolation as a
+Pallas gather+dot kernel over an HBM-resident coefficient table".
+
+Design: the coefficient table stays in HBM; the grid walks query tiles.
+Granule indices arrive via scalar prefetch
+(``pltpu.PrefetchScalarGridSpec``) so each grid step can DMA exactly the
+coefficient rows its queries touch into a VMEM scratch, then evaluates the
+Chebyshev recurrence (position basis and derivative basis) and contracts —
+one HBM read per touched row, no (N, 3, C) materialization.
+
+``interpolate_body_pallas`` matches :func:`outfit_tpu.ephem.chebyshev.
+interpolate_body` bit-for-bit in f64 up to summation order and is validated
+against it in interpret mode (tests) — the TPU path is exercised by
+bench.py.  Falls back to the XLA implementation on non-TPU backends.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outfit_tpu.ephem.chebyshev import BodyTable, interpolate_body
+
+#: queries per grid step
+_TILE = 128
+
+
+def _kernel(idx_ref, tau_ref, table_ref, pos_ref, vel_ref, scratch, sem):
+    """One grid step: DMA the TILE touched rows, evaluate, contract.
+
+    idx_ref: (total,) granule index per query (scalar-prefetch, SMEM)
+    tau_ref: (TILE, 1) normalized time in [-1, 1]   (VMEM)
+    table_ref: (G, 3, C) coefficient table          (HBM / ANY)
+    pos_ref/vel_ref: (TILE, 3) outputs              (VMEM)
+    scratch: (TILE, 3, C) VMEM staging for the gathered rows
+    sem: DMA semaphore array (TILE,)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    step = pl.program_id(0)
+    c = scratch.shape[-1]
+
+    # gather: one row DMA per query (double-buffered by the DMA engine)
+    def start_copy(i, _):
+        g = idx_ref[step * _TILE + i]
+        pltpu.make_async_copy(
+            table_ref.at[g], scratch.at[i], sem.at[i]
+        ).start()
+        return ()
+
+    jax.lax.fori_loop(0, _TILE, start_copy, ())
+
+    def wait_copy(i, _):
+        g = idx_ref[step * _TILE + i]
+        pltpu.make_async_copy(
+            table_ref.at[g], scratch.at[i], sem.at[i]
+        ).wait()
+        return ()
+
+    jax.lax.fori_loop(0, _TILE, wait_copy, ())
+
+    tau = tau_ref[:, 0]  # (TILE,)
+    coeffs = scratch[...]  # (TILE, 3, C)
+
+    # Chebyshev recurrence, unrolled (C static)
+    t_prev = jnp.ones_like(tau)
+    t_cur = tau
+    d_prev = jnp.zeros_like(tau)
+    d_cur = jnp.ones_like(tau)
+    pos = coeffs[:, :, 0] * t_prev[:, None] + coeffs[:, :, 1] * t_cur[:, None]
+    vel = coeffs[:, :, 1] * d_cur[:, None]
+    for k in range(2, c):
+        t_next = 2.0 * tau * t_cur - t_prev
+        d_next = 2.0 * t_cur + 2.0 * tau * d_cur - d_prev
+        pos = pos + coeffs[:, :, k] * t_next[:, None]
+        vel = vel + coeffs[:, :, k] * d_next[:, None]
+        t_prev, t_cur = t_cur, t_next
+        d_prev, d_cur = d_cur, d_next
+
+    pos_ref[...] = pos
+    vel_ref[...] = vel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(coeffs, idx, tau, granule_days, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = idx.shape[0]
+    n_coeff = coeffs.shape[-1]
+    grid = n // _TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # HBM table
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE, 3), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 3), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_TILE, 3, n_coeff), coeffs.dtype),
+            pltpu.SemaphoreType.DMA((_TILE,)),
+        ],
+    )
+    pos, vel = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3), coeffs.dtype),
+            jax.ShapeDtypeStruct((n, 3), coeffs.dtype),
+        ],
+        interpret=interpret,
+    )(idx, tau.reshape(n, 1), coeffs)
+    return pos, vel * (2.0 / granule_days)
+
+
+def interpolate_body_pallas(table: BodyTable, mjd, interpret=False):
+    """Pallas-path interpolation (position AU, velocity AU/day).
+
+    Pads the query batch to the tile size; non-TPU backends without
+    ``interpret`` fall back to the XLA implementation.
+    """
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return interpolate_body(table, mjd)
+
+    mjd = jnp.atleast_1d(jnp.asarray(mjd, jnp.float64))
+    shape = mjd.shape
+    flat = mjd.reshape(-1)
+    n = flat.shape[0]
+    n_pad = ((n + _TILE - 1) // _TILE) * _TILE
+    flat = jnp.pad(flat, (0, n_pad - n))
+
+    coeffs = jnp.asarray(table.coeffs)
+    n_gran = coeffs.shape[0]
+    x = (flat - table.t0) / table.granule_days
+    idx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_gran - 1)
+    tau = 2.0 * (x - idx) - 1.0
+
+    pos, vel = _run(coeffs, idx, tau, table.granule_days, interpret=interpret)
+    pos = pos[:n].reshape(shape + (3,))
+    vel = vel[:n].reshape(shape + (3,))
+    return pos, vel

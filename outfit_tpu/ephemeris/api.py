@@ -107,3 +107,35 @@ def compute_ephemeris(
                 EphemerisEntry(t, o, error="PropagationFailed or non-finite result")
             )
     return EphemerisResult(entries)
+
+
+def compute_ephemerides_for_results(
+    results,
+    request: EphemerisRequest,
+    ephem,
+    ut1: Optional[Ut1Provider] = None,
+):
+    """Bulk ephemeris generation over a fit-result map.
+
+    Parity: ``FullOrbitResultExt`` (``src/ephemeris/batch.rs:73``) — one
+    EphemerisResult per trajectory id; failed fits yield all-error entries.
+    """
+    out = {}
+    for tid, r in results.items():
+        eqv = getattr(r, "equinoctial", None)
+        if not getattr(r, "ok", False) or eqv is None:
+            pairs = [
+                (e.observer, t) for e in request.entries for t in e.mode.epochs
+            ]
+            out[tid] = EphemerisResult(
+                [
+                    EphemerisEntry(t, o, error=f"fit failed: {getattr(r, 'error', '?')}")
+                    for o, t in pairs
+                ]
+            )
+            continue
+        eq = EquinoctialElements(
+            jnp.float64(r.epoch), *map(jnp.float64, np.asarray(eqv))
+        )
+        out[tid] = compute_ephemeris(eq, request, ephem, ut1)
+    return out

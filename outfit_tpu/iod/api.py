@@ -303,3 +303,26 @@ def fit_full_iod(
             equinoctial=eqv[li],
         )
     return results
+
+
+def fit_iod(
+    observations,
+    ephem,
+    params: IODParams = IODParams(),
+    seed: int = 0,
+    ut1=None,
+    traj_id: str = "TRAJ",
+) -> FitResult:
+    """Single-trajectory IOD from a list of Observation records.
+
+    Parity: ``FitIOD::fit_iod`` (obs_dataset_api.rs:41-127) — convenience
+    wrapper around the batched path for one trajectory.
+    """
+    from outfit_tpu.observations.dataset import ObsDataset
+
+    ds = ObsDataset()
+    for o in observations:
+        ds.push_observation(
+            traj_id, o.mjd_tt, o.ra, o.dec, o.ra_error, o.dec_error, o.observer
+        )
+    return fit_full_iod(ds, ephem, params, seed=seed, ut1=ut1)[traj_id]

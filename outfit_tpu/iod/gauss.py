@@ -35,7 +35,7 @@ from outfit_tpu.constants import GAUSS_GRAV, ROT_EQUMJ2000_TO_ECLMJ2000, VLIGHT_
 from outfit_tpu.elements.orb_elem import ccek1, eccentricity_control
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.roots import aberth_deg8, descartes_upper_bound
-from outfit_tpu.kepler.universal import velocity_correction
+from outfit_tpu.kepler.universal import SolverConfig, velocity_correction
 
 _EPS = float(jnp.finfo(jnp.float64).eps)
 
@@ -220,6 +220,13 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
     dt21 = (tri.time[..., 2] - tri.time[..., 1])[..., None]
     dt_ok = (jnp.abs(dt01) > _EPS) & (jnp.abs(dt21) > _EPS)
 
+    # NR-only solver inside the correction loop — parity with the reference,
+    # whose velocity_correction uses SolverType::default() = NewtonRaphson
+    # with no Brent fallback (velocity.rs:131-138); also keeps the while-loop
+    # body (and TPU compile time) small.  Warm-started chi makes NR reliable,
+    # and the universal Kepler residual is monotone (unique root).
+    vc_cfg = SolverConfig(convergency=params.kepler_eps, auto_fallback=False)
+
     def body(st):
         it, cpos, cvel, cepoch, chi1, chi2, alive, committed, done = st
         x1 = cpos[..., 0, :]
@@ -227,11 +234,11 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
         x3 = cpos[..., 2, :]
         left = velocity_correction(
             x1, x2, cvel, dt01, params.max_perihelion_au, params.max_ecc,
-            chi_guess=chi1, eps=params.kepler_eps,
+            chi_guess=chi1, cfg=vc_cfg,
         )
         right = velocity_correction(
             x3, x2, cvel, dt21, params.max_perihelion_au, params.max_ecc,
-            chi_guess=chi2, eps=params.kepler_eps,
+            chi_guess=chi2, cfg=vc_cfg,
         )
         iter_ok = (left.status == 0) & (right.status == 0)
         chi1n = jnp.where(iter_ok, left.psi, chi1)

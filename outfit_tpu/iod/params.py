@@ -41,6 +41,16 @@ class IODParams:
     newton_max_it: int = 50
     root_imag_eps: float = 1.0e-6
 
+    def to_dict(self) -> dict:
+        """Serde-feature analogue (Cargo.toml:67,81): round-trippable dict."""
+        from dataclasses import asdict
+
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IODParams":
+        return cls(**d)
+
     def validated(self) -> "IODParams":
         """Parity: IODParamsBuilder::build() validation (:544-624)."""
         if self.dt_min <= 0 or self.dt_max_triplet <= self.dt_min:

@@ -71,6 +71,31 @@ class LsqResult:
             EquinoctialElements(self.epoch, *map(jnp.float64, self.equinoctial))
         )
 
+    @property
+    def keplerian_covariance(self):
+        """6x6 covariance propagated to Keplerian space (Sigma' = J Sigma J^T).
+
+        Parity: ``OrbitalElements::to_keplerian`` covariance propagation
+        (orbit_type/mod.rs:323-443).
+        """
+        if self.covariance is None or self.equinoctial is None:
+            return None
+        from outfit_tpu.elements.types import jacobian_equinoctial_to_keplerian
+        from outfit_tpu.elements.uncertainty import propagate_covariance
+
+        eq = EquinoctialElements(self.epoch, *map(jnp.float64, self.equinoctial))
+        j = jacobian_equinoctial_to_keplerian(eq)
+        return np.asarray(propagate_covariance(jnp.asarray(self.covariance), j))
+
+    @property
+    def keplerian_uncertainties(self):
+        """Per-element 1-sigma in Keplerian space (parity: uncertainty.rs
+        from_covariance diagonal square roots)."""
+        cov = self.keplerian_covariance
+        if cov is None:
+            return None
+        return np.sqrt(np.maximum(np.diag(cov), 0.0))
+
 
 _jit_cache = {}
 

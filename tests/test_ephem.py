@@ -157,3 +157,26 @@ class TestNaifRoundTrip:
     def test_missing_file_raises(self):
         with pytest.raises(FileNotFoundError):
             JPLEphem.new("horizon:DE440", path=None)
+
+
+class TestPallasKernel:
+    def test_matches_xla_path_interpret(self, eph):
+        """The Pallas gather+dot kernel (interpret mode) must match the XLA
+        interpolation to machine precision."""
+        from outfit_tpu.ephem.pallas_kernel import interpolate_body_pallas
+
+        tb = eph.tables[Body.EMB]
+        t = jnp.linspace(56010.0, 57990.0, 300)
+        p0, v0 = interpolate_body(tb, t)
+        p1, v1 = interpolate_body_pallas(tb, t, interpret=True)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-15)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-16)
+
+    def test_non_tile_aligned_batch(self, eph):
+        from outfit_tpu.ephem.pallas_kernel import interpolate_body_pallas
+
+        tb = eph.tables[Body.MOON]
+        t = jnp.linspace(56010.0, 56100.0, 37)  # not a multiple of 128
+        p0, _ = interpolate_body(tb, t)
+        p1, _ = interpolate_body_pallas(tb, t, interpret=True)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-15)
