@@ -164,3 +164,34 @@ class TestObserverCache:
         np.testing.assert_allclose(
             np.asarray(cache.helio_pos_equ), np.asarray(earth), atol=1e-15
         )
+
+
+class TestNativeParser:
+    def test_native_matches_python(self):
+        """The C parser must agree field-for-field with the Python one."""
+        from outfit_tpu.native import native_available, parse_file_native
+        from outfit_tpu.observations.mpc80 import parse_file
+
+        if not native_available():
+            pytest.skip("no C compiler available")
+        for name in ("2015AB", "8467", "33803", "K25D50B"):
+            path = f"{DATA}/{name}.obs"
+            py = parse_file(path)
+            mjd, ra, dec, mag, ids, codes, disc = parse_file_native(path)
+            assert len(py) == len(mjd)
+            for i, r in enumerate(py):
+                assert abs(r.mjd_tt - mjd[i]) < 1e-9
+                assert abs(r.ra - ra[i]) < 1e-12
+                assert abs(r.dec - dec[i]) < 1e-12
+                assert r.traj_id == ids[i]
+                assert r.observatory == codes[i]
+
+    def test_dataset_native_vs_python_identical(self):
+        files = [f"{DATA}/{n}.obs" for n in ("2015AB", "8467")]
+        ds_n = ObsDataset.from_mpc_80_col_files(files, native=True)
+        ds_p = ObsDataset.from_mpc_80_col_files(files, native=False)
+        assert ds_n.traj_ids == ds_p.traj_ids
+        np.testing.assert_allclose(ds_n.mjd_tt, ds_p.mjd_tt, atol=1e-9)
+        np.testing.assert_array_equal(ds_n.traj_index, ds_p.traj_index)
+        np.testing.assert_array_equal(ds_n.observer_index, ds_p.observer_index)
+        np.testing.assert_allclose(ds_n.ra, ds_p.ra, atol=1e-13)
