@@ -67,6 +67,16 @@ class FitResult:
         return KeplerianElements(self.epoch, e[0], e[1], e[2], e[3], e[4], e[5])
 
 
+def _bucket(n: int, floor: int = 8) -> int:
+    """Round up to the next power of two (>= floor): ragged trajectories
+    land in a handful of padded shapes instead of recompiling per dataset
+    (SURVEY hard-part #3 bucketing policy)."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 def stable_hash(traj_id: str) -> int:
     """Order-stable trajectory hash (determinism contract,
     obs_dataset_api.rs:277-296)."""
@@ -235,6 +245,7 @@ def fit_full_iod(
         return results
 
     n_max = max(len(idx) for _, idx in traj_rows)
+    n_max = _bucket(n_max)  # stable padded shapes -> compilation-cache hits
     T = len(traj_rows)
     obs_mjd = np.zeros((T, n_max))
     obs_ra = np.zeros((T, n_max))

@@ -41,6 +41,26 @@ class IODParams:
     newton_max_it: int = 50
     root_imag_eps: float = 1.0e-6
 
+    def __str__(self) -> str:
+        """Pretty printer (parity: IODParams Display, mod.rs:632-789)."""
+        lines = ["IODParams {"]
+        for section, keys in [
+            ("triplets / Monte-Carlo", ["n_noise_realizations", "noise_scale",
+             "extf", "dtmax", "dt_min", "dt_max_triplet",
+             "optimal_interval_time", "max_obs_for_triplets", "max_triplets",
+             "gap_max"]),
+            ("physical filters", ["max_ecc", "max_perihelion_au", "min_rho2_au",
+             "r2_min_au", "r2_max_au"]),
+            ("solvers", ["aberth_max_iter", "aberth_eps", "kepler_eps",
+             "max_tested_solutions", "newton_eps", "newton_max_it",
+             "root_imag_eps"]),
+        ]:
+            lines.append(f"  # {section}")
+            for k in keys:
+                lines.append(f"  {k}: {getattr(self, k)}")
+        lines.append("}")
+        return "\n".join(lines)
+
     def to_dict(self) -> dict:
         """Serde-feature analogue (Cargo.toml:67,81): round-trippable dict."""
         from dataclasses import asdict

@@ -156,7 +156,9 @@ def fit_lsq(
         return results
 
     helio = np.asarray(cache.helio_pos_equ)
-    n_max = max(len(dataset.trajectory_obs_indices(tid)) for tid, _ in rows)
+    from outfit_tpu.iod.api import _bucket
+
+    n_max = _bucket(max(len(dataset.trajectory_obs_indices(tid)) for tid, _ in rows))
     T = len(rows)
     arr = {
         k: np.zeros((T, n_max))

@@ -69,3 +69,30 @@ def test_gmst_batched():
     assert g.shape == (3,)
     assert np.all((g >= 0) & (g < 2 * np.pi))
     assert g[0] == pytest.approx(4.851925725092499, abs=1e-13)
+
+
+def test_ut1_provider_finals_parsing(tmp_path):
+    """Synthetic IERS finals2000A fixed-width rows -> interpolated DUT1."""
+    from outfit_tpu.time.scales import Ut1Provider
+
+    lines = []
+    for mjd, dut1 in [(57000, 0.40), (57001, 0.38), (57002, 0.36)]:
+        # columns: MJD at 7:15, UT1-UTC at 58:68
+        line = " " * 7 + f"{mjd:8.2f}" + " " * 43 + f"{dut1:10.7f}" + " " * 20
+        lines.append(line)
+    p = tmp_path / "finals2000A.all"
+    p.write_text("\n".join(lines))
+    ut1 = Ut1Provider.from_finals2000a(str(p))
+    assert ut1.dut1_seconds(57000.0) == pytest.approx(0.40)
+    assert ut1.dut1_seconds(57000.5) == pytest.approx(0.39)
+    # ut1 epoch = utc + dut1
+    assert float(ut1.utc_mjd_to_ut1(57001.0)) == pytest.approx(
+        57001.0 + 0.38 / 86400.0, abs=1e-12
+    )
+
+
+def test_ut1_default_is_zero_dut1():
+    from outfit_tpu.time.scales import Ut1Provider
+
+    ut1 = Ut1Provider()
+    assert ut1.dut1_seconds(57000.0) == 0.0
