@@ -106,8 +106,8 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
 
     eye = np.eye(8, dtype=bool)
 
-    def body(_, z):
-        zr, zi = z
+    def body(carry):
+        it, zr, zi, _all_conv = carry
         pr, pi = p(zr, zi)
         dpr, dpi = dp(zr, zi)
         nr, ni = _cdiv(pr, pi, dpr, dpi)  # Newton correction
@@ -130,11 +130,19 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
         zmag = jnp.sqrt(zr * zr + zi * zi)
         conv = wmag <= jnp.minimum(eps, 1e-13) * (1.0 + zmag)
         return (
+            it + 1,
             jnp.where(conv, zr, zr - wr),
             jnp.where(conv, zi, zi - wi),
+            jnp.all(conv),
         )
 
-    zr, zi = jax.lax.fori_loop(0, max_iter, body, (zr, zi))
+    def cond(carry):
+        it, _, _, all_conv = carry
+        return (it < max_iter) & ~all_conv
+
+    _, zr, zi, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0, jnp.int32), zr, zi, jnp.array(False))
+    )
     order = jnp.argsort(zr, axis=-1)
     return ComplexRoots(
         jnp.take_along_axis(zr, order, axis=-1),
