@@ -314,3 +314,48 @@ class TestSolverJit:
         e0 = 0.5 * v_peri**2 - mu / r_peri
         e1 = 0.5 * float(jnp.sum(res.v1**2)) - mu / float(jnp.linalg.norm(res.r1))
         assert e1 == pytest.approx(e0, rel=1e-9)
+
+
+class TestPropertyStyle:
+    """Random-grid invariants mirroring the reference's proptest suites
+    (kepler/mod.rs:89-96 Stumpff invariants; params.rs:194-250 residual
+    checks across regimes)."""
+
+    def test_stumpff_invariants_random_grid(self):
+        rng = np.random.default_rng(123)
+        psi = rng.uniform(-80, 80, 4096)
+        alpha = np.concatenate([
+            -(10.0 ** rng.uniform(-6, 0.5, 2048)),
+            10.0 ** rng.uniform(-6, -0.5, 2048),
+        ])
+        s0, s1, s2, s3 = (np.asarray(x) for x in s_funct(jnp.asarray(psi), jnp.asarray(alpha)))
+        # defining relations s0 = 1 + alpha*s2, s1 = psi + alpha*s3
+        np.testing.assert_allclose(s0, 1.0 + alpha * s2, rtol=3e-11, atol=3e-11)
+        np.testing.assert_allclose(s1, psi + alpha * s3, rtol=3e-11, atol=3e-11)
+
+    def test_kepler_residual_random_regimes(self):
+        """solve_kepuni residuals vanish across random elliptic/hyperbolic
+        parameter draws (parity: params.rs proptest)."""
+        rng = np.random.default_rng(7)
+        n = 2048
+        mu = GAUSS_GRAV_SQUARED
+        r0 = rng.uniform(0.1, 10.0, n)
+        sig0 = rng.uniform(-0.05, 0.05, n)
+        alpha = np.concatenate([
+            -(10.0 ** rng.uniform(-4, 0.3, n // 2)),
+            10.0 ** rng.uniform(-4, -0.5, n - n // 2),
+        ])
+        e0 = np.sqrt(np.maximum(1.0 + alpha * rng.uniform(0.001, 4.0, n) / mu, 0.0))
+        dt = rng.uniform(-400, 400, n)
+        p = KeplerParams(
+            dt=jnp.asarray(dt), r0=jnp.asarray(r0), sig0=jnp.asarray(sig0),
+            mu=jnp.full(n, mu), alpha=jnp.asarray(alpha), e0=jnp.asarray(e0),
+        )
+        sol = solve_kepuni(p, SolverConfig())
+        conv = np.asarray(sol.converged)
+        assert conv.mean() > 0.97
+        res = np.asarray(
+            p.r0 * sol.s1 + p.sig0 * sol.s2 + sol.s3 - jnp.sqrt(p.mu) * p.dt
+        )
+        tol = 1e-9 * (1.0 + np.abs(np.sqrt(mu) * dt))
+        assert (np.abs(res)[conv] <= tol[conv]).all()
