@@ -20,6 +20,10 @@ double precision, so importing this package enables ``jax_enable_x64``.
 from jax import config as _jax_config
 
 _jax_config.update("jax_enable_x64", True)
+# TPU matmuls on f32 inputs default to bf16 mantissa passes; the mixed-
+# precision IOD path needs true-f32 contractions (they are 3x3 einsums —
+# full precision is free) or the rho solve loses ~5 digits.
+_jax_config.update("jax_default_matmul_precision", "highest")
 
 from outfit_tpu import constants  # noqa: E402,F401
 from outfit_tpu.constants import (  # noqa: E402,F401

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from outfit_tpu.constants import DPI, GAUSS_GRAV_SQUARED
 
-_EPS = jnp.finfo(jnp.float64).eps
+_EPS = float(jnp.finfo(jnp.float64).eps)
 
 KIND_KEPLERIAN = 0
 KIND_COMETARY = 1
@@ -39,8 +39,11 @@ def eccentricity_control(position, velocity, peri_max, ecc_max):
     Parity: ``src/orb_elem.rs:257-301``.  Degenerate angular momentum lanes
     return accepted=False (the reference returns None there).
     """
-    position = jnp.asarray(position, jnp.float64)
-    velocity = jnp.asarray(velocity, jnp.float64)
+    dtype = jnp.result_type(position, velocity)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    position = jnp.asarray(position, dtype)
+    velocity = jnp.asarray(velocity, dtype)
     mu = GAUSS_GRAV_SQUARED
 
     v2 = jnp.sum(velocity * velocity, axis=-1)
@@ -73,8 +76,11 @@ def ccek1(position, velocity):
     J2000 frame (the reference rotates equatorial states before calling, see
     ``gauss.rs:906-923``); the routine itself is frame-agnostic.
     """
-    position = jnp.asarray(position, jnp.float64)
-    velocity = jnp.asarray(velocity, jnp.float64)
+    dtype = jnp.result_type(position, velocity)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    position = jnp.asarray(position, dtype)
+    velocity = jnp.asarray(velocity, dtype)
     mu = GAUSS_GRAV_SQUARED
 
     # 1) angular momentum and orbital plane

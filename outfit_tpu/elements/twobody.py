@@ -39,13 +39,14 @@ def solve_generalized_kepler(eq: EquinoctialElements, mean_longitude_t1, max_ite
 
     Parity: ``solve_kepler_equation`` (:326-348).  Returns (F, converged).
     """
-    tol = 100.0 * _EPS
+    eps = float(jnp.finfo(jnp.asarray(mean_longitude_t1).dtype).eps)
+    tol = 100.0 * eps
 
     def body(carry):
         it, f, done = carry
         res = f - eq.k * jnp.sin(f) + eq.h * jnp.cos(f) - mean_longitude_t1
         der = 1.0 - eq.k * jnp.cos(f) - eq.h * jnp.sin(f)
-        step = -res / jnp.where(jnp.abs(der) > _EPS, der, _EPS)
+        step = -res / jnp.where(jnp.abs(der) > eps, der, eps)
         fn = jnp.where(done, f, f + step)
         done = done | (jnp.abs(step) <= tol)
         return it + 1, fn, done
@@ -81,10 +82,16 @@ def propagate_twobody(
     """Propagate equinoctial elements to t1 (Cartesian state + partials)."""
     a = eq.semi_major_axis
     h, k, p, q = eq.h, eq.k, eq.p, eq.q
+    # Epoch differences are taken at the epochs' own precision (f64 MJDs),
+    # THEN cast to the elements' working dtype — f32 cannot hold an absolute
+    # MJD to better than ~6 minutes, but holds a day-scale dt to ~1e-5 d.
     dt = jnp.broadcast_to(
         jnp.asarray(t1) - jnp.asarray(t0),
         jnp.broadcast_shapes(jnp.shape(a), jnp.shape(jnp.asarray(t1))),
     )
+    wdtype = jnp.result_type(a, h, k)
+    if jnp.issubdtype(wdtype, jnp.floating):
+        dt = dt.astype(wdtype)
 
     n = jnp.sqrt(mu / a**3)
     lam1 = eq.mean_longitude + n * dt
@@ -123,7 +130,7 @@ def propagate_twobody(
     vel = v_xe[..., None] * f_vec + v_ye[..., None] * g_vec
 
     if not compute_derivatives:
-        zero = jnp.zeros(pos.shape[:-1] + (6, 3))
+        zero = jnp.zeros(pos.shape[:-1] + (6, 3), pos.dtype)
         return TwoBodyResult(pos, vel, zero, zero, converged)
 
     # --- analytic partials (compute_derivative :442-584) ---------------------

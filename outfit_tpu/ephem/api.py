@@ -39,7 +39,24 @@ class JPLEphem:
     when present.
     """
 
-    def __init__(self, tables: Dict[Body, BodyTable], emrat: float = EMRAT, kind: str = "analytic"):
+    def __init__(
+        self,
+        tables="analytic:builtin",
+        emrat: float = EMRAT,
+        kind: str = "analytic",
+        path: Optional[str] = None,
+    ):
+        """Accepts either a resolved ``{Body: BodyTable}`` dict or a source
+        string (``"analytic:builtin"``, ``"horizon:DE440"``, ``"naif:DE440"``)
+        — the string form mirrors the reference's ``Outfit::new("horizon:DE440",
+        ...)`` ergonomics (download_jpl_file.rs:87-126) and delegates to
+        :meth:`new`."""
+        if isinstance(tables, str):
+            resolved = JPLEphem.new(tables, path=path)
+            self.tables = resolved.tables
+            self.emrat = resolved.emrat
+            self.kind = resolved.kind
+            return
         self.tables = tables
         self.emrat = float(emrat)
         self.kind = kind

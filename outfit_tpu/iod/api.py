@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN
+from outfit_tpu.constants import ROT_EQUMJ2000_TO_ECLMJ2000
+from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN, ccek1
 from outfit_tpu.elements.types import (
     CometaryElements,
     EquinoctialElements,
@@ -36,7 +37,12 @@ from outfit_tpu.elements.types import (
     cometary_to_equinoctial,
     keplerian_to_equinoctial,
 )
-from outfit_tpu.iod.gauss import GaussTriplets, candidates_to_elements, gauss_candidates
+from outfit_tpu.iod.gauss import (
+    GaussTriplets,
+    candidates_to_elements,
+    gauss_candidates,
+    polish_selected,
+)
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.scoring import rms_orbit_error
 from outfit_tpu.iod.triplets import generate_triplet_indices, select_rms_interval
@@ -99,33 +105,52 @@ def _lane_select(rms, valid, corrected):
     return best, best_rms
 
 
-def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: IODParams):
-    """Jitted core: candidates -> elements -> scores -> per-lane best."""
-    cands = gauss_candidates(tri, params)
-    state_elems = candidates_to_elements(cands)
-
-    kind = state_elems.kind  # (L, 8)
-    el = state_elems.elements  # (L, 8, 6)
-
-    # equinoctial conversion for scoring (Keplerian or hyperbolic Cometary)
+def _to_equinoctial(kind, el, epoch):
+    """Element-set-aware equinoctial conversion (Keplerian or hyperbolic
+    Cometary), masked per lane."""
     kep = KeplerianElements(
-        cands.epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+        epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
     )
     eq_from_kep = keplerian_to_equinoctial(kep)
     com = CometaryElements(
-        cands.epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+        epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
     )
     eq_from_com = cometary_to_equinoctial(com)
     is_kep = kind == KIND_KEPLERIAN
-    eq = EquinoctialElements(
-        cands.epoch,
+    return EquinoctialElements(
+        epoch,
         *[
             jnp.where(is_kep, a, jnp.where(jnp.isfinite(b), b, 0.0))
             for a, b in zip(eq_from_kep[1:], eq_from_com[1:])
         ],
     )
 
+
+def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: IODParams):
+    """Jitted core: candidates -> elements -> scores -> per-lane best.
+
+    ``params.precision == "mixed"`` runs root-finding, the f-g correction
+    loop, and RMS scoring in f32 (native-rate on TPU, ~8x the emulated-f64
+    ALU throughput), selects the winner, then recovers f64 accuracy for that
+    single candidate per lane via :func:`polish_selected` + an f64 rescore.
+    Times (MJD epochs) stay f64 throughout — only day-scale differences are
+    cast down (f32 cannot hold an absolute MJD to better than ~6 minutes).
+    """
+    mixed = params.precision == "mixed"
+    cands = gauss_candidates(
+        tri, params, work_dtype=jnp.float32 if mixed else None
+    )
+    state_elems = candidates_to_elements(cands)
+
+    kind = state_elems.kind  # (L, K)
+    el = state_elems.elements  # (L, K, 6)
+    eq = _to_equinoctial(kind, el, cands.epoch)
+
     mjd, ra, dec, sra, sdec, helio = obs_arrays
+    if mixed:
+        ra, dec, sra, sdec, helio = (
+            x.astype(jnp.float32) for x in (ra, dec, sra, sdec, helio)
+        )
     obs_mjd = mjd[lane_traj][:, None, :]  # (L, 1, N)
     obs_ra = ra[lane_traj][:, None, :]
     obs_dec = dec[lane_traj][:, None, :]
@@ -136,21 +161,56 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
 
     rms = rms_orbit_error(
         eq, obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio, wmask
-    )  # (L, 8)
+    )  # (L, K)
 
     best_cand, best_rms = _lane_select(rms, cands.valid, cands.corrected)
 
     take = lambda x: jnp.take_along_axis(
         x, best_cand.reshape(best_cand.shape + (1,) * (x.ndim - 1)), axis=1
     )[:, 0]
-    return (
-        best_rms,
-        take(kind),
-        take(el),
-        take(eq.vector),
+
+    if not mixed:
+        return (
+            best_rms,
+            take(kind),
+            take(el),
+            take(eq.vector),
+            take(cands.epoch),
+            take(cands.corrected),
+        )
+
+    # --- f64 polish + rescore of the single selected candidate per lane -----
+    ppos, pvel, pepoch, pcorr = polish_selected(
+        tri,
+        take(cands.r2),
+        take(cands.pos),
+        take(cands.vel),
         take(cands.epoch),
         take(cands.corrected),
+        take(cands.chi1),
+        take(cands.chi2),
+        params,
+        params.polish_max_it,
     )
+    rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000)
+    kind64, el64 = ccek1(
+        jnp.einsum("ij,...j->...i", rot, ppos[..., 1, :]),
+        jnp.einsum("ij,...j->...i", rot, pvel),
+    )
+    eq64 = _to_equinoctial(kind64, el64, pepoch)
+    mjd64, ra64, dec64, sra64, sdec64, helio64 = obs_arrays
+    rms64 = rms_orbit_error(
+        eq64,
+        mjd64[lane_traj],
+        ra64[lane_traj],
+        dec64[lane_traj],
+        sra64[lane_traj],
+        sdec64[lane_traj],
+        helio64[lane_traj],
+        window_mask,
+    )
+    best64 = jnp.where(jnp.isfinite(best_rms), rms64, jnp.inf)
+    return (best64, kind64, el64, eq64.vector, pepoch, pcorr)
 
 
 _iod_kernel_jit = jax.jit(_iod_kernel, static_argnames=("params",))

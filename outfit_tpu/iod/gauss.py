@@ -56,11 +56,14 @@ class GaussTriplets(NamedTuple):
 class GaussCandidates(NamedTuple):
     """Per-(lane, root) candidate states after accept + correction."""
 
-    pos: jnp.ndarray  # (L, 8, 3, 3) positions at the three epochs (equ J2000)
-    vel: jnp.ndarray  # (L, 8, 3) velocity at central epoch
-    epoch: jnp.ndarray  # (L, 8) light-time-corrected reference epoch
-    valid: jnp.ndarray  # (L, 8) accept_root passed
-    corrected: jnp.ndarray  # (L, 8) f-g correction committed and survived
+    pos: jnp.ndarray  # (L, K, 3, 3) positions at the three epochs (equ J2000)
+    vel: jnp.ndarray  # (L, K, 3) velocity at central epoch
+    epoch: jnp.ndarray  # (L, K) light-time-corrected reference epoch (f64)
+    valid: jnp.ndarray  # (L, K) accept_root passed
+    corrected: jnp.ndarray  # (L, K) f-g correction committed and survived
+    chi1: jnp.ndarray  # (L, K) final left universal-anomaly warm start
+    chi2: jnp.ndarray  # (L, K) final right universal-anomaly warm start
+    r2: jnp.ndarray  # (L, K) the degree-8 root (central heliocentric dist)
 
 
 def unit_vectors(ra, dec):
@@ -89,15 +92,22 @@ def _inv3(m):
         ],
         axis=-2,
     )
-    det_safe = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    tiny = float(jnp.finfo(jnp.asarray(det).dtype).tiny)
+    det_safe = jnp.where(jnp.abs(det) > tiny, det, 1.0)
     return adj / det_safe[..., None, None], det
 
 
 def gauss_prelim(tri: GaussTriplets):
-    """tau1/tau3, LOS matrix S (columns = unit vectors), S^-1, a, b vectors."""
+    """tau1/tau3, LOS matrix S (columns = unit vectors), S^-1, a, b vectors.
+
+    The working dtype follows ``tri.ra`` (f32 in the mixed-precision path);
+    ``tri.time`` stays f64 — absolute MJDs do not fit in f32 — and only the
+    day-scale differences are cast down.
+    """
+    dtype = jnp.asarray(tri.ra).dtype
     t = tri.time
-    tau1 = GAUSS_GRAV * (t[..., 0] - t[..., 1])
-    tau3 = GAUSS_GRAV * (t[..., 2] - t[..., 1])
+    tau1 = (GAUSS_GRAV * (t[..., 0] - t[..., 1])).astype(dtype)
+    tau3 = (GAUSS_GRAV * (t[..., 2] - t[..., 1])).astype(dtype)
     tau13 = tau3 - tau1
     a = jnp.stack(
         [tau3 / tau13, -jnp.ones_like(tau1), -(tau1 / tau13)], axis=-1
@@ -113,7 +123,7 @@ def gauss_prelim(tri: GaussTriplets):
     u = unit_vectors(tri.ra, tri.dec)  # (L, 3epoch, 3coord)
     s_mat = jnp.swapaxes(u, -1, -2)  # columns are unit vectors
     s_inv, det = _inv3(s_mat)
-    nonsingular = jnp.abs(det) > 1e2 * _EPS
+    nonsingular = jnp.abs(det) > 1e2 * float(jnp.finfo(dtype).eps)
     return tau1, tau3, s_mat, s_inv, a, b, u, nonsingular
 
 
@@ -160,17 +170,149 @@ def gibbs_velocity(pos, tau1, tau3):
     return GAUSS_GRAV * jnp.einsum("...j,...jc->...c", d, pos)
 
 
-def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
-    """Roots -> accepted prelim states -> f-g corrected states, all masked."""
+
+def _fg_correction(
+    tri_b: GaussTriplets,
+    s_inv_b,
+    u_b,
+    dt01,
+    dt21,
+    pos,
+    vel,
+    epoch,
+    chi1,
+    chi2,
+    alive0,
+    params: IODParams,
+    max_it: int,
+):
+    """Two-sided Lagrange f-g refinement (gauss.rs:1284-1418), shared by the
+    main kernel (per-candidate axis) and the f64 polish pass (selected
+    candidate only).  ``tri_b``/``s_inv_b``/``u_b`` must broadcast against the
+    state batch shape; ``epoch`` stays f64 while positions/velocities run in
+    ``pos.dtype``.  Returns (pos, vel, epoch, chi1, chi2, alive, committed).
+    """
+    dtype = jnp.asarray(pos).dtype
+    feps = float(jnp.finfo(dtype).eps)
+    # rel-step convergence floored at ~10 eps of the working dtype so f32
+    # lanes can actually finish instead of burning the iteration budget
+    done_eps = max(params.newton_eps, 10.0 * feps)
+
+    # NR-only solver inside the correction loop — parity with the reference,
+    # whose velocity_correction uses SolverType::default() = NewtonRaphson
+    # with no Brent fallback (velocity.rs:131-138); also keeps the while-loop
+    # body (and TPU compile time) small.  Warm-started chi makes NR reliable,
+    # and the universal Kepler residual is monotone (unique root).
+    vc_cfg = SolverConfig(convergency=params.kepler_eps, auto_fallback=False)
+
+    def body(st):
+        it, cpos, cvel, cepoch, chi1, chi2, alive, committed, done = st
+        x1 = cpos[..., 0, :]
+        x2 = cpos[..., 1, :]
+        x3 = cpos[..., 2, :]
+        left = velocity_correction(
+            x1, x2, cvel, dt01, params.max_perihelion_au, params.max_ecc,
+            chi_guess=chi1, cfg=vc_cfg,
+        )
+        right = velocity_correction(
+            x3, x2, cvel, dt21, params.max_perihelion_au, params.max_ecc,
+            chi_guess=chi2, cfg=vc_cfg,
+        )
+        iter_ok = (left.status == 0) & (right.status == 0)
+        chi1n = jnp.where(iter_ok, left.psi, chi1)
+        chi2n = jnp.where(iter_ok, right.psi, chi2)
+
+        new_vel = 0.5 * (left.v2_corrected + right.v2_corrected)
+        fl = left.f * right.g - right.f * left.g
+        fl_ok = jnp.isfinite(fl) & (jnp.abs(fl) > feps)
+        inv_f = 1.0 / jnp.where(fl_ok, fl, 1.0)
+        cv = jnp.stack(
+            [right.g * inv_f, -jnp.ones_like(inv_f), -left.g * inv_f], axis=-1
+        )
+        new_pos, new_epoch, rho_ok = _positions_from_cvec(
+            tri_b, s_inv_b, u_b, cv, params.min_rho2_au,
+        )
+        acc_i, _, _, _ = eccentricity_control(
+            new_pos[..., 1, :], new_vel, params.max_perihelion_au, params.max_ecc
+        )
+        # hard reject: dynamically unacceptable -> candidate loses correction
+        hard_reject = iter_ok & fl_ok & rho_ok & ~acc_i
+        commit = iter_ok & fl_ok & rho_ok & acc_i & alive & ~done
+
+        denom = jnp.sqrt(jnp.sum(new_pos**2, axis=(-1, -2)))
+        rel_err = jnp.sqrt(
+            jnp.sum((new_pos - cpos) ** 2, axis=(-1, -2))
+        ) / jnp.where(denom > feps, denom, 1.0)
+
+        cpos = jnp.where(commit[..., None, None], new_pos, cpos)
+        cvel = jnp.where(commit[..., None], new_vel, cvel)
+        cepoch = jnp.where(commit, new_epoch, cepoch)
+        alive = alive & ~hard_reject
+        committed = committed | commit
+        done = done | (commit & (rel_err <= done_eps))
+        return (it + 1, cpos, cvel, cepoch, chi1n, chi2n, alive, committed, done)
+
+    def cond(st):
+        it, *_, alive, _committed, done = st
+        # keep iterating while some candidate is alive and unconverged
+        return (it < max_it) & jnp.any(alive & ~done)
+
+    init = (
+        jnp.array(0, jnp.int32),
+        pos,
+        vel,
+        epoch,
+        chi1,
+        chi2,
+        alive0,
+        jnp.zeros_like(alive0),
+        jnp.zeros_like(alive0),
+    )
+    _, cpos, cvel, cepoch, chi1, chi2, alive, committed, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    return cpos, cvel, cepoch, chi1, chi2, alive, committed
+
+
+def gauss_candidates(
+    tri: GaussTriplets, params: IODParams, work_dtype=None
+) -> GaussCandidates:
+    """Roots -> accepted prelim states -> f-g corrected states, all masked.
+
+    ``work_dtype`` selects the precision of the ITERATIVE stages (Aberth,
+    the f-g correction loop); the one-shot prelim algebra (LOS matrix
+    inverse, polynomial coefficients, singularity gate) always runs at the
+    input precision — it is O(1) per lane and its conditioning (near-coplanar
+    triplets have |det S| ~ 1e-5) is exactly what f32 cannot afford to lose.
+    """
+    dtype = jnp.dtype(work_dtype) if work_dtype is not None else jnp.asarray(tri.ra).dtype
     tau1, tau3, s_mat, s_inv, a, b, u, nonsing = gauss_prelim(tri)
     c0, c3, c6 = coeff_eight_poly(tri, s_mat, s_inv, a, b)
+
+    if dtype != jnp.asarray(tri.ra).dtype:
+        tau1, tau3, s_inv, u, a, b, c0, c3, c6 = (
+            x.astype(dtype) for x in (tau1, tau3, s_inv, u, a, b, c0, c3, c6)
+        )
+        tri = GaussTriplets(
+            tri.ra.astype(dtype),
+            tri.dec.astype(dtype),
+            tri.time,  # absolute MJDs stay f64
+            tri.obs_pos.astype(dtype),
+        )
 
     descartes_ok = descartes_upper_bound(c0, c3, c6) > 0
 
     roots = aberth_deg8(c0, c3, c6, params.aberth_max_iter, params.aberth_eps)
     r2 = roots.real  # (L, 8)
+    # real-root test: the reference's absolute 1e-6 cut assumes f64 Aberth;
+    # in f32 a genuinely real root carries ~|z|*O(100 eps) imaginary noise,
+    # so the threshold is floored at a relative dtype-scaled value
+    feps = float(jnp.finfo(dtype).eps)
+    imag_tol = jnp.maximum(
+        params.root_imag_eps, 100.0 * feps * (1.0 + jnp.abs(r2))
+    )
     root_ok = (
-        (jnp.abs(roots.imag) < params.root_imag_eps)
+        (jnp.abs(roots.imag) < imag_tol)
         & (r2 > 0.0)
         & (r2 >= params.r2_min_au)
         & (r2 <= params.r2_max_au)
@@ -220,86 +362,104 @@ def gauss_candidates(tri: GaussTriplets, params: IODParams) -> GaussCandidates:
     dt21 = (tri.time[..., 2] - tri.time[..., 1])[..., None]
     dt_ok = (jnp.abs(dt01) > _EPS) & (jnp.abs(dt21) > _EPS)
 
-    # NR-only solver inside the correction loop — parity with the reference,
-    # whose velocity_correction uses SolverType::default() = NewtonRaphson
-    # with no Brent fallback (velocity.rs:131-138); also keeps the while-loop
-    # body (and TPU compile time) small.  Warm-started chi makes NR reliable,
-    # and the universal Kepler residual is monotone (unique root).
-    vc_cfg = SolverConfig(convergency=params.kepler_eps, auto_fallback=False)
-
-    def body(st):
-        it, cpos, cvel, cepoch, chi1, chi2, alive, committed, done = st
-        x1 = cpos[..., 0, :]
-        x2 = cpos[..., 1, :]
-        x3 = cpos[..., 2, :]
-        left = velocity_correction(
-            x1, x2, cvel, dt01, params.max_perihelion_au, params.max_ecc,
-            chi_guess=chi1, cfg=vc_cfg,
-        )
-        right = velocity_correction(
-            x3, x2, cvel, dt21, params.max_perihelion_au, params.max_ecc,
-            chi_guess=chi2, cfg=vc_cfg,
-        )
-        iter_ok = (left.status == 0) & (right.status == 0)
-        chi1n = jnp.where(iter_ok, left.psi, chi1)
-        chi2n = jnp.where(iter_ok, right.psi, chi2)
-
-        new_vel = 0.5 * (left.v2_corrected + right.v2_corrected)
-        fl = left.f * right.g - right.f * left.g
-        fl_ok = jnp.isfinite(fl) & (jnp.abs(fl) > _EPS)
-        inv_f = 1.0 / jnp.where(fl_ok, fl, 1.0)
-        cv = jnp.stack(
-            [right.g * inv_f, -jnp.ones_like(inv_f), -left.g * inv_f], axis=-1
-        )
-        new_pos, new_epoch, rho_ok = _positions_from_cvec(
-            tri8, s_inv[..., None, :, :], u[..., None, :, :], cv,
-            params.min_rho2_au,
-        )
-        acc_i, _, _, _ = eccentricity_control(
-            new_pos[..., 1, :], new_vel, params.max_perihelion_au, params.max_ecc
-        )
-        # hard reject: dynamically unacceptable -> candidate loses correction
-        hard_reject = iter_ok & fl_ok & rho_ok & ~acc_i
-        commit = iter_ok & fl_ok & rho_ok & acc_i & alive & ~done
-
-        denom = jnp.sqrt(jnp.sum(new_pos**2, axis=(-1, -2)))
-        rel_err = jnp.sqrt(
-            jnp.sum((new_pos - cpos) ** 2, axis=(-1, -2))
-        ) / jnp.where(denom > _EPS, denom, 1.0)
-
-        cpos = jnp.where(commit[..., None, None], new_pos, cpos)
-        cvel = jnp.where(commit[..., None], new_vel, cvel)
-        cepoch = jnp.where(commit, new_epoch, cepoch)
-        alive = alive & ~hard_reject
-        committed = committed | commit
-        done = done | (commit & (rel_err <= params.newton_eps))
-        return (it + 1, cpos, cvel, cepoch, chi1n, chi2n, alive, committed, done)
-
-    def cond(st):
-        it, *_, alive, _committed, done = st
-        # keep iterating while some candidate is alive and unconverged
-        return (it < params.newton_max_it) & jnp.any(alive & ~done)
-
-    init = (
-        jnp.array(0, jnp.int32),
-        pos,
-        vel,
-        epoch,
-        jnp.zeros_like(epoch),
-        jnp.zeros_like(epoch),
-        valid & dt_ok,
-        jnp.zeros_like(valid),
-        jnp.zeros_like(valid),
-    )
-    _, cpos, cvel, cepoch, _, _, alive, committed, _ = jax.lax.while_loop(
-        cond, body, init
+    chi0 = jnp.zeros(epoch.shape, r2.dtype)
+    cpos, cvel, cepoch, chi1, chi2, alive, committed = _fg_correction(
+        tri8, s_inv[..., None, :, :], u[..., None, :, :],
+        dt01, dt21, pos, vel, epoch, chi0, chi0,
+        valid & dt_ok, params, params.newton_max_it,
     )
 
     corrected = valid & alive & committed
     out_pos = jnp.where(corrected[..., None, None], cpos, pos)
     out_vel = jnp.where(corrected[..., None], cvel, vel)
     out_epoch = jnp.where(corrected, cepoch, epoch)
-    return GaussCandidates(out_pos, out_vel, out_epoch, valid, corrected)
+    return GaussCandidates(
+        out_pos, out_vel, out_epoch, valid, corrected, chi1, chi2, r2
+    )
+
+
+def polish_selected(
+    tri: GaussTriplets,
+    r2,
+    pos,
+    vel,
+    epoch,
+    corrected,
+    chi1,
+    chi2,
+    params: IODParams,
+    max_it: int = 12,
+):
+    """f64 refinement of the per-lane SELECTED candidate (mixed-precision path).
+
+    The f32 kernel decides WHICH root/candidate wins; this pass recovers f64
+    accuracy for that one candidate per lane at ~1/(K * iters) of the full
+    f64 correction cost:
+
+    1. 3 Newton steps on the degree-8 polynomial (f64 coefficients) from the
+       f32 root — quadratic convergence takes 1e-7 -> machine precision,
+    2. f64 rebuild of the prelim state (rho solve + light-time + Gibbs),
+    3. for corrected lanes: continue the two-sided f-g correction in f64 from
+       the (cast) f32 fixed point with chi warm starts.
+
+    ``tri`` must be the f64 triplets.  Returns (pos, vel, epoch, corrected).
+    """
+    tau1, tau3, s_mat, s_inv, a, b, u, _ = gauss_prelim(tri)
+    c0, c3, c6 = coeff_eight_poly(tri, s_mat, s_inv, a, b)
+
+    x = jnp.asarray(r2, jnp.float64)
+    bad_root = ~jnp.isfinite(x) | (x <= 0.0)
+    x = jnp.where(bad_root, 1.0, x)
+    for _ in range(3):
+        x2 = x * x
+        x3 = x2 * x
+        x5 = x3 * x2
+        x6 = x3 * x3
+        x7 = x6 * x
+        x8 = x6 * x2
+        pv = x8 + c6 * x6 + c3 * x3 + c0
+        dpv = 8.0 * x7 + 6.0 * c6 * x5 + 3.0 * c3 * x2
+        dpv = jnp.where(jnp.abs(dpv) > _EPS, dpv, 1.0)
+        # clamp to stay on the positive branch of the same root
+        x = x - jnp.clip(pv / dpv, -0.5 * x, 0.5 * x)
+
+    r2m3 = 1.0 / x**3
+    c_vec = jnp.stack(
+        [
+            a[..., 0] + b[..., 0] * r2m3,
+            -jnp.ones_like(r2m3),
+            a[..., 2] + b[..., 2] * r2m3,
+        ],
+        axis=-1,
+    )
+    pos0, epoch0, _ = _positions_from_cvec(tri, s_inv, u, c_vec, params.min_rho2_au)
+    vel0 = gibbs_velocity(pos0, tau1, tau3)
+
+    # corrected lanes resume from the f32 fixed point; prelim-only lanes take
+    # the f64 prelim rebuild directly (the reference returns the prelim orbit
+    # for them, gauss.rs:1238-1247)
+    cmask = corrected
+    init_pos = jnp.where(cmask[..., None, None], jnp.asarray(pos, jnp.float64), pos0)
+    init_vel = jnp.where(cmask[..., None], jnp.asarray(vel, jnp.float64), vel0)
+    init_epoch = jnp.where(cmask, jnp.asarray(epoch, jnp.float64), epoch0)
+
+    dt01 = tri.time[..., 0] - tri.time[..., 1]
+    dt21 = tri.time[..., 2] - tri.time[..., 1]
+    chi1 = jnp.asarray(chi1, jnp.float64)
+    chi2 = jnp.asarray(chi2, jnp.float64)
+
+    cpos, cvel, cepoch, _, _, alive, committed = _fg_correction(
+        tri, s_inv, u, dt01, dt21,
+        init_pos, init_vel, init_epoch, chi1, chi2,
+        cmask & ~bad_root, params, max_it,
+    )
+    refined = cmask & alive & committed
+    out_pos = jnp.where(refined[..., None, None], cpos, init_pos)
+    out_vel = jnp.where(refined[..., None], cvel, init_vel)
+    out_epoch = jnp.where(refined, cepoch, init_epoch)
+    # the corrected flag is the f32 pass's decision; a lane whose f64 resume
+    # could not commit simply keeps the (cast) f32 fixed point
+    return out_pos, out_vel, out_epoch, corrected
 
 
 def candidates_to_elements(cands: GaussCandidates):
@@ -308,7 +468,7 @@ def candidates_to_elements(cands: GaussCandidates):
     Parity: ``compute_orbit_from_state`` (gauss.rs:906-923) + ccek1.
     Returns (kind (L,8), elements (L,8,6)).
     """
-    rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000)
+    rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000, jnp.asarray(cands.vel).dtype)
     p_ecl = jnp.einsum("ij,...j->...i", rot, cands.pos[..., 1, :])
     v_ecl = jnp.einsum("ij,...j->...i", rot, cands.vel)
     return ccek1(p_ecl, v_ecl)

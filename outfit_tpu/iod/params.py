@@ -41,6 +41,16 @@ class IODParams:
     newton_max_it: int = 50
     root_imag_eps: float = 1.0e-6
 
+    # --- TPU execution policy (no reference counterpart) ---
+    #: "f64" = everything in float64 (emulated on TPU v5e);
+    #: "mixed" = f32 root-finding/correction/scoring + f64 polish of the
+    #: per-lane selected candidate — ~8x faster per chip at seed-grade
+    #: accuracy (the LSQ stage always refines in f64 regardless).
+    precision: str = "f64"
+
+    #: f64 correction iterations in the mixed-precision polish pass.
+    polish_max_it: int = 12
+
     def __str__(self) -> str:
         """Pretty printer (parity: IODParams Display, mod.rs:632-789)."""
         lines = ["IODParams {"]
@@ -54,6 +64,7 @@ class IODParams:
             ("solvers", ["aberth_max_iter", "aberth_eps", "kepler_eps",
              "max_tested_solutions", "newton_eps", "newton_max_it",
              "root_imag_eps"]),
+            ("tpu execution", ["precision", "polish_max_it"]),
         ]:
             lines.append(f"  # {section}")
             for k in keys:
@@ -79,4 +90,6 @@ class IODParams:
             raise ValueError("noise_scale >= 0 and max_triplets >= 1 required")
         if self.r2_min_au <= 0 or self.r2_max_au <= self.r2_min_au:
             raise ValueError("require 0 < r2_min_au < r2_max_au")
+        if self.precision not in ("f64", "mixed"):
+            raise ValueError("precision must be 'f64' or 'mixed'")
         return self

@@ -60,7 +60,8 @@ def _cmul(ar, ai, br, bi):
 
 def _cdiv(ar, ai, br, bi):
     d = br * br + bi * bi
-    d = jnp.where(d > 1e-300, d, 1.0)
+    tiny = float(jnp.finfo(jnp.asarray(d).dtype).tiny)
+    d = jnp.where(d > tiny, d, 1.0)
     return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
 
@@ -70,9 +71,13 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
     Returns a :class:`ComplexRoots` with (..., 8) float64 ``real``/``imag``,
     sorted by real part ascending.
     """
-    c0 = jnp.asarray(c0, jnp.float64)
-    c3 = jnp.asarray(c3, jnp.float64)
-    c6 = jnp.asarray(c6, jnp.float64)
+    dtype = jnp.result_type(c0, c3, c6)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    feps = float(jnp.finfo(dtype).eps)
+    c0 = jnp.asarray(c0, dtype)
+    c3 = jnp.asarray(c3, dtype)
+    c6 = jnp.asarray(c6, dtype)
     shape = jnp.broadcast_shapes(c0.shape, c3.shape, c6.shape)
     c0, c3, c6 = (jnp.broadcast_to(c, shape)[..., None] for c in (c0, c3, c6))
 
@@ -101,8 +106,8 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
     r = jnp.maximum(jnp.abs(c0[..., 0]) ** 0.125, 0.3)[..., None]
     k = np.arange(8)
     theta = 2.0 * np.pi * k / 8.0 + 0.4
-    zr = r * np.cos(theta)
-    zi = r * np.sin(theta)
+    zr = r * jnp.asarray(np.cos(theta), dtype)  # keep the working dtype
+    zi = r * jnp.asarray(np.sin(theta), dtype)
 
     eye = np.eye(8, dtype=bool)
 
@@ -128,7 +133,10 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
         # full fixed iteration count gives full-precision roots.
         wmag = jnp.sqrt(wr * wr + wi * wi)
         zmag = jnp.sqrt(zr * zr + zi * zi)
-        conv = wmag <= jnp.minimum(eps, 1e-13) * (1.0 + zmag)
+        # freeze threshold ~= machine precision of the working dtype
+        # (450*eps(f64) ~= the historical 1e-13), capped by the caller's eps
+        thr = min(eps, 450.0 * feps)
+        conv = wmag <= thr * (1.0 + zmag)
         return (
             it + 1,
             jnp.where(conv, zr, zr - wr),

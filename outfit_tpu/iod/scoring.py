@@ -69,7 +69,7 @@ def ephemeris_error_terms(
         obs_mjd,
         compute_derivatives=False,
     )
-    rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
+    rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000, st.position.dtype)
     pos_equ = jnp.einsum("ij,...j->...i", rot, st.position)
     vel_equ = jnp.einsum("ij,...j->...i", rot, st.velocity)
     ra, dec = apparent_radec(pos_equ, vel_equ, obs_helio_pos_equ)

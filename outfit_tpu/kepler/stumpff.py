@@ -44,7 +44,12 @@ def s_funct(psi, alpha):
 
     Shapes broadcast; outputs have the broadcast shape.
     """
-    psi, alpha = jnp.broadcast_arrays(jnp.asarray(psi, jnp.float64), jnp.asarray(alpha, jnp.float64))
+    dtype = jnp.result_type(psi, alpha)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    psi, alpha = jnp.broadcast_arrays(
+        jnp.asarray(psi, dtype), jnp.asarray(alpha, dtype)
+    )
     beta = alpha * psi * psi
 
     # Closed-form halving count (0 where |beta| already small; log of 0 guarded)
@@ -55,7 +60,7 @@ def s_funct(psi, alpha):
 
     # exact 2^-k via table gather (jnp.ldexp's s64 bitcast does not lower
     # through the TPU x64 rewriter)
-    scale = _POW2NEG[k]
+    scale = _POW2NEG[k].astype(dtype)  # powers of two: exact in any float
     psi_r = psi * scale
     beta_r = beta * scale * scale
 

@@ -31,7 +31,21 @@ from outfit_tpu.constants import GAUSS_GRAV_SQUARED
 from outfit_tpu.kepler.angles import principal_angle
 from outfit_tpu.kepler.stumpff import s_funct
 
-_EPS = jnp.finfo(jnp.float64).eps
+# Python floats stay weakly typed in JAX expressions, so these never promote
+# f32 lanes to f64 (the kernels are dtype-polymorphic: f64 by default, f32 for
+# the mixed-precision fast path).
+_EPS = float(jnp.finfo(jnp.float64).eps)
+
+
+def _feps(x) -> float:
+    """Machine epsilon of ``x``'s dtype as a weak Python float."""
+    return float(jnp.finfo(jnp.asarray(x).dtype).eps)
+
+
+def _conv(cfg: "SolverConfig", x) -> float:
+    """Effective convergence tolerance: the configured value, floored at
+    100*eps of the working dtype (so f32 lanes can actually converge)."""
+    return max(cfg.convergency, 100.0 * _feps(x))
 
 # -- status codes (errors-as-data inside batched kernels) --------------------
 OK = 0
@@ -86,6 +100,7 @@ class KeplerSolution(NamedTuple):
 
 def _prelim_elliptic(p: KeplerParams, cfg: SolverConfig):
     """psi guess for alpha < 0.  Parity: ``prelim_elliptic.rs:72-134``."""
+    conv = _conv(cfg, p.dt)
     neg_alpha = jnp.maximum(-p.alpha, _EPS)  # safe for inactive lanes
     sqrt_na = jnp.sqrt(neg_alpha)
     a0 = 1.0 / neg_alpha
@@ -111,7 +126,7 @@ def _prelim_elliptic(p: KeplerParams, cfg: SolverConfig):
         dres = 1.0 - p.e0 * jnp.cos(u)
         step = -res / dres
         un = jnp.where(done, u, u + step)
-        done = done | (jnp.abs(step) < cfg.convergency * 1e3)
+        done = done | (jnp.abs(step) < conv * 1e3)
         return un, done
 
     u, _ = jax.lax.fori_loop(
@@ -121,11 +136,12 @@ def _prelim_elliptic(p: KeplerParams, cfg: SolverConfig):
     psi = (u - u0) / sqrt_na
     # nearly circular orbit special case
     psi_circ = n * p.dt / sqrt_na
-    return jnp.where(p.e0 < cfg.convergency, psi_circ, psi)
+    return jnp.where(p.e0 < conv, psi_circ, psi)
 
 
 def _prelim_hyperbolic(p: KeplerParams, cfg: SolverConfig):
     """psi guess for alpha > 0.  Parity: ``prelim_hyperbolic.rs:47-140``."""
+    conv = _conv(cfg, p.dt)
     alpha = jnp.maximum(p.alpha, _EPS)
     sqrt_a = jnp.sqrt(alpha)
     a0 = -1.0 / alpha
@@ -155,7 +171,7 @@ def _prelim_hyperbolic(p: KeplerParams, cfg: SolverConfig):
         newton_f = jnp.where(f * cand < 0.0, 0.5 * f, cand)
         fn = jnp.where(small, newton_f, 0.5 * f)
         fn = jnp.where(done, f, fn)
-        done = done | (jnp.abs(fn) < cfg.convergency * 1e3)
+        done = done | (jnp.abs(fn) < conv * 1e3)
         return fn, done
 
     f, _ = jax.lax.fori_loop(
@@ -258,7 +274,9 @@ def _newton(psi0, p: KeplerParams, cfg: SolverConfig):
     Parity: ``run_newton`` (``newton_solver.rs:240-277``); the while_loop
     exits once every lane is done (typically 2-4 iterations warm-started,
     ~10 cold) instead of burning the fixed 50-iteration budget."""
-    res_tol = 10.0 * _EPS * (1.0 + jnp.abs(jnp.sqrt(p.mu) * p.dt))
+    eps = _feps(p.dt)
+    conv = _conv(cfg, p.dt)
+    res_tol = 10.0 * eps * (1.0 + jnp.abs(jnp.sqrt(p.mu) * p.dt))
 
     def body(carry):
         it, psi, done = carry
@@ -266,7 +284,7 @@ def _newton(psi0, p: KeplerParams, cfg: SolverConfig):
         res, der, _ = _residual_and_derivative(psi, p)
 
         res_ok = jnp.abs(res) <= res_tol
-        der_bad = ~jnp.isfinite(der) | (jnp.abs(der) < 10.0 * _EPS)
+        der_bad = ~jnp.isfinite(der) | (jnp.abs(der) < 10.0 * eps)
 
         raw = -res / jnp.where(der_bad, 1.0, der)
         mx = 2.0 * (1.0 + jnp.abs(psi))
@@ -276,8 +294,8 @@ def _newton(psi0, p: KeplerParams, cfg: SolverConfig):
 
         new_psi = jnp.where(der_bad, 0.5 * psi, cand)
         step_conv = (~der_bad) & (
-            (jnp.abs(step) <= cfg.convergency)
-            | (jnp.abs(step) <= cfg.convergency * (1.0 + jnp.abs(new_psi)))
+            (jnp.abs(step) <= conv)
+            | (jnp.abs(step) <= conv * (1.0 + jnp.abs(new_psi)))
         )
 
         psi_next = jnp.where(done | res_ok, psi, new_psi)
@@ -419,13 +437,17 @@ def propagate_universal(
     position/velocity (..., 3), epochs broadcastable to (...).  Failures are
     reported in ``status``; failed lanes carry their (unreliable) values.
     """
-    position = jnp.asarray(position, jnp.float64)
-    velocity = jnp.asarray(velocity, jnp.float64)
+    dtype = jnp.result_type(position, velocity)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    eps = float(jnp.finfo(dtype).eps)
+    position = jnp.asarray(position, dtype)
+    velocity = jnp.asarray(velocity, dtype)
     r0, sig0, alpha, ecc = initial_orbital_state(position, velocity, mu)
-    dt = jnp.asarray(t1) - jnp.asarray(t0)
+    dt = (jnp.asarray(t1) - jnp.asarray(t0)).astype(dtype)
     dt = jnp.broadcast_to(dt, r0.shape)
 
-    mu_arr = jnp.broadcast_to(jnp.asarray(mu, jnp.float64), r0.shape)
+    mu_arr = jnp.broadcast_to(jnp.asarray(mu, dtype), r0.shape)
     params = KeplerParams(dt=dt, r0=r0, sig0=sig0, mu=mu_arr, alpha=alpha, e0=ecc)
     sol = solve_kepuni(params, cfg, psi_guess)
 
@@ -434,7 +456,7 @@ def propagate_universal(
 
     f = 1.0 - sol.s2 / r0
     g = (r0 * sol.s1 + sig0 * sol.s2) / sqrt_mu
-    r1_safe = jnp.where(jnp.abs(r1) > _EPS, r1, 1.0)
+    r1_safe = jnp.where(jnp.abs(r1) > eps, r1, 1.0)
     f_dot = -(sqrt_mu / (r0 * r1_safe)) * sol.s1
     g_dot = 1.0 - sol.s2 / r1_safe
 
@@ -442,12 +464,12 @@ def propagate_universal(
     vel1 = f_dot[..., None] * position + g_dot[..., None] * velocity
 
     status = jnp.where(
-        r0 < _EPS,
+        r0 < eps,
         STATUS_DEGENERATE_STATE,
         jnp.where(
             ~sol.converged,
             STATUS_NO_CONVERGENCE,
-            jnp.where(r1 < _EPS, STATUS_DEGENERATE_STATE, OK),
+            jnp.where(r1 < eps, STATUS_DEGENERATE_STATE, OK),
         ),
     ).astype(jnp.int32)
 
@@ -491,9 +513,13 @@ def velocity_correction(
 
     if cfg is None:
         cfg = SolverConfig(convergency=eps)
-    x1 = jnp.asarray(x1, jnp.float64)
-    x2 = jnp.asarray(x2, jnp.float64)
-    v2 = jnp.asarray(v2, jnp.float64)
+    dtype = jnp.result_type(x1, x2, v2)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.float64
+    deps = float(jnp.finfo(dtype).eps)
+    x1 = jnp.asarray(x1, dtype)
+    x2 = jnp.asarray(x2, dtype)
+    v2 = jnp.asarray(v2, dtype)
 
     mu = GAUSS_GRAV_SQUARED
     r2 = jnp.linalg.norm(x2, axis=-1)
@@ -501,11 +527,14 @@ def velocity_correction(
 
     h = jnp.cross(x2, v2)
     h_norm = jnp.linalg.norm(h, axis=-1)
+    # absolute guard (velocity.rs:118): 1e6*eps(f64) ~ 2.2e-10 — a physical
+    # angular momentum in Gaussian units is ~1e-2, so this must NOT scale
+    # with the working dtype (1e6*eps(f32) would reject every real orbit)
     degenerate = ~jnp.isfinite(h_norm) | (h_norm <= 1e6 * _EPS)
 
     accepted, ecc, _q, energy = eccentricity_control(x2, v2, peri_max, ecc_max)
 
-    dt = jnp.broadcast_to(jnp.asarray(dt, jnp.float64), r2.shape)
+    dt = jnp.broadcast_to(jnp.asarray(dt, dtype), r2.shape)
     params = KeplerParams(
         dt=dt,
         r0=r2,
@@ -519,7 +548,7 @@ def velocity_correction(
     f = 1.0 - sol.s2 / r2
     g = dt - sol.s3 / jnp.sqrt(mu)
 
-    g_min = 100.0 * _EPS * (1.0 + jnp.abs(dt))
+    g_min = 100.0 * deps * (1.0 + jnp.abs(dt))
     g_bad = ~jnp.isfinite(g) | (jnp.abs(g) < g_min)
     g_safe = jnp.where(g_bad, 1.0, g)
 

@@ -247,3 +247,60 @@ class TestDeterminism:
         r_ab = fit_full_iod(ds_ab, eph, p, seed=5)["SYNTH"]
         np.testing.assert_allclose(r_a.equinoctial, r_ab.equinoctial, rtol=0, atol=1e-14)
         assert r_a.rms == pytest.approx(r_ab.rms, abs=1e-13)
+
+
+class TestMixedPrecision:
+    """The mixed-precision path (f32 iterate + f64 polish, IODParams.precision)
+    must match the f64 path at seed grade: same success set, same selected
+    orbit quality, f64-polished elements."""
+
+    def test_closure_matches_f64(self, eph):
+        kep_true = KeplerianElements(
+            *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
+        )
+        epochs = 57000.0 + np.array([0.0, 2.0, 5.0, 9.0, 14.0, 20.0, 27.0, 35.0])
+        ds = _synthesize(eph, kep_true, epochs)
+        r64 = fit_full_iod(ds, eph, IODParams(n_noise_realizations=2), seed=1)["SYNTH"]
+        rmx = fit_full_iod(
+            ds, eph, IODParams(n_noise_realizations=2, precision="mixed"), seed=1
+        )["SYNTH"]
+        assert rmx.ok and rmx.corrected == r64.corrected
+        # same quality class; the winning MC lane may differ on marginal ties
+        assert rmx.rms <= 1.05 * r64.rms + 1e-9
+        kep = equinoctial_to_keplerian(
+            EquinoctialElements(rmx.epoch, *map(jnp.float64, rmx.equinoctial))
+        )
+        assert float(kep.semi_major_axis) == pytest.approx(2.3, abs=0.01)
+        assert float(kep.eccentricity) == pytest.approx(0.15, abs=0.01)
+
+    def test_kernel_batch_parity(self):
+        from __graft_entry__ import _synthetic_batch
+        from outfit_tpu.iod.api import _iod_kernel_jit
+
+        tri, obs_arrays, lane_traj, window = _synthetic_batch(32, 8, 12, seed=3)
+        o64 = _iod_kernel_jit(
+            tri, obs_arrays, lane_traj, window, IODParams().validated()
+        )
+        omx = _iod_kernel_jit(
+            tri, obs_arrays, lane_traj, window,
+            IODParams(precision="mixed").validated(),
+        )
+        r64 = np.asarray(o64[0])
+        rmx = np.asarray(omx[0])
+        # identical success sets
+        assert (np.isfinite(r64) == np.isfinite(rmx)).all()
+        ok = np.isfinite(r64)
+        # selected orbits score equally well (ratio ~ 1, not just close seeds)
+        ratio = rmx[ok] / r64[ok]
+        assert np.median(ratio) < 1.001
+        assert np.percentile(ratio, 95) < 1.05
+        # the f64 polish recovers f64-grade elements wherever the same
+        # candidate won (median over lanes is robust to argmin flips)
+        rel = np.abs(np.asarray(omx[2])[ok] - np.asarray(o64[2])[ok]) / (
+            1.0 + np.abs(np.asarray(o64[2])[ok])
+        )
+        assert np.median(rel) < 1e-8
+
+    def test_bad_precision_rejected(self):
+        with pytest.raises(ValueError):
+            IODParams(precision="f16").validated()
