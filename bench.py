@@ -57,37 +57,47 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
     )
     log(f"IOD warm: {best*1e3:.1f} ms for {n_traj} trajectories")
 
-    # LSQ stage on the same trajectory count
-    rng = np.random.default_rng(5)
+    # LSQ stage: REAL workload — the per-trajectory best IOD seed refined
+    # against the same dynamically-consistent synthetic observations (the
+    # loop does genuine Newton + outlier-rejection iterations; a random-data
+    # workload diverges in ~2 iterations and measures nothing)
+    best_rms, _kind, _el, eqv, epoch, _corr = out
+    lt = np.asarray(lane_traj)
+    rms_np = np.asarray(best_rms)
+    seed_eq = np.zeros((n_traj, 6))
+    seed_ep = np.zeros(n_traj)
+    for t in range(n_traj):
+        lanes = np.nonzero(lt == t)[0]
+        k = lanes[np.argmin(np.where(np.isfinite(rms_np[lanes]), rms_np[lanes], np.inf))]
+        seed_eq[t] = np.asarray(eqv[k])
+        seed_ep[t] = float(epoch[k])
+    ok_seed = np.isfinite(seed_eq).all(axis=1) & (np.abs(seed_eq[:, 0]) < 1e4)
+    seed_eq[~ok_seed] = np.array([2.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+    seed_ep[~ok_seed] = 57000.0
+
+    mjd, ra, dec, sra, sdec, helio = obs_arrays
     T, N = n_traj, n_obs
-    el0 = np.tile(np.array([2.3, 0.05, 0.1, 0.01, 0.02, 1.0]), (T, 1))
-    el0 += 1e-3 * rng.normal(size=(T, 6))
-    ep0 = np.full(T, 57000.0)
-    mjd = 57000.0 + np.sort(rng.uniform(0, 60, (T, N)), axis=1)
-    theta = 2 * np.pi * (mjd - 51544.5) / 365.25
-    helio = np.stack(
-        [np.cos(theta), np.sin(theta) * 0.9175, np.sin(theta) * 0.3978], axis=2
-    )
     obs = ObsArrays(
-        jnp.asarray(mjd),
-        jnp.asarray(rng.uniform(0, 2 * np.pi, (T, N))),
-        jnp.asarray(rng.uniform(-1.0, 1.0, (T, N))),
-        jnp.asarray(np.full((T, N), 2.4e-6)),
-        jnp.asarray(np.full((T, N), 2.4e-6)),
-        jnp.asarray(helio),
-        jnp.asarray(np.ones((T, N), bool)),
+        mjd, ra, dec, sra, sdec,
+        jnp.broadcast_to(jnp.asarray(helio), (T, N, 3)),
+        jnp.ones((T, N), bool),
     )
-    cfg = DifferentialCorrectionConfig()
+    # grace=2: tolerate the routine transient RMS overshoot of the first
+    # Newton step from a Gauss seed (see DifferentialCorrectionConfig docs);
+    # raises real-workload convergence 50% -> 95%
+    cfg = DifferentialCorrectionConfig(divergence_grace_iterations=2)
     lsq_fn = jax.jit(lambda e, t, o: run_differential_correction(e, t, o, cfg))
+    el = jnp.asarray(seed_eq)
+    ep = jnp.asarray(seed_ep)
     t0 = time.time()
-    res = lsq_fn(jnp.asarray(el0), jnp.asarray(ep0), obs)
+    res = lsq_fn(el, ep, obs)
     jax.block_until_ready(res)
     log(f"LSQ kernel compile+first run: {time.time() - t0:.1f}s")
+    conv = float((np.asarray(res.status) == 1).mean())
+    log(f"LSQ converged: {conv*100:.1f}% of trajectories")
 
     best_lsq = min(
-        _timed(
-            lambda: jax.block_until_ready(lsq_fn(jnp.asarray(el0), jnp.asarray(ep0), obs))
-        )
+        _timed(lambda: jax.block_until_ready(lsq_fn(el, ep, obs)))
         for _ in range(repeats)
     )
     log(f"LSQ warm: {best_lsq*1e3:.1f} ms for {T} trajectories")
@@ -157,7 +167,7 @@ def main():
 
     try:
         # scale the batch until the chip is reasonably full or time budget hit
-        value = bench_iod_lsq(n_traj=512)
+        value = bench_iod_lsq(n_traj=2048)  # saturates the chip (~16k IOD lanes)
         result = {
             "metric": "full IOD+LSQ trajectory fits/sec/chip",
             "value": round(value, 2),

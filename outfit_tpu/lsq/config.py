@@ -32,3 +32,10 @@ class DifferentialCorrectionConfig:
     orbital_limits: EquinoctialLimits = EquinoctialLimits()
     free_elements: Tuple[bool, bool, bool, bool, bool, bool] = (True,) * 6
     propagator: PropagatorKind = PropagatorKind.two_body()
+
+    #: Newton iterations exempt from the divergence ratio check (no reference
+    #: counterpart; default 0 = exact reference behavior, diff_cor.rs:356).
+    #: From a Gauss seed the first full Newton step routinely overshoots the
+    #: RMS transiently (e.g. 1.8 -> 7.7 -> 0.02 -> 1e-10); a grace of 2
+    #: recovers those fits instead of falling back to the IOD orbit.
+    divergence_grace_iterations: int = 0

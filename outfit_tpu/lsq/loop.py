@@ -149,6 +149,7 @@ def run_differential_correction(
                 & ~inv_fail
                 & ~bizarre
                 & had_prev
+                & (i.it >= cfg.divergence_grace_iterations)
                 & (res.normalised_rms / i.prev_rms >= cfg.rms_divergence_ratio)
             )
             stagnated = (

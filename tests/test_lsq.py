@@ -203,3 +203,62 @@ class TestNBodyLsq:
         # synthesis was two-body; Sun-only N-body must recover it exactly
         assert float(r.keplerian.semi_major_axis) == pytest.approx(2.3, abs=1e-7)
         assert r.normalised_rms < 1e-4
+
+
+class TestDivergenceGrace:
+    """divergence_grace_iterations=k exempts the first k Newton steps from
+    the 1.5x divergence cut (default 0 = reference diff_cor.rs:356 parity);
+    a Gauss seed's first full step routinely overshoots transiently."""
+
+    def test_grace_recovers_transient_overshoot(self):
+        import numpy as np
+        from __graft_entry__ import _synthetic_batch
+        from outfit_tpu.iod.api import _iod_kernel_jit
+        from outfit_tpu.iod.params import IODParams
+        from outfit_tpu.lsq.iteration import ObsArrays
+        from outfit_tpu.lsq.loop import (
+            STATUS_DIVERGED,
+            STATUS_OK,
+            run_differential_correction,
+        )
+
+        n_traj, n_obs = 32, 12
+        tri, obs_arrays, lane_traj, window = _synthetic_batch(n_traj, 8, n_obs, seed=7)
+        out = _iod_kernel_jit(
+            tri, obs_arrays, lane_traj, window,
+            IODParams(n_noise_realizations=3, precision="mixed").validated(),
+        )
+        best_rms, _k, _e, eqv, epoch, _c = out
+        lt = np.asarray(lane_traj)
+        rms = np.asarray(best_rms)
+        seed_eq = np.zeros((n_traj, 6))
+        seed_ep = np.zeros(n_traj)
+        for t in range(n_traj):
+            lanes = np.nonzero(lt == t)[0]
+            k = lanes[np.argmin(np.where(np.isfinite(rms[lanes]), rms[lanes], np.inf))]
+            seed_eq[t] = np.asarray(eqv[k])
+            seed_ep[t] = float(epoch[k])
+        mjd, ra, dec, sra, sdec, helio = obs_arrays
+        obs = ObsArrays(
+            mjd, ra, dec, sra, sdec,
+            jnp.broadcast_to(jnp.asarray(helio), (n_traj, n_obs, 3)),
+            jnp.ones((n_traj, n_obs), bool),
+        )
+        st0 = np.asarray(
+            run_differential_correction(
+                jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs,
+                DifferentialCorrectionConfig(),
+            ).status
+        )
+        res2 = run_differential_correction(
+            jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs,
+            DifferentialCorrectionConfig(divergence_grace_iterations=2),
+        )
+        st2 = np.asarray(res2.status)
+        # grace strictly recovers fits (never loses one)
+        assert (st2 == STATUS_OK).sum() > (st0 == STATUS_OK).sum()
+        assert ((st0 == STATUS_OK) & (st2 != STATUS_OK)).sum() == 0
+        # the recovered fits are genuinely converged, not just unflagged
+        rec = (st0 == STATUS_DIVERGED) & (st2 == STATUS_OK)
+        assert rec.any()
+        assert np.median(np.asarray(res2.normalised_rms)[rec]) < 1e-3
