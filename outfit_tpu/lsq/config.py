@@ -33,6 +33,17 @@ class DifferentialCorrectionConfig:
     free_elements: Tuple[bool, bool, bool, bool, bool, bool] = (True,) * 6
     propagator: PropagatorKind = PropagatorKind.two_body()
 
+    #: "f64" = every Newton iteration in float64 (reference parity);
+    #: "mixed" = an f32 pre-warm phase (no outlier decisions, guarded
+    #: advances only) runs the orbit to ~1e-3 correction norm at native f32
+    #: rate, then the standard f64 loop finishes from the warmed elements —
+    #: identical final accuracy (the f64 loop owns convergence, outliers,
+    #: and covariance), ~2-3x faster on TPU where f64 is emulated.
+    precision: str = "f64"
+
+    #: iteration cap for the f32 pre-warm phase (mixed only).
+    prewarm_max_iterations: int = 12
+
     #: Newton iterations exempt from the divergence ratio check (no reference
     #: counterpart; default 0 = exact reference behavior, diff_cor.rs:356).
     #: From a Gauss seed the first full Newton step routinely overshoots the

@@ -92,7 +92,7 @@ def observation_partials(elements_vec, epoch, obs: ObsArrays, propagator=None, e
             st.position, st.velocity, st.dpos_delem, st.converged
         )
 
-    rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
+    rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000, jnp.asarray(st_pos).dtype)
     pos = jnp.einsum("ij,...j->...i", rot, st_pos)  # (T, N, 3) equ
     vel = jnp.einsum("ij,...j->...i", rot, st_vel)
     dpos = jnp.einsum("ij,...ej->...ei", rot, st_dpos)  # (T, N, 6, 3)
@@ -173,7 +173,9 @@ def single_iteration(
     # free-element mask: zero fixed rows/cols, unit diagonal
     free = jnp.asarray(free_elements, bool)
     fmask = free[:, None] & free[None, :]
-    normal = jnp.where(fmask, normal, 0.0) + jnp.diag(jnp.where(free, 0.0, 1.0))
+    normal = jnp.where(fmask, normal, 0.0) + jnp.diag(
+        jnp.where(free, 0.0, 1.0)
+    ).astype(normal.dtype)
     rhs = jnp.where(free, rhs, 0.0)
 
     # inversion via unrolled Cholesky (utils.linalg) — jnp.linalg.inv does
@@ -181,7 +183,7 @@ def single_iteration(
     from outfit_tpu.utils.linalg import cholesky_inverse6
 
     finite = jnp.isfinite(normal).all(axis=(-1, -2))
-    normal_safe = jnp.where(finite[:, None, None], normal, jnp.eye(6))
+    normal_safe = jnp.where(finite[:, None, None], normal, jnp.eye(6, dtype=normal.dtype))
     cov, chol_ok = cholesky_inverse6(normal_safe)
     inv_ok = finite & chol_ok & jnp.isfinite(cov).all(axis=(-1, -2)) & (m >= 1)
 

@@ -56,6 +56,68 @@ def _elements_bizarre(vec, limits):
     return is_bizarre(eq, limits)
 
 
+def _prewarm_f32(elements0, epoch, obs, cfg, selection0, free, ephem):
+    """f32 Newton pre-warm (mixed precision): iterate the fit at native f32
+    rate until the correction norm reaches the f32 floor, with guarded
+    advances only (a step is taken only if the inversion succeeded and the
+    result is non-bizarre).  No statuses, no outlier decisions — the f64
+    main loop owns all contracts; this phase only moves the starting point
+    close to the chi-squared minimum so the (emulated-f64) loop needs 2-3
+    iterations instead of ~10.  Returns (elements_f64, iterations_used)."""
+    T = obs.mjd.shape[0]
+    obs32 = ObsArrays(
+        obs.mjd,  # absolute epochs stay f64 (f32 resolution is ~6 min)
+        obs.ra.astype(jnp.float32),
+        obs.dec.astype(jnp.float32),
+        obs.sigma_ra.astype(jnp.float32),
+        obs.sigma_dec.astype(jnp.float32),
+        obs.helio_pos.astype(jnp.float32),
+        obs.valid,
+    )
+    # the correction norm is sigma-weighted (sqrt(dx^T N dx), N ~ 1/sigma^2),
+    # so its f32 noise floor sits around 0.01-0.1: stop on the configured
+    # threshold OR when the quadratic decrease plateaus (norm no longer
+    # halving — the f32 floor has been hit)
+    thr = max(cfg.convergence_threshold, 1e-3)
+
+    def body(carry):
+        it, el, prev_norm, done = carry
+        res = single_iteration(
+            el, epoch, selection0, obs32, free, cfg.propagator, ephem
+        )
+        sane = (
+            res.inversion_ok
+            & jnp.isfinite(res.correction_norm)
+            & ~_elements_bizarre(res.corrected, cfg.orbital_limits)
+        )
+        adv = ~done & sane
+        el = jnp.where(adv[:, None], res.corrected, el)
+        plateau = (it >= 2) & (res.correction_norm >= 0.5 * prev_norm)
+        done = done | ~sane | (adv & ((res.correction_norm < thr) | plateau))
+        return it + 1, el, jnp.where(adv, res.correction_norm, prev_norm), done
+
+    def cond(carry):
+        it, _, _, done = carry
+        return (it < cfg.prewarm_max_iterations) & jnp.any(~done)
+
+    el0 = jnp.asarray(elements0, jnp.float32)
+    n_it, el, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.array(0, jnp.int32),
+            el0,
+            jnp.full(T, jnp.float32(jnp.finfo(jnp.float32).max)),
+            jnp.zeros(T, bool),
+        ),
+    )
+    bad = ~jnp.isfinite(el).all(axis=-1)
+    el64 = jnp.where(
+        bad[:, None], jnp.asarray(elements0, jnp.float64), el.astype(jnp.float64)
+    )
+    return el64, jnp.broadcast_to(n_it, (T,))
+
+
 def run_differential_correction(
     elements0,
     epoch,
@@ -70,11 +132,21 @@ def run_differential_correction(
     ``obs`` padded observation arrays; ``selection0`` optional initial
     selection codes (default: all valid observations Active).
     """
+    if cfg.precision not in ("f64", "mixed"):
+        raise ValueError(
+            f"DifferentialCorrectionConfig.precision must be 'f64' or 'mixed', got {cfg.precision!r}"
+        )
     T, N = obs.mjd.shape
     if selection0 is None:
         selection0 = jnp.where(obs.valid, SEL_ACTIVE, SEL_FORCED_OUT).astype(jnp.int32)
 
     free = jnp.broadcast_to(jnp.asarray(cfg.free_elements, bool), (6,))
+
+    prewarm_iters = jnp.zeros(T, jnp.int32)
+    if cfg.precision == "mixed":
+        elements0, prewarm_iters = _prewarm_f32(
+            elements0, epoch, obs, cfg, selection0, free, ephem
+        )
 
     class _St(NamedTuple):
         elements: jnp.ndarray
@@ -107,7 +179,7 @@ def run_differential_correction(
         last_ddec=jnp.zeros((T, N, 6)),
         inv_ok_last=jnp.zeros(T, bool),
         outer_done=jnp.zeros(T, bool),
-        total_newton=jnp.zeros(T, jnp.int32),
+        total_newton=prewarm_iters,
     )
 
     def inner_loop(st: _St):
@@ -260,17 +332,40 @@ def run_differential_correction(
         no_conv = ~inner_converged
         done_now = running & ~st.outer_done & (clean | no_conv)
 
-        new_sel, changes = outlier_step(st)
-        do_update = running & ~st.outer_done & ~done_now
-        sel = jnp.where(do_update[:, None], new_sel, st.selection)
-        stable = do_update & (changes == 0)
+        # the chi^2 projection einsums are only needed for lanes still in
+        # play — cond-gate them so settled batches pay nothing
+        need = running & ~st.outer_done & ~done_now
 
-        return st._replace(
-            selection=sel,
-            outer_done=st.outer_done | done_now | stable,
-        )
+        def with_outliers(st):
+            new_sel, changes = outlier_step(st)
+            sel = jnp.where(need[:, None], new_sel, st.selection)
+            stable = need & (changes == 0)
+            return st._replace(
+                selection=sel,
+                outer_done=st.outer_done | done_now | stable,
+            )
 
-    st = jax.lax.fori_loop(0, cfg.max_outlier_rejection_passes + 1, outer_body, st0)
+        def without(st):
+            return st._replace(outer_done=st.outer_done | done_now)
+
+        return jax.lax.cond(jnp.any(need), with_outliers, without, st)
+
+    # while-loop outer phase: exits as soon as every trajectory is settled
+    # (the reference's per-trajectory `break`; a fixed fori would re-enter
+    # the pass body max_outlier_rejection_passes times even when all lanes
+    # finished on pass 0-1)
+    def outer_cond(carry):
+        p, st = carry
+        alive = (st.status == STATUS_RUNNING) & ~st.outer_done
+        return (p < cfg.max_outlier_rejection_passes + 1) & jnp.any(alive)
+
+    def outer_step(carry):
+        p, st = carry
+        return p + 1, outer_body(p, st)
+
+    _, st = jax.lax.while_loop(
+        outer_cond, outer_step, (jnp.array(0, jnp.int32), st0)
+    )
 
     # final status: running lanes that completed the loops are OK
     status = jnp.where(st.status == STATUS_RUNNING, STATUS_OK, st.status).astype(
