@@ -65,18 +65,16 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
     # loop does genuine Newton + outlier-rejection iterations; a random-data
     # workload diverges in ~2 iterations and measures nothing)
     best_rms, _kind, _el, eqv, epoch, _corr = out
-    lt = np.asarray(lane_traj)
-    rms_np = np.asarray(best_rms)
-    seed_eq = np.zeros((n_traj, 6))
-    seed_ep = np.zeros(n_traj)
-    for t in range(n_traj):
-        lanes = np.nonzero(lt == t)[0]
-        k = lanes[np.argmin(np.where(np.isfinite(rms_np[lanes]), rms_np[lanes], np.inf))]
-        seed_eq[t] = np.asarray(eqv[k])
-        seed_ep[t] = float(epoch[k])
-    ok_seed = np.isfinite(seed_eq).all(axis=1) & (np.abs(seed_eq[:, 0]) < 1e4)
-    seed_eq[~ok_seed] = np.array([2.0, 0.0, 0.0, 0.0, 0.0, 1.0])
-    seed_ep[~ok_seed] = 57000.0
+    # kernel outputs are per-trajectory (device-side segment argmin)
+    seed_eq = np.asarray(eqv)
+    seed_ep = np.asarray(epoch)
+    ok_seed = (
+        np.isfinite(np.asarray(best_rms))
+        & np.isfinite(seed_eq).all(axis=1)
+        & (np.abs(seed_eq[:, 0]) < 1e4)
+    )
+    seed_eq = np.where(ok_seed[:, None], seed_eq, np.array([2.0, 0, 0, 0, 0, 1.0]))
+    seed_ep = np.where(ok_seed, seed_ep, 57000.0)
 
     mjd, ra, dec, sra, sdec, helio = obs_arrays
     T, N = n_traj, n_obs

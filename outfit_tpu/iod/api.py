@@ -169,26 +169,49 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
         x, best_cand.reshape(best_cand.shape + (1,) * (x.ndim - 1)), axis=1
     )[:, 0]
 
+    # --- per-TRAJECTORY winner (segment argmin over the ragged lane axis) ---
+    # the caller only ever uses the best lane per trajectory, so the f64
+    # polish/rescore and the device->host transfer run on T lanes, not T*K
+    L = best_rms.shape[0]
+    T = mjd.shape[0]
+    seg_min = jnp.full(T, jnp.inf, best_rms.dtype).at[lane_traj].min(
+        best_rms, mode="drop"
+    )
+    finite = jnp.isfinite(best_rms)
+    is_best = finite & (best_rms <= seg_min[lane_traj])
+    lane_ids = jnp.arange(L, dtype=jnp.int32)
+    sel = (
+        jnp.full(T, L, jnp.int32)
+        .at[lane_traj]
+        .min(jnp.where(is_best, lane_ids, L), mode="drop")
+    )
+    has = sel < L  # trajectory produced at least one finite-scored lane
+    sel = jnp.minimum(sel, L - 1)
+
+    gather = lambda x: take(x)[sel]
+    rms_t = jnp.where(has, seg_min.astype(jnp.float64), jnp.inf)
+
     if not mixed:
         return (
-            best_rms,
-            take(kind),
-            take(el),
-            take(eq.vector),
-            take(cands.epoch),
-            take(cands.corrected),
+            rms_t,
+            gather(kind),
+            gather(el),
+            gather(eq.vector),
+            gather(cands.epoch),
+            gather(cands.corrected) & has,
         )
 
-    # --- f64 polish + rescore of the single selected candidate per lane -----
+    # --- f64 polish + rescore of the single winning lane per trajectory -----
+    tri_t = GaussTriplets(*(f[sel] for f in tri))
     ppos, pvel, pepoch, pcorr = polish_selected(
-        tri,
-        take(cands.r2),
-        take(cands.pos),
-        take(cands.vel),
-        take(cands.epoch),
-        take(cands.corrected),
-        take(cands.chi1),
-        take(cands.chi2),
+        tri_t,
+        gather(cands.r2),
+        gather(cands.pos),
+        gather(cands.vel),
+        gather(cands.epoch),
+        gather(cands.corrected),
+        gather(cands.chi1),
+        gather(cands.chi2),
         params,
         params.polish_max_it,
     )
@@ -200,17 +223,10 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
     eq64 = _to_equinoctial(kind64, el64, pepoch)
     mjd64, ra64, dec64, sra64, sdec64, helio64 = obs_arrays
     rms64 = rms_orbit_error(
-        eq64,
-        mjd64[lane_traj],
-        ra64[lane_traj],
-        dec64[lane_traj],
-        sra64[lane_traj],
-        sdec64[lane_traj],
-        helio64[lane_traj],
-        window_mask,
+        eq64, mjd64, ra64, dec64, sra64, sdec64, helio64, window_mask[sel]
     )
-    best64 = jnp.where(jnp.isfinite(best_rms), rms64, jnp.inf)
-    return (best64, kind64, el64, eq64.vector, pepoch, pcorr)
+    best64 = jnp.where(has & jnp.isfinite(rms_t), rms64, jnp.inf)
+    return (best64, kind64, el64, eq64.vector, pepoch, pcorr & has)
 
 
 _iod_kernel_jit = jax.jit(_iod_kernel, static_argnames=("params",))
@@ -345,33 +361,31 @@ def fit_full_iod(
         tri, obs_arrays, lane_traj_arr, wmask, params
     )
 
+    # kernel outputs are per-trajectory (the segment argmin runs on device)
     best_rms = np.asarray(best_rms)
     kind = np.asarray(kind)
     el = np.asarray(el)
     eqv = np.asarray(eqv)
     epoch = np.asarray(epoch)
     corrected = np.asarray(corrected)
-    lane_traj_np = np.array(lane_traj)
+    lane_counts = np.bincount(np.array(lane_traj), minlength=len(kept_tids))
 
     for t_row, tid in enumerate(kept_tids):
-        lanes = np.nonzero(lane_traj_np == t_row)[0]
-        rms_l = best_rms[lanes]
-        if not np.isfinite(rms_l).any():
+        if not np.isfinite(best_rms[t_row]):
             results[tid] = FitResult(
                 tid, ok=False,
-                error=f"NoViableOrbit(attempts={len(lanes)})",
+                error=f"NoViableOrbit(attempts={int(lane_counts[t_row])})",
             )
             continue
-        li = lanes[int(np.argmin(rms_l))]
         results[tid] = FitResult(
             tid,
             ok=True,
-            rms=float(best_rms[li]),
-            corrected=bool(corrected[li]),
-            epoch=float(epoch[li]),
-            kind=int(kind[li]),
-            elements=el[li],
-            equinoctial=eqv[li],
+            rms=float(best_rms[t_row]),
+            corrected=bool(corrected[t_row]),
+            epoch=float(epoch[t_row]),
+            kind=int(kind[t_row]),
+            elements=el[t_row],
+            equinoctial=eqv[t_row],
         )
     return results
 

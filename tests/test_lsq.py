@@ -229,15 +229,8 @@ class TestDivergenceGrace:
             IODParams(n_noise_realizations=3, precision="mixed").validated(),
         )
         best_rms, _k, _e, eqv, epoch, _c = out
-        lt = np.asarray(lane_traj)
-        rms = np.asarray(best_rms)
-        seed_eq = np.zeros((n_traj, 6))
-        seed_ep = np.zeros(n_traj)
-        for t in range(n_traj):
-            lanes = np.nonzero(lt == t)[0]
-            k = lanes[np.argmin(np.where(np.isfinite(rms[lanes]), rms[lanes], np.inf))]
-            seed_eq[t] = np.asarray(eqv[k])
-            seed_ep[t] = float(epoch[k])
+        seed_eq = np.asarray(eqv)  # per-trajectory (device-side argmin)
+        seed_ep = np.asarray(epoch)
         mjd, ra, dec, sra, sdec, helio = obs_arrays
         obs = ObsArrays(
             mjd, ra, dec, sra, sdec,
