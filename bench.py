@@ -101,7 +101,9 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
     jax.block_until_ready(res)
     log(f"LSQ kernel compile+first run: {time.time() - t0:.1f}s")
     conv = float((np.asarray(res.status) == 1).mean())
-    log(f"LSQ converged: {conv*100:.1f}% of trajectories")
+    nr = np.asarray(res.normalised_rms)[np.asarray(res.status) == 1]
+    log(f"LSQ converged: {conv*100:.1f}% of trajectories "
+        f"(nRMS med {np.median(nr):.1e} p95 {np.percentile(nr, 95):.1e})")
 
     best_lsq = min(
         _timed(lambda: jax.block_until_ready(lsq_fn(el, ep, obs)))

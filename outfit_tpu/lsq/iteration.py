@@ -60,7 +60,10 @@ class IterationResult(NamedTuple):
     obs_active: jnp.ndarray  # (T, N) bool — actually used this iteration
 
 
-def observation_partials(elements_vec, epoch, obs: ObsArrays, propagator=None, ephem=None):
+def observation_partials(
+    elements_vec, epoch, obs: ObsArrays, propagator=None, ephem=None,
+    jacobian_dtype=None,
+):
     """Predicted (RA, Dec) + d/d(elem) for every (trajectory, observation).
 
     ``elements_vec`` (T, 6) equinoctial in ecliptic J2000; ``epoch`` (T,).
@@ -69,6 +72,12 @@ def observation_partials(elements_vec, epoch, obs: ObsArrays, propagator=None, e
     ``propagator`` selects two-body (default, analytic Jacobians) or N-body
     (DOP853 + STM; parity: ``compute_obs_and_partials_nbody``,
     observation_ephemeris.rs:452-486); N-body needs ``ephem``.
+
+    ``jacobian_dtype=jnp.float32`` (two-body only) evaluates the predicted
+    positions in full precision but the 6x3 element Jacobians in f32 —
+    Gauss-Newton converges to the residual-defined fixed point with an
+    approximate Jacobian, and the Jacobian chain is ~85 % of the
+    per-iteration cost under TPU f64 emulation.
     """
     eq = EquinoctialElements(
         epoch[:, None],
@@ -86,6 +95,19 @@ def observation_partials(elements_vec, epoch, obs: ObsArrays, propagator=None, e
         st_pos, st_vel = nb.position, nb.velocity
         st_dpos = nb.dpos_delem
         st_conv = nb.status == 0
+    elif jacobian_dtype is not None:
+        st_f = propagate_twobody(
+            eq, epoch[:, None], obs.mjd, compute_derivatives=False
+        )
+        eq_lo = EquinoctialElements(*(
+            f if i == 0 else f.astype(jacobian_dtype) for i, f in enumerate(eq)
+        ))  # epoch stays f64 (dt is formed against f64 MJDs inside)
+        st_j = propagate_twobody(
+            eq_lo, epoch[:, None], obs.mjd, compute_derivatives=True
+        )
+        st_pos, st_vel = st_f.position, st_f.velocity
+        st_dpos = st_j.dpos_delem.astype(st_pos.dtype)
+        st_conv = st_f.converged & st_j.converged
     else:
         st = propagate_twobody(eq, epoch[:, None], obs.mjd, compute_derivatives=True)
         st_pos, st_vel, st_dpos, st_conv = (
@@ -139,10 +161,11 @@ def single_iteration(
     free_elements,
     propagator=None,
     ephem=None,
+    jacobian_dtype=None,
 ) -> IterationResult:
     """One batched Newton step.  Parity: ``single_iteration`` (:140-300)."""
     ra_c, dec_c, d_ra, d_dec, prop_ok = observation_partials(
-        elements_vec, epoch, obs, propagator, ephem
+        elements_vec, epoch, obs, propagator, ephem, jacobian_dtype
     )
 
     active = (selection == SEL_ACTIVE) & obs.valid & prop_ok

@@ -143,7 +143,10 @@ def run_differential_correction(
     free = jnp.broadcast_to(jnp.asarray(cfg.free_elements, bool), (6,))
 
     prewarm_iters = jnp.zeros(T, jnp.int32)
-    if cfg.precision == "mixed":
+    if cfg.precision == "mixed" and not cfg.propagator.nbody:
+        # two-body only: the N-body propagator (DOP853 + STM) is an f64
+        # integrator; "mixed" with an N-body propagator simply runs the
+        # standard f64 loop (documented in DifferentialCorrectionConfig)
         elements0, prewarm_iters = _prewarm_f32(
             elements0, epoch, obs, cfg, selection0, free, ephem
         )
@@ -204,11 +207,21 @@ def run_differential_correction(
         def cond(i: _In):
             return (i.it < cfg.max_newton_iterations) & jnp.any(~i.inner_done)
 
+        # mixed mode: f32 Jacobians inside the f64 loop (residuals stay f64,
+        # so the converged elements are identical; the final full-f64
+        # linearization refresh below restores exact covariance/partials)
+        jac_dtype = (
+            jnp.float32
+            if (cfg.precision == "mixed" and not cfg.propagator.nbody)
+            else None
+        )
+
         def body(i: _In):
             st = i.st
             act = ~i.inner_done
             res = single_iteration(
-                st.elements, epoch, st.selection, obs, free, cfg.propagator, ephem
+                st.elements, epoch, st.selection, obs, free, cfg.propagator,
+                ephem, jac_dtype,
             )
 
             inv_fail = act & ~res.inversion_ok
@@ -366,6 +379,26 @@ def run_differential_correction(
     _, st = jax.lax.while_loop(
         outer_cond, outer_step, (jnp.array(0, jnp.int32), st0)
     )
+
+    if cfg.precision == "mixed" and not cfg.propagator.nbody:
+        # one full-f64 linearization at the converged elements: refreshes the
+        # covariance, normal matrix, residuals, and normalised RMS that were
+        # accumulated with f32 Jacobians (elements themselves are already at
+        # the f64 fixed point — not advanced here)
+        res = single_iteration(
+            st.elements, epoch, st.selection, obs, free, cfg.propagator, ephem
+        )
+        keep = (st.status == STATUS_RUNNING) & res.inversion_ok
+        k1 = keep[:, None]
+        k2 = keep[:, None, None]
+        st = st._replace(
+            last_rms=jnp.where(keep, res.normalised_rms, st.last_rms),
+            last_cov=jnp.where(k2, res.covariance, st.last_cov),
+            last_normal=jnp.where(k2, res.normal_matrix, st.last_normal),
+            last_m=jnp.where(keep, res.num_measurements, st.last_m),
+            last_res_ra=jnp.where(k1, res.residual_ra, st.last_res_ra),
+            last_res_dec=jnp.where(k1, res.residual_dec, st.last_res_dec),
+        )
 
     # final status: running lanes that completed the loops are OK
     status = jnp.where(st.status == STATUS_RUNNING, STATUS_OK, st.status).astype(

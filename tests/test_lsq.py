@@ -255,3 +255,28 @@ class TestDivergenceGrace:
         rec = (st0 == STATUS_DIVERGED) & (st2 == STATUS_OK)
         assert rec.any()
         assert np.median(np.asarray(res2.normalised_rms)[rec]) < 1e-3
+
+
+def test_mixed_precision_with_nbody_propagator():
+    """precision='mixed' + an N-body propagator must run (the f32 pre-warm
+    and f32 Jacobians are two-body-only and gate themselves off; the DOP853
+    + STM integrator is f64)."""
+    from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
+
+    ds = ObsDataset.from_mpc_80_col_files(
+        ["/root/reference/tests/data/2015AB.obs"]
+    )
+    eph = JPLEphem("analytic:builtin")
+    cfg = DifferentialCorrectionConfig(
+        divergence_grace_iterations=2,
+        precision="mixed",
+        propagator=PropagatorKind.n_body(NBodyConfig()),
+        max_newton_iterations=5,
+    )
+    res = fit_lsq(
+        ds, eph,
+        iod_params=IODParams(precision="mixed", n_noise_realizations=2),
+        config=cfg, seed=0,
+    )
+    assert all(r.ok for r in res.values())
+    assert res["K15A00B"].normalised_rms < 1.0
