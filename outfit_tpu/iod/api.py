@@ -345,30 +345,92 @@ def fit_full_iod(
     for li, (w0, w1) in enumerate(windows):
         window_mask[li, w0 : w1 + 1] = True
 
-    tri = GaussTriplets(
-        jnp.asarray(np.stack(lane_ra)),
-        jnp.asarray(np.stack(lane_dec)),
-        jnp.asarray(np.stack(lane_t)),
-        jnp.asarray(np.stack(lane_pos)),
-    )
-    obs_arrays = tuple(
-        jnp.asarray(x) for x in (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
-    )
-    lane_traj_arr = jnp.asarray(np.array(lane_traj))
-    wmask = jnp.asarray(window_mask)
+    lane_ra = np.stack(lane_ra)
+    lane_dec = np.stack(lane_dec)
+    lane_t = np.stack(lane_t)
+    lane_pos = np.stack(lane_pos)
+    lane_traj_np = np.array(lane_traj)
 
-    best_rms, kind, el, eqv, epoch, corrected = _iod_kernel_jit(
-        tri, obs_arrays, lane_traj_arr, wmask, params
-    )
+    # --- trajectory-aligned device batches (IODParams.batch_size, mod.rs:
+    # 169-171) + shape bucketing: lanes and trajectories are padded to
+    # powers of two so different datasets (and different chunks) reuse the
+    # same compiled kernel
+    if params.batch_size > 0:
+        groups = []
+        cur, cur_lanes = [], 0
+        counts = np.bincount(lane_traj_np, minlength=T)
+        for t_row in range(T):
+            c = int(counts[t_row])
+            if cur and cur_lanes + c > params.batch_size:
+                groups.append(cur)
+                cur, cur_lanes = [], 0
+            cur.append(t_row)
+            cur_lanes += c
+        if cur:
+            groups.append(cur)
+    else:
+        groups = [list(range(T))]
+
+    best_rms = np.full(T, np.inf)
+    kind = np.zeros(T, np.int32)
+    el = np.zeros((T, 6))
+    eqv = np.zeros((T, 6))
+    epoch = np.zeros(T)
+    corrected = np.zeros(T, bool)
+
+    for group in groups:
+        gset = np.isin(lane_traj_np, group)
+        g_lanes = np.nonzero(gset)[0]
+        remap = {t: i for i, t in enumerate(group)}
+        g_traj = np.array([remap[t] for t in lane_traj_np[g_lanes]])
+        Tg = len(group)
+
+        # pad lanes to a bucket with inert rows (window all-False -> inf
+        # score -> excluded from the segment argmin); padded trajectory
+        # rows have no valid observations
+        Lg = len(g_lanes)
+        Lb = _bucket(Lg)
+        Tb = _bucket(Tg + (1 if Lb > Lg else 0))
+
+        def lane_pad(x):
+            out = np.concatenate([x[g_lanes], np.repeat(x[g_lanes[:1]], Lb - Lg, axis=0)])
+            return out
+
+        g_window = np.concatenate(
+            [window_mask[g_lanes], np.zeros((Lb - Lg, n_max), bool)]
+        )
+        g_lane_traj = np.concatenate(
+            [g_traj, np.full(Lb - Lg, Tg, np.int64)]
+        )
+
+        def traj_pad(x):
+            shape = (Tb - Tg,) + x.shape[1:]
+            return np.concatenate([x[group], np.zeros(shape, x.dtype)])
+
+        tri = GaussTriplets(
+            jnp.asarray(lane_pad(lane_ra)),
+            jnp.asarray(lane_pad(lane_dec)),
+            jnp.asarray(lane_pad(lane_t)),
+            jnp.asarray(lane_pad(lane_pos)),
+        )
+        g_obs = tuple(
+            jnp.asarray(traj_pad(x))
+            for x in (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
+        )
+        out = _iod_kernel_jit(
+            tri, g_obs, jnp.asarray(g_lane_traj), jnp.asarray(g_window), params
+        )
+        g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = (np.asarray(o) for o in out)
+        idx = np.asarray(group)
+        best_rms[idx] = g_rms[:Tg]
+        kind[idx] = g_kind[:Tg]
+        el[idx] = g_el[:Tg]
+        eqv[idx] = g_eqv[:Tg]
+        epoch[idx] = g_epoch[:Tg]
+        corrected[idx] = g_corr[:Tg]
 
     # kernel outputs are per-trajectory (the segment argmin runs on device)
-    best_rms = np.asarray(best_rms)
-    kind = np.asarray(kind)
-    el = np.asarray(el)
-    eqv = np.asarray(eqv)
-    epoch = np.asarray(epoch)
-    corrected = np.asarray(corrected)
-    lane_counts = np.bincount(np.array(lane_traj), minlength=len(kept_tids))
+    lane_counts = np.bincount(lane_traj_np, minlength=len(kept_tids))
 
     for t_row, tid in enumerate(kept_tids):
         if not np.isfinite(best_rms[t_row]):

@@ -23,6 +23,12 @@ class IODParams:
     max_triplets: int = 10
     gap_max: float = 8.0 / 24.0
 
+    #: device-batch size hint in LANES (parity: IODParams.batch_size,
+    #: mod.rs:169-171).  0 = the whole dataset as one batch (default);
+    #: > 0 = trajectories are grouped into chunks of at most this many
+    #: lanes (a trajectory is never split), bounding device memory.
+    batch_size: int = 0
+
     # --- physical plausibility / filtering ---
     max_ecc: float = 5.0
     max_perihelion_au: float = 1.0e3
@@ -58,7 +64,7 @@ class IODParams:
             ("triplets / Monte-Carlo", ["n_noise_realizations", "noise_scale",
              "extf", "dtmax", "dt_min", "dt_max_triplet",
              "optimal_interval_time", "max_obs_for_triplets", "max_triplets",
-             "gap_max"]),
+             "gap_max", "batch_size"]),
             ("physical filters", ["max_ecc", "max_perihelion_au", "min_rho2_au",
              "r2_min_au", "r2_max_au"]),
             ("solvers", ["aberth_max_iter", "aberth_eps", "kepler_eps",
@@ -92,4 +98,6 @@ class IODParams:
             raise ValueError("require 0 < r2_min_au < r2_max_au")
         if self.precision not in ("f64", "mixed"):
             raise ValueError("precision must be 'f64' or 'mixed'")
+        if self.batch_size < 0:
+            raise ValueError("batch_size must be >= 0 (0 = single batch)")
         return self

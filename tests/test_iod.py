@@ -309,3 +309,41 @@ class TestMixedPrecision:
     def test_bad_precision_rejected(self):
         with pytest.raises(ValueError):
             IODParams(precision="f16").validated()
+
+
+class TestBatchSize:
+    """IODParams.batch_size (mod.rs:169-171): trajectory-aligned chunking
+    must be bitwise-identical to the single-batch path (the per-trajectory
+    seeding contract makes results independent of batch composition)."""
+
+    def test_chunked_equals_single_batch(self, eph):
+        kep_true = KeplerianElements(
+            *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
+        )
+        epochs = 57000.0 + np.array([0.0, 2.0, 5.0, 9.0, 14.0, 20.0, 27.0, 35.0])
+        ds = _synthesize(eph, kep_true, epochs)
+        # add a second trajectory so chunking has something to split
+        kep2 = KeplerianElements(
+            *map(jnp.float64, (57000.0, 1.6, 0.1, 0.3, 0.4, 2.0, 1.0))
+        )
+        ds2 = _synthesize(eph, kep2, epochs + 0.5)
+        for i in range(len(ds2)):
+            o = ds2.get_observation(i)
+            ds.push_observation(
+                "SYNTH2", o.mjd_tt, o.ra, o.dec, o.ra_error, o.dec_error,
+                o.observer,
+            )
+        base = fit_full_iod(ds, eph, IODParams(n_noise_realizations=2), seed=3)
+        chunked = fit_full_iod(
+            ds, eph, IODParams(n_noise_realizations=2, batch_size=10), seed=3
+        )
+        for tid in base:
+            a, b = base[tid], chunked[tid]
+            assert a.ok == b.ok
+            if a.ok:
+                np.testing.assert_array_equal(a.elements, b.elements)
+                assert a.rms == b.rms
+
+    def test_negative_batch_size_rejected(self):
+        with pytest.raises(ValueError):
+            IODParams(batch_size=-1).validated()
