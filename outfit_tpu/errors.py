@@ -101,3 +101,75 @@ class ObservationNotFound(OutfitError):
 
 class NonFiniteScore(OutfitError):
     pass
+
+
+class BrentDekkerKeplerConvergence(OutfitError):
+    """Bracketing Kepler fallback failed (outfit_errors.rs ~:200)."""
+
+
+class GaussPrelimOrbitFailed(OutfitError):
+    """No preliminary Gauss orbit could be formed for a triplet."""
+
+
+class InvalidErrorModel(OutfitError):
+    """Unknown astrometric error-model name."""
+
+
+class InvalidErrorModelFilePath(OutfitError):
+    """Error-model data file missing or unreadable."""
+
+
+class InvalidFloatValue(OutfitError):
+    """Non-finite or unparsable floating-point field."""
+
+
+class InvalidIODParameter(OutfitError):
+    """IODParams validation failure (mirrors the builder errors)."""
+
+
+class InvalidJPLEphemFileVersion(OutfitError):
+    """Ephemeris binary has an unsupported DE version / layout."""
+
+
+class InvalidJPLStringFormat(OutfitError):
+    """Ephemeris source string is not 'scheme:NAME'."""
+
+
+class InvalidSpkDataType(OutfitError):
+    """DAF/SPK segment data type is not Type 2 / Type 3."""
+
+
+class JPLFileNotFound(OutfitError):
+    """Resolved ephemeris path does not exist (no-network build)."""
+
+
+class NoTrajectoryIndex(OutfitError):
+    """Dataset has no trajectory index for the requested operation."""
+
+
+class NoiseInjectionError(OutfitError):
+    """Monte-Carlo noise generation failed."""
+
+
+class ObsDatasetError(OutfitError):
+    """Generic observation-dataset construction/ingestion failure."""
+
+
+class ObserverIdIsNone(OutfitError):
+    """Observation carries no resolvable observer."""
+
+
+class RmsComputationFailed(OutfitError):
+    """RMS scoring produced no usable value for a trajectory."""
+
+
+class RootFindingError(OutfitError):
+    """Generic scalar root-finder failure."""
+
+
+class TrajectoryIdNotFound(OutfitError):
+    """Requested trajectory id is not present in the dataset."""
+
+
+class VelocityCorrectionError(OutfitError):
+    """Lagrange f-g velocity correction failed (velocity.rs:94-209)."""
