@@ -109,7 +109,12 @@ class JPLEphem:
                 except KeyError:
                     pass
             return cls(tables, emrat=EMRAT, kind="naif")
-        raise ValueError(f"unknown ephemeris source {source!r}")
+        from outfit_tpu.errors import InvalidJPLStringFormat
+
+        raise InvalidJPLStringFormat(
+            f"unknown ephemeris source {source!r} (expected 'analytic:builtin', "
+            f"'horizon:NAME' or 'naif:NAME')"
+        )
 
     @classmethod
     def analytic(cls, t_start: float = _ANALYTIC_SPAN[0], t_end: float = _ANALYTIC_SPAN[1]) -> "JPLEphem":
@@ -225,7 +230,9 @@ def _resolve_local_file(scheme: str, name: str) -> str:
         p = os.path.join(base, c)
         if os.path.exists(p):
             return p
-    raise FileNotFoundError(
+    from outfit_tpu.errors import JPLFileNotFound
+
+    raise JPLFileNotFound(
         f"no local {scheme}:{name} ephemeris found under {base}; "
         "this build has no network access — use 'analytic:builtin' or place "
         "the file locally"

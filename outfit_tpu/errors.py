@@ -139,7 +139,7 @@ class InvalidSpkDataType(OutfitError):
     """DAF/SPK segment data type is not Type 2 / Type 3."""
 
 
-class JPLFileNotFound(OutfitError):
+class JPLFileNotFound(OutfitError, FileNotFoundError):
     """Resolved ephemeris path does not exist (no-network build)."""
 
 
