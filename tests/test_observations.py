@@ -195,3 +195,37 @@ class TestNativeParser:
         np.testing.assert_array_equal(ds_n.traj_index, ds_p.traj_index)
         np.testing.assert_array_equal(ds_n.observer_index, ds_p.observer_index)
         np.testing.assert_allclose(ds_n.ra, ds_p.ra, atol=1e-13)
+
+
+class TestParserRobustness:
+    """The native C parser must never crash and must agree with the Python
+    fallback on malformed input (fuzz cases: binary garbage, truncation,
+    nulls, oversized lines, missing trailing newline)."""
+
+    def test_native_matches_python_on_malformed_input(self, tmp_path):
+        from outfit_tpu.native import native_available, parse_file_native
+        from outfit_tpu.observations.mpc80 import parse_file
+
+        if not native_available():
+            pytest.skip("native parser unavailable")
+        rng = np.random.default_rng(0)
+        real = open(f"{DATA}/2015AB.obs", "rb").read()
+        cases = {
+            "empty": b"",
+            "newlines": b"\n\n\n\n",
+            "random_bytes": bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+            "random_ascii": bytes(rng.integers(32, 127, 4096, dtype=np.uint8)),
+            "truncated": real[:137],
+            "garbage_tail": real + b"\x00\xff" * 50,
+            "long_line": b"K15A00B" + b"x" * 100000 + b"\n",
+            "null_bytes": real[:80].replace(b" ", b"\x00") + b"\n",
+            "short_lines": b"abc\nde\nf\n" * 100,
+            "no_trailing_newline": real.rstrip(b"\n"),
+        }
+        for name, data in cases.items():
+            p = tmp_path / f"{name}.obs"
+            p.write_bytes(data)
+            native = parse_file_native(str(p))
+            py = parse_file(str(p))
+            assert native is not None
+            assert len(native[0]) == len(py), name
