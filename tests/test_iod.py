@@ -347,3 +347,135 @@ class TestBatchSize:
     def test_negative_batch_size_rejected(self):
         with pytest.raises(ValueError):
             IODParams(batch_size=-1).validated()
+
+
+class TestReferenceOracles:
+    """Exact-value oracles from the reference's inline tests (gauss.rs:1428-
+    1703) — ephemeris-free, so they pin the Gauss pipeline numerics
+    directly.  Layout note: the reference stores epoch vectors as matrix
+    COLUMNS (nalgebra column-major slices); ours are rows."""
+
+    RA = np.array([1.6893715963476696, 1.6898894500811472, 1.7527345385664372])
+    DEC = np.array([1.082468037385525, 0.9435805047946216, 0.8273762407899986])
+    TIME = np.array([57028.479297592596, 57049.24514759259, 57063.97711759259])
+    OBS_POS = np.array([
+        [-0.26456661713915464, 0.868935164369495, 0.3766996211091922],
+        [-0.5891631852174127, 0.7238872516794777, 0.3138186516524585],
+        [-0.7743874437969596, 0.5612884709261164, 0.24334971075289916],
+    ])
+
+    def _tri(self, obs_pos=None):
+        from outfit_tpu.iod.gauss import GaussTriplets
+        op = self.OBS_POS if obs_pos is None else obs_pos
+        return GaussTriplets(
+            jnp.asarray(self.RA)[None], jnp.asarray(self.DEC)[None],
+            jnp.asarray(self.TIME)[None], jnp.asarray(op)[None],
+        )
+
+    def test_gauss_prelim_oracle(self):
+        """gauss.rs:1428-1500."""
+        from outfit_tpu.iod.gauss import gauss_prelim
+        tau1, tau3, s_mat, s_inv, a, b, u, nonsing = gauss_prelim(
+            self._tri(np.zeros((3, 3)))
+        )
+        np.testing.assert_allclose(float(tau1[0]), -0.35721620648079105, rtol=1e-14)
+        np.testing.assert_allclose(float(tau3[0]), 0.25342080566844405, rtol=1e-14)
+        # reference column-major slice -> columns are the unit vectors
+        ref_s = np.array([
+            [-0.05549934652247514, 0.46585594034226024, 0.8831183756345503],
+            [-0.06972979004485365, 0.5827357012279389, 0.8096646582966821],
+            [-0.12245931009139571, 0.6656387438390606, 0.7361581216507068],
+        ]).T
+        np.testing.assert_allclose(np.asarray(s_mat[0]), ref_s, rtol=1e-12)
+        ref_sinv = np.array([
+            [-18.774792915974594, 41.814279122702025, -23.466669573973437],
+            [-8.16479071034311, 11.489343729350427, -2.8418335594428186],
+            [4.259482782736117, -3.432964304649723, 0.024345794753282718],
+        ]).T
+        np.testing.assert_allclose(np.asarray(s_inv[0]), ref_sinv, rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), [0.41501055557783634, -1.0, 0.5849894444221637],
+            rtol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b[0]), [0.021349212036493866, 0.0, 0.023913797385599792],
+            rtol=1e-12, atol=1e-16,
+        )
+
+    def test_coeff_8poly_oracle(self):
+        """gauss.rs:1503-1541."""
+        from outfit_tpu.iod.gauss import coeff_eight_poly, gauss_prelim
+        tri = self._tri()
+        _, _, s_mat, s_inv, a, b, _, _ = gauss_prelim(tri)
+        c0, c3, c6 = coeff_eight_poly(tri, s_mat, s_inv, a, b)
+        np.testing.assert_allclose(float(c6[0]), -2.615803718759013, rtol=1e-12)
+        np.testing.assert_allclose(float(c3[0]), 2.0305173353541064, rtol=1e-12)
+        np.testing.assert_allclose(float(c0[0]), -0.4771346939201045, rtol=1e-12)
+
+    def test_solving_polynom_oracle(self):
+        """gauss.rs:1543-1570 (roots canonicalized ascending here)."""
+        from outfit_tpu.iod.roots import aberth_deg8
+        roots = aberth_deg8(
+            jnp.asarray([-0.4771346939201048]),
+            jnp.asarray([2.0305173353541064]),
+            jnp.asarray([-2.615803718759011]),
+        )
+        re = np.asarray(roots.real[0])
+        im = np.asarray(roots.imag[0])
+        real_pos = np.sort(re[(np.abs(im) < 1e-6) & (re > 0)])
+        np.testing.assert_allclose(
+            real_pos,
+            [0.7328107254669438, 0.9540135094917113, 1.3856312487504954],
+            rtol=1e-9,
+        )
+
+    def test_asteroid_position_oracle(self):
+        """gauss.rs:1573-1656: accepted root -> positions + light-time epoch;
+        spurious root (rho2 < min_rho2) rejected."""
+        from outfit_tpu.iod.gauss import _positions_from_cvec, gauss_prelim
+        from outfit_tpu.iod.params import IODParams
+        tri = self._tri()
+        _, _, s_mat, s_inv, a, b, u, _ = gauss_prelim(tri)
+        p = IODParams()
+
+        def cvec(root):
+            r2m3 = 1.0 / root**3
+            return jnp.asarray(
+                [float(a[0, 0]) + float(b[0, 0]) * r2m3, -1.0,
+                 float(a[0, 2]) + float(b[0, 2]) * r2m3]
+            )[None]
+
+        # spurious root -> rejected by the min-rho2 gate
+        _, _, ok_bad = _positions_from_cvec(
+            tri, s_inv, u, cvec(0.7328107254669437), p.min_rho2_au
+        )
+        assert not bool(ok_bad[0])
+
+        pos, epoch, ok = _positions_from_cvec(
+            tri, s_inv, u, cvec(1.3856312487504951), p.min_rho2_au
+        )
+        assert bool(ok[0])
+        ref_pos = np.array([
+            [-0.28811969067349597, 1.06663729794052, 0.7514815481797275],
+            [-0.6235500510031637, 1.0112601855976917, 0.713100363506241],
+            [-0.8445850475187664, 0.9428539454255418, 0.6653391541170498],
+        ])
+        np.testing.assert_allclose(np.asarray(pos[0]), ref_pos, rtol=1e-10)
+        np.testing.assert_allclose(float(epoch[0]), 57049.24229942721, rtol=1e-13)
+
+    def test_gibbs_correction_oracle(self):
+        """gauss.rs:1659-1700."""
+        from outfit_tpu.iod.gauss import gauss_prelim, gibbs_velocity
+        tri = self._tri(np.zeros((3, 3)))
+        tau1, tau3, *_ = gauss_prelim(tri)
+        ast_pos = jnp.asarray([
+            [-0.28811969067349597, 1.06663729794052, 0.7514815481797275],
+            [-0.6235500510031637, 1.0112601855976917, 0.713100363506241],
+            [-0.8445850475187664, 0.9428539454255418, 0.6653391541170498],
+        ])[None]
+        vel = gibbs_velocity(ast_pos, tau1, tau3)
+        np.testing.assert_allclose(
+            np.asarray(vel[0]),
+            [-0.015549845137774663, -0.003876936109837664, -0.0027014074002979886],
+            rtol=1e-12,
+        )
