@@ -506,8 +506,15 @@ def velocity_correction(
     (``src/kepler/velocity.rs:94-209``): solves the universal Kepler equation
     from the state at t2 over dt, then v2' = (x1 - f*x2)/g with
     f = 1 - s2/r2, g = dt - s3/sqrt(mu).  Degenerate angular momentum,
-    eccentricity-control rejection, non-convergence, and unstable g are
-    reported via ``status``.
+    non-convergence, and unstable g are reported via ``status``.
+
+    NOTE: the reference DISCARDS the eccentricity-control acceptance flag
+    here (velocity.rs:112-117 destructures ``(_, ecc, _, energy)``) — the
+    peri_max/ecc_max bounds only shape ecc/energy extraction, they do NOT
+    reject; dynamic acceptability of the corrected state is enforced by the
+    Gauss loop separately (gauss.rs:1284-1418).  Early versions of this port
+    rejected here too, which made the f-g correction stricter than the
+    reference.
     """
     from outfit_tpu.elements.orb_elem import eccentricity_control
 
@@ -532,7 +539,7 @@ def velocity_correction(
     # with the working dtype (1e6*eps(f32) would reject every real orbit)
     degenerate = ~jnp.isfinite(h_norm) | (h_norm <= 1e6 * _EPS)
 
-    accepted, ecc, _q, energy = eccentricity_control(x2, v2, peri_max, ecc_max)
+    _accepted, ecc, _q, energy = eccentricity_control(x2, v2, peri_max, ecc_max)
 
     dt = jnp.broadcast_to(jnp.asarray(dt, dtype), r2.shape)
     params = KeplerParams(
@@ -558,13 +565,9 @@ def velocity_correction(
         degenerate,
         STATUS_DEGENERATE_STATE,
         jnp.where(
-            ~accepted,
-            STATUS_ECC_REJECTED,
-            jnp.where(
-                ~sol.converged,
-                STATUS_NO_CONVERGENCE,
-                jnp.where(g_bad, STATUS_UNSTABLE_G, OK),
-            ),
+            ~sol.converged,
+            STATUS_NO_CONVERGENCE,
+            jnp.where(g_bad, STATUS_UNSTABLE_G, OK),
         ),
     ).astype(jnp.int32)
 

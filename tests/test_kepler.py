@@ -359,3 +359,21 @@ class TestPropertyStyle:
         )
         tol = 1e-9 * (1.0 + np.abs(np.sqrt(mu) * dt))
         assert (np.abs(res)[conv] <= tol[conv]).all()
+
+
+class TestVelocityCorrectionOracle:
+    def test_real_data_oracle(self):
+        """Exact-value oracle from velocity.rs:320-352 (real fink-fat data)."""
+        x1 = jnp.asarray([-0.8435611261296833, 0.9372883273707728, 0.6591839010297766])
+        x2 = jnp.asarray([-0.623121622917384, 1.0076797884556383, 0.7081256879844245])
+        v2 = jnp.asarray([-1.5524310368624056e-2, -3.984104176604068e-3, -2.7640154361637183e-3])
+        dt = 14.731970000000729
+        res = velocity_correction(x1, x2, v2, dt, peri_max=1.0, ecc_max=1.0)
+        assert int(res.status) == 0
+        np.testing.assert_allclose(float(res.f), 0.9881648770972906, rtol=1e-12)
+        np.testing.assert_allclose(float(res.g), 14.674676076120734, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(res.v2_corrected),
+            [-0.015524310248562921, -0.003984104769239458, -0.0027640155187336176],
+            rtol=1e-11,
+        )
