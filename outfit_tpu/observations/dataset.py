@@ -56,32 +56,62 @@ class ObsDataset:
     def from_records(cls, records: Sequence[MpcRecord]) -> "ObsDataset":
         return cls._build(records)
 
+    @staticmethod
+    def _canonical_file_tid(first_id: str) -> str:
+        """Canonical per-file trajectory id: the packed number (sans leading
+        zeros, matching photom's numeric TrajId) or the first provisional
+        designation."""
+        tid = str(first_id).strip()
+        return str(int(tid)) if tid.isdigit() else tid
+
     @classmethod
-    def from_mpc_80_col_files(cls, paths: Iterable[str], native: bool = True) -> "ObsDataset":
+    def from_mpc_80_col_files(
+        cls,
+        paths: Iterable[str],
+        native: bool = True,
+        trajectory_per_file: bool = True,
+    ) -> "ObsDataset":
         """Parse MPC 80-col files; uses the native C parser when available
-        (~30x faster, validated field-for-field against the Python one)."""
+        (~30x faster, validated field-for-field against the Python one).
+
+        ``trajectory_per_file=True`` (default) follows photom's contract:
+        every record of a file belongs to ONE trajectory named after the
+        file's first record (number if present, else provisional
+        designation).  An MPC file is one object even when it spans several
+        designations — e.g. the reference fixture ``2015AB.obs`` is
+        K09R05F recovered as K15A00B, one 37-observation trajectory keyed
+        "K09R05F" (see ``tests/test_gauss_iod.rs:104``).  Set it False to
+        group per designation instead.
+        """
         if native:
             try:
                 from outfit_tpu.native import native_available, parse_file_native
 
                 if native_available():
                     return cls._build_from_native(
-                        [parse_file_native(p) for p in paths]
+                        [parse_file_native(p) for p in paths],
+                        trajectory_per_file,
                     )
             except Exception:
                 pass  # fall back to the Python parser
         records: List[MpcRecord] = []
         for p in paths:
-            records.extend(parse_file(p))
+            recs = parse_file(p)
+            if trajectory_per_file and recs:
+                tid = cls._canonical_file_tid(recs[0].traj_id)
+                recs = [r._replace_traj(tid) for r in recs]
+            records.extend(recs)
         return cls._build(records)
 
     @classmethod
-    def _build_from_native(cls, parsed_files) -> "ObsDataset":
+    def _build_from_native(cls, parsed_files, trajectory_per_file: bool = True) -> "ObsDataset":
         ds = cls()
         traj_map: Dict[str, int] = {}
         obs_map: Dict[str, int] = {}
         chunks = {k: [] for k in ("mjd", "ra", "dec", "mag", "ti", "oi")}
         for mjd, ra, dec, mag, ids, codes, _disc in parsed_files:
+            if trajectory_per_file and len(ids):
+                ids = [cls._canonical_file_tid(ids[0])] * len(ids)
             chunks["mjd"].append(mjd)
             chunks["ra"].append(ra)
             chunks["dec"].append(dec)
@@ -115,8 +145,8 @@ class ObsDataset:
         return ds
 
     @classmethod
-    def from_mpc_80_col(cls, path: str) -> "ObsDataset":
-        return cls.from_mpc_80_col_files([path])
+    def from_mpc_80_col(cls, path: str, trajectory_per_file: bool = True) -> "ObsDataset":
+        return cls.from_mpc_80_col_files([path], trajectory_per_file=trajectory_per_file)
 
     @classmethod
     def from_ades(cls, path: str) -> "ObsDataset":

@@ -31,6 +31,11 @@ class MpcRecord:
     observatory: str
     discovery: bool
 
+    def _replace_traj(self, tid: str) -> "MpcRecord":
+        import dataclasses
+
+        return dataclasses.replace(self, traj_id=tid)
+
 
 def _parse_ra(text: str) -> float:
     parts = text.split()

@@ -268,3 +268,22 @@ class TestCovariance:
         np.testing.assert_allclose(
             np.asarray(sig), np.sqrt(np.diag(expected)), atol=1e-12
         )
+
+
+def test_ccek1_reference_regression_oracle():
+    """Exact-value oracle from orb_elem.rs:330-370 (reference tolerance
+    5e-13; this port matches at ~7e-16)."""
+    from outfit_tpu.elements import ccek1
+
+    pos = jnp.asarray([-0.6235500510031639, 1.2114681148601605, 0.2520005914377604])
+    vel = jnp.asarray(
+        [-1.5549845137774663e-2, -4.631577489268288e-3, -9.363362126133925e-4]
+    )
+    out = ccek1(pos, vel)
+    assert int(out.kind) == 0  # Keplerian
+    np.testing.assert_allclose(
+        np.asarray(out.elements),
+        [1.8155297166304232, 0.2892182648825829, 0.20434785751952972,
+         0.0072890133690443745, 1.2263737249473103, 0.44554742955734405],
+        atol=5e-13,
+    )

@@ -178,23 +178,25 @@ class TestFixtures:
         )
 
     def test_all_trajectories_fit(self, results):
-        assert len(results) == 4
+        # one trajectory per FILE (photom contract): K09R05F (merged with
+        # its K15A00B recovery designation, test_gauss_iod.rs:104), 8467,
+        # K25D50B
+        assert sorted(results) == ["8467", "K09R05F", "K25D50B"]
         for tid, r in results.items():
             assert r.ok, f"{tid}: {r.error}"
             assert np.isfinite(r.rms)
 
     def test_2015ab_elements_near_reference(self, results):
-        """The reference's DE440 oracle has a=1.8017, e=0.2836, i=0.2027 rad
-        (test_diff_cor.rs:100-116 equinoctial seed for this object); our
-        analytic-ephemeris IOD must land within ~2e-2."""
-        for tid in ("K09R05F", "K15A00B"):
-            r = results[tid]
-            kep = equinoctial_to_keplerian(
-                EquinoctialElements(r.epoch, *map(jnp.float64, r.equinoctial))
-            )
-            assert float(kep.semi_major_axis) == pytest.approx(1.80, abs=0.05), tid
-            assert float(kep.eccentricity) == pytest.approx(0.284, abs=0.02), tid
-            assert float(kep.inclination) == pytest.approx(0.203, abs=0.02), tid
+        """Reference DE440 integration oracle (test_gauss_iod.rs:24-38):
+        a=1.80174, e=0.28356, i=0.20268 for the merged K09R05F trajectory;
+        our analytic-ephemeris IOD must land within ~2e-2."""
+        r = results["K09R05F"]
+        kep = equinoctial_to_keplerian(
+            EquinoctialElements(r.epoch, *map(jnp.float64, r.equinoctial))
+        )
+        assert float(kep.semi_major_axis) == pytest.approx(1.80174, abs=0.05)
+        assert float(kep.eccentricity) == pytest.approx(0.28356, abs=0.02)
+        assert float(kep.inclination) == pytest.approx(0.20268, abs=0.02)
 
 
 class TestDeterminism:

@@ -167,21 +167,22 @@ class TestFixtures:
     def test_2015ab_lsq(self, eph):
         ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
         res = fit_lsq(ds, eph, _IOD, seed=42, error_model=ErrorModel.fcct14())
-        assert len(res) == 2
-        for tid, r in res.items():
-            assert r.ok, f"{tid}: {r.error}"
-        # at least one trajectory should complete the full correction
-        completed = [r for r in res.values() if not r.fell_back_to_iod]
-        assert completed
-        for r in completed:
-            kep = r.keplerian
-            # reference DE440 oracle: a=1.8017, e=0.2836
-            assert float(kep.semi_major_axis) == pytest.approx(1.80, abs=0.05)
-            assert float(kep.eccentricity) == pytest.approx(0.284, abs=0.02)
-            assert r.covariance is not None
-            # covariance symmetric positive-diagonal
-            np.testing.assert_allclose(r.covariance, r.covariance.T, atol=1e-20)
-            assert (np.diag(r.covariance) > 0).all()
+        # photom contract: 2015AB.obs is ONE trajectory (K09R05F + its
+        # K15A00B recovery designation, 37 obs over 2009-2015)
+        assert list(res) == ["K09R05F"]
+        r = res["K09R05F"]
+        assert r.ok, r.error
+        assert not r.fell_back_to_iod
+        kep = r.keplerian
+        # reference DE440 integration oracle (test_gauss_iod.rs:24-38):
+        # a=1.801740836, e=0.283562595 — the analytic ephemeris carries a
+        # ~1e-4 floor
+        assert float(kep.semi_major_axis) == pytest.approx(1.801740836, abs=2e-3)
+        assert float(kep.eccentricity) == pytest.approx(0.283562595, abs=2e-3)
+        assert r.covariance is not None
+        # covariance symmetric positive-diagonal
+        np.testing.assert_allclose(r.covariance, r.covariance.T, atol=1e-20)
+        assert (np.diag(r.covariance) > 0).all()
 
 
 class TestNBodyLsq:
@@ -279,4 +280,4 @@ def test_mixed_precision_with_nbody_propagator():
         config=cfg, seed=0,
     )
     assert all(r.ok for r in res.values())
-    assert res["K15A00B"].normalised_rms < 1.0
+    assert res["K09R05F"].normalised_rms < 1.0

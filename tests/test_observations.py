@@ -58,7 +58,16 @@ class TestMpc80:
         # 247 records: every fixture line is a valid optical record
         # (2015AB.obs has 37 lines, the last without trailing newline)
         assert len(ds) == 247
-        assert ds.n_trajectories == 5  # 2015AB holds K09R05F + K15A00B
+        # one trajectory per FILE (photom contract): 2015AB's 37 records are
+        # the single object K09R05F (recovered as K15A00B)
+        assert ds.n_trajectories == 4
+        assert ds.len_trajectory("K09R05F") == 37
+        # per-designation grouping stays available as an opt-out
+        ds_split = ObsDataset.from_mpc_80_col(
+            f"{DATA}/2015AB.obs", trajectory_per_file=False
+        )
+        assert ds_split.n_trajectories == 2
+        assert ds_split.len_trajectory("K15A00B") == 23
         for tid in ds.iter_traj_id():
             idx = ds.trajectory_obs_indices(tid)
             assert (np.diff(ds.mjd_tt[idx]) >= 0).all()
