@@ -287,3 +287,54 @@ def test_ccek1_reference_regression_oracle():
          0.0072890133690443745, 1.2263737249473103, 0.44554742955734405],
         atol=5e-13,
     )
+
+
+def test_uncertainty_propagation_reference_oracle():
+    """Full integration oracle from tests/test_orbit_uncertainty_propag.rs:
+    equinoctial elements + covariance -> Keplerian elements, 1-sigma
+    uncertainties and covariance (Sigma' = J Sigma J^T).  This port matches
+    at machine precision (the reference asserts 1e-10)."""
+    from outfit_tpu.elements.types import jacobian_equinoctial_to_keplerian
+    from outfit_tpu.elements.uncertainty import propagate_covariance
+
+    eq = EquinoctialElements(*map(jnp.float64, (
+        57049.2684537375, 1.8021517900042052, 0.2694922786015968,
+        0.08955282358108035, 0.0008974287327937245, 0.10167548786557225,
+        1.6921653421358704,
+    )))
+    cov_eq = np.array([
+        [3.651448459073842e-12, -4.87907485491453e-13, 2.321298362132558e-11,
+         -3.7695250201166625e-13, 8.511532638002078e-13, -3.91138523482157e-11],
+        [-4.879074854914533e-13, 7.437576190456506e-12, -1.1647669978804286e-11,
+         9.359797430147383e-13, -2.8577594338429333e-12, 1.853502993770551e-11],
+        [2.3212983621325566e-11, -1.164766997880434e-11, 1.577521262959403e-10,
+         -3.47676746499932e-12, 8.610023673871895e-12, -2.644913915663376e-10],
+        [-3.7695250201166625e-13, 9.359797430147385e-13, -3.4767674649993202e-12,
+         3.7739327795249603e-13, -5.048815271306508e-13, 5.7505636344116006e-12],
+        [8.511532638002078e-13, -2.857759433842935e-12, 8.610023673871898e-12,
+         -5.048815271306507e-13, 1.3170255261786945e-12, -1.4110008489365913e-11],
+        [-3.911385234821569e-11, 1.8535029937705585e-11, -2.6449139156633765e-10,
+         5.750563634411601e-12, -1.4110008489365913e-11, 4.437117125245391e-10],
+    ])
+
+    kep = equinoctial_to_keplerian(eq)
+    np.testing.assert_allclose(
+        [float(kep.semi_major_axis), float(kep.eccentricity),
+         float(kep.inclination), float(kep.ascending_node_longitude),
+         float(kep.periapsis_argument), float(kep.mean_anomaly)],
+        [1.8021517900042052, 0.2839820354128493, 0.20266238925780133,
+         0.008826172835575467, 1.2411480851756391, 0.4421910841246559],
+        rtol=1e-13,
+    )
+    J = jacobian_equinoctial_to_keplerian(eq)
+    cov_kep = np.asarray(propagate_covariance(jnp.asarray(cov_eq), J))
+    np.testing.assert_allclose(
+        np.sqrt(np.diag(cov_kep)),
+        [1.910876358918557e-6, 3.926080684435881e-6, 2.2639852329024065e-6,
+         6.113264876575711e-6, 4.049775340683106e-5, 2.2182426229638676e-5],
+        rtol=1e-10,
+    )
+    # spot-check off-diagonal covariance terms against the oracle matrix
+    np.testing.assert_allclose(cov_kep[0, 5], 3.899825789832625e-11, rtol=1e-10)
+    np.testing.assert_allclose(cov_kep[4, 4], 1.6400680310004965e-9, rtol=1e-10)
+    np.testing.assert_allclose(cov_kep[1, 4], -1.2349406349235225e-10, rtol=1e-10)
