@@ -281,3 +281,33 @@ def test_mixed_precision_with_nbody_propagator():
     )
     assert all(r.ok for r in res.values())
     assert res["K09R05F"].normalised_rms < 1.0
+
+
+def test_diff_cor_reference_oracle_2015ab(eph):
+    """Full-pipeline oracle from tests/test_diff_cor.rs:73-170 (DE440,
+    seed 42): merged K09R05F equinoctial fit.  With the builtin analytic
+    ephemeris (~1e-5 AU vs DE440) the elements land within 2e-4 of the
+    reference and the 1-sigma uncertainties within a factor ~2 (they depend
+    on the exact outlier selection under the differing ephemeris)."""
+    ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+    res = fit_lsq(
+        ds, eph,
+        iod_params=IODParams(
+            n_noise_realizations=10, noise_scale=1.1,
+            max_obs_for_triplets=130, max_triplets=30, precision="mixed",
+        ),
+        config=DifferentialCorrectionConfig(
+            precision="mixed", divergence_grace_iterations=2
+        ),
+        seed=42, error_model=ErrorModel.fcct14(),
+    )
+    r = res["K09R05F"]
+    assert r.ok and not r.fell_back_to_iod
+    ref_eq = [1.801837227645679, 0.26941036025991355, 0.08909600747061494,
+              0.0008708024189761142, 0.10166598640878513, 1.6929834276945714]
+    np.testing.assert_allclose(r.equinoctial, ref_eq, atol=3e-4)
+    ref_unc = [1.3935756201273647e-6, 2.399103573371585e-6,
+               9.380584628466963e-6, 4.2486965596206456e-7,
+               9.938054593077774e-7, 1.5699462542222023e-5]
+    ratio = np.asarray(r.uncertainties) / ref_unc
+    assert (ratio > 0.3).all() and (ratio < 3.0).all()
