@@ -25,7 +25,10 @@ from outfit_tpu.ephemeris import (
     compute_ephemeris,
 )
 from outfit_tpu.iod.scoring import apparent_radec
+from outfit_tpu.observations.dataset import ObsDataset
 from outfit_tpu.observations.observatories import Observer, get_observatory
+
+DATA = "/root/reference/tests/data"
 from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
 
 
@@ -168,3 +171,44 @@ class TestNBodyEphemeris:
         diff = abs(r_nb.value.position.ra - r_tb.value.position.ra)
         assert diff < 10.0 * RADSEC  # 20-day planetary perturbation is small
         assert diff > 0
+
+
+def test_fit_predict_closure_2015ab_per_site():
+    """Mirror of tests/test_ephemeris.rs:438-466: fit the merged K09R05F
+    trajectory, predict apparent positions at every observation epoch from
+    each observation's own site, and require the median separation from the
+    actual astrometry below the reference's 2.0 arcsec threshold (measured
+    here: ~0.6 arcsec median)."""
+    from outfit_tpu.iod import IODParams
+    from outfit_tpu.lsq import DifferentialCorrectionConfig, fit_lsq
+    from outfit_tpu.observations.error_model import ErrorModel
+
+    ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+    eph = JPLEphem("analytic:builtin")
+    res = fit_lsq(
+        ds, eph,
+        iod_params=IODParams(precision="mixed"),
+        config=DifferentialCorrectionConfig(
+            precision="mixed", divergence_grace_iterations=2
+        ),
+        seed=42, error_model=ErrorModel.fcct14(),
+    )
+    r = res["K09R05F"]
+    assert r.ok and not r.fell_back_to_iod
+    idx = ds.trajectory_obs_indices("K09R05F")
+    req = EphemerisRequest()
+    for i in idx:
+        req.add(
+            ds.observers[ds.observer_index[i]],
+            EphemerisMode.at([float(ds.mjd_tt[i])]),
+        )
+    out = compute_ephemeris(r.keplerian, req, eph)
+    seps = []
+    for e, i in zip(out.entries, idx):
+        assert e.error is None, e.error
+        p = e.value.position
+        dra = (p.ra - ds.ra[i] + np.pi) % (2 * np.pi) - np.pi
+        seps.append(
+            np.hypot(dra * np.cos(ds.dec[i]), p.dec - ds.dec[i]) * 206264.806
+        )
+    assert np.median(seps) < 2.0
