@@ -311,3 +311,39 @@ def test_diff_cor_reference_oracle_2015ab(eph):
                9.938054593077774e-7, 1.5699462542222023e-5]
     ratio = np.asarray(r.uncertainties) / ref_unc
     assert (ratio > 0.3).all() and (ratio < 3.0).all()
+
+
+def test_diff_cor_reference_oracle_8467_33803(eph):
+    """Full-pipeline oracles from tests/test_diff_cor.rs:190-300 (DE440,
+    seed 42) for the two numbered asteroids.  Measured agreement under the
+    builtin analytic ephemeris: 33803 (129-obs multi-year arc) within
+    4e-6..3e-4; 8467 within 0.2 formal sigma (sigma_a = 7.6e-3)."""
+    ds = ObsDataset.from_mpc_80_col_files(
+        [f"{DATA}/8467.obs", f"{DATA}/33803.obs"]
+    )
+    res = fit_lsq(
+        ds, eph,
+        iod_params=IODParams(
+            n_noise_realizations=10, noise_scale=1.1,
+            max_obs_for_triplets=130, max_triplets=30, precision="mixed",
+        ),
+        config=DifferentialCorrectionConfig(
+            precision="mixed", divergence_grace_iterations=2
+        ),
+        seed=42, error_model=ErrorModel.fcct14(),
+    )
+    r = res["33803"]
+    assert r.ok and not r.fell_back_to_iod
+    np.testing.assert_allclose(
+        r.equinoctial,
+        [2.190614169340076, -0.13393967896355405, 0.1533932583177835,
+         0.002997272576917091, -0.05948928702443621, 4.224671691074116],
+        atol=5e-4,
+    )
+    r = res["8467"]
+    assert r.ok and not r.fell_back_to_iod
+    np.testing.assert_allclose(
+        r.equinoctial[:3],
+        [3.2073734821020743, 0.053597752212361474, -0.023229330026225303],
+        atol=3e-3,  # ~0.4 of its formal sigma_a = 7.6e-3
+    )
