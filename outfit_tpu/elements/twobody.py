@@ -32,44 +32,120 @@ class TwoBodyResult(NamedTuple):
     dpos_delem: jnp.ndarray  # (..., 6, 3)
     dvel_delem: jnp.ndarray  # (..., 6, 3)
     converged: jnp.ndarray  # bool
+    anomaly: jnp.ndarray  # (...,) generalized eccentric longitude F
+    anomaly_sin: jnp.ndarray  # sin F (rotation-carried, ~1 ulp)
+    anomaly_cos: jnp.ndarray  # cos F
 
 
-def solve_generalized_kepler(eq: EquinoctialElements, mean_longitude_t1, max_iter=25):
+# Taylor coefficients of sin/cos for the clamped Newton step (|d| <= 1):
+# truncation error d^19/19! <= 8.3e-18 (sin), d^20/20! <= 4.2e-19 (cos) —
+# below one f64 ulp of the rotation update.
+_SIN_C = [
+    -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880, -1.0 / 39916800,
+    1.0 / 6227020800, -1.0 / 1307674368000, 1.0 / 355687428096000,
+]
+_COS_C = [
+    -1.0 / 2, 1.0 / 24, -1.0 / 720, 1.0 / 40320, -1.0 / 3628800,
+    1.0 / 479001600, -1.0 / 87178291200, 1.0 / 20922789888000,
+    -1.0 / 6402373705728000,
+]
+
+
+def _sincos_step(d):
+    """sin/cos of a step clamped to |d| <= 1, by Taylor polynomial (Horner).
+
+    ~18 fused mul-adds instead of two emulated-f64 transcendentals — the
+    point of the rotation-Newton scheme below (TPU f64 is software-emulated;
+    sin/cos cost ~50x a multiply there).
+    """
+    d2 = d * d
+    s = _SIN_C[-1]
+    for c in reversed(_SIN_C[:-1]):
+        s = s * d2 + c
+    s = d * (1.0 + d2 * s)
+    c = _COS_C[-1]
+    for cc in reversed(_COS_C[:-1]):
+        c = c * d2 + cc
+    c = 1.0 + d2 * c
+    return s, c
+
+
+def solve_generalized_kepler(
+    eq: EquinoctialElements, mean_longitude_t1, max_iter=25, warm=None
+):
     """Newton on F - k sin F + h cos F = lambda(t1), x0 = pi + varpi.
 
-    Parity: ``solve_kepler_equation`` (:326-348).  Returns (F, converged).
+    Parity: ``solve_kepler_equation`` (equinoctial_element.rs:326-348), with
+    a TPU-native twist: the iteration is **trig-free**.  (sin F, cos F) are
+    carried through the loop and advanced by rotating with the Newton step
+    (sin/cos of the clamped step come from a degree-17/18 Taylor polynomial,
+    exact to < 1e-17 for |step| <= 1), and the cold start x0 = pi + varpi
+    has the closed form (sin, cos)(x0) = (-h/e, -k/e).  The emulated-f64
+    sin/cos therefore never runs.  For e < 1 the equation is strictly
+    monotone (f' >= 1 - e > 0), so the step-clamped Newton converges
+    globally.
+
+    ``warm``: optional (F, sin F, cos F) triple from a previous solve at
+    nearby elements (differential-correction iterations); F is remapped into
+    the current [varpi, varpi + 2pi) window (sin/cos are 2pi-invariant).
+    Non-finite warm entries fall back to the cold start per lane.
+
+    Returns (F, sin F, cos F, converged).
     """
     eps = float(jnp.finfo(jnp.asarray(mean_longitude_t1).dtype).eps)
     tol = 100.0 * eps
 
+    e2 = eq.h**2 + eq.k**2
+    circular = e2 <= 100.0 * _EPS
+    varpi = jnp.where(circular, 0.0, principal_angle(jnp.arctan2(eq.h, eq.k)))
+    inv_e = jnp.where(circular, 0.0, 1.0 / jnp.sqrt(jnp.where(circular, 1.0, e2)))
+    # x0 = pi + varpi:  sin(x0) = -sin(varpi) = -h/e,  cos(x0) = -k/e
+    f0 = jnp.broadcast_to(jnp.pi + varpi, jnp.shape(mean_longitude_t1))
+    s0 = jnp.broadcast_to(-eq.h * inv_e, jnp.shape(mean_longitude_t1))
+    c0 = jnp.broadcast_to(jnp.where(circular, -1.0, -eq.k * inv_e),
+                          jnp.shape(mean_longitude_t1))
+    if warm is not None:
+        fw, sw, cw = warm
+        ok = jnp.isfinite(fw) & jnp.isfinite(sw) & jnp.isfinite(cw)
+        fw_safe = jnp.where(ok, fw, 0.0)
+        fw_mapped = varpi + (fw_safe - varpi) % DPI
+        f0 = jnp.where(ok, fw_mapped, f0)
+        s0 = jnp.where(ok, sw, s0)
+        c0 = jnp.where(ok, cw, c0)
+
     def body(carry):
-        it, f, done = carry
-        res = f - eq.k * jnp.sin(f) + eq.h * jnp.cos(f) - mean_longitude_t1
-        der = 1.0 - eq.k * jnp.cos(f) - eq.h * jnp.sin(f)
-        step = -res / jnp.where(jnp.abs(der) > eps, der, eps)
+        it, f, s, c, done = carry
+        res = f - eq.k * s + eq.h * c - mean_longitude_t1
+        der = 1.0 - eq.k * c - eq.h * s
+        raw = -res / jnp.where(jnp.abs(der) > eps, der, eps)
+        step = jnp.clip(raw, -1.0, 1.0)
+        sd, cd = _sincos_step(step)
         fn = jnp.where(done, f, f + step)
-        done = done | (jnp.abs(step) <= tol)
-        return it + 1, fn, done
+        sn = jnp.where(done, s, s * cd + c * sd)
+        cn = jnp.where(done, c, c * cd - s * sd)
+        done = done | (jnp.abs(raw) <= tol)
+        return it + 1, fn, sn, cn, done
 
     def cond(carry):
-        it, _, done = carry
+        it, _, _, _, done = carry
         return (it < max_iter) & ~jnp.all(done)
 
-    e2 = eq.h**2 + eq.k**2
-    varpi = jnp.where(
-        e2 > 100.0 * _EPS, principal_angle(jnp.arctan2(eq.h, eq.k)), 0.0
-    )
-    x0 = jnp.pi + varpi
-    _, f, done = jax.lax.while_loop(
+    _, f, s, c, done = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.array(0, jnp.int32),
-            jnp.broadcast_to(x0, jnp.shape(mean_longitude_t1)),
+            f0,
+            s0,
+            c0,
             jnp.zeros(jnp.shape(mean_longitude_t1), bool),
         ),
     )
-    return f, done
+    # first-order renormalization of the rotation drift (|1 - (s^2+c^2)| is
+    # ~1e-15 after <= max_iter rotations; one step of x *= (3 - n)/2 is exact
+    # to O(drift^2))
+    scale = 0.5 * (3.0 - (s * s + c * c))
+    return f, s * scale, c * scale, done
 
 
 def propagate_twobody(
@@ -78,8 +154,20 @@ def propagate_twobody(
     t1,
     compute_derivatives: bool = True,
     mu: float = GAUSS_GRAV_SQUARED,
+    kepler_warm=None,
+    kepler_solution=None,
 ) -> TwoBodyResult:
-    """Propagate equinoctial elements to t1 (Cartesian state + partials)."""
+    """Propagate equinoctial elements to t1 (Cartesian state + partials).
+
+    ``kepler_warm``: optional (F, sin F, cos F) warm start for the
+    generalized Kepler solve (see ``solve_generalized_kepler``) — used by
+    the differential-correction loop, where successive Newton iterations
+    move the elements by <1e-3 and the solve then needs 1-2 steps.
+
+    ``kepler_solution``: optional (F, sin F, cos F) to *skip* the solve
+    entirely — used by the mixed-precision Jacobian pass, which re-evaluates
+    the same propagation in f32 and can reuse the f64 solution.
+    """
     a = eq.semi_major_axis
     h, k, p, q = eq.h, eq.k, eq.p, eq.q
     # Epoch differences are taken at the epochs' own precision (f64 MJDs),
@@ -101,12 +189,18 @@ def propagate_twobody(
     lam1 = principal_angle(lam1)
     lam1 = jnp.where(lam1 < varpi, lam1 + DPI, lam1)
 
-    F, converged = solve_generalized_kepler(eq, lam1)
+    if kepler_solution is not None:
+        F, sF, cF = (jnp.broadcast_to(v, jnp.shape(lam1)).astype(wdtype)
+                     for v in kepler_solution)
+        converged = jnp.isfinite(F) & jnp.isfinite(sF) & jnp.isfinite(cF)
+    else:
+        F, sF, cF, converged = solve_generalized_kepler(
+            eq, lam1, warm=kepler_warm
+        )
 
     # --- in-plane coordinates ------------------------------------------------
     beta = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(1.0 - e2, 0.0)))
     bhk = beta * h * k
-    sF, cF = jnp.sin(F), jnp.cos(F)
 
     xe = a * ((1.0 - beta * h * h) * cF + bhk * sF - k)
     ye = a * ((1.0 - beta * k * k) * sF + bhk * cF - h)
@@ -131,7 +225,7 @@ def propagate_twobody(
 
     if not compute_derivatives:
         zero = jnp.zeros(pos.shape[:-1] + (6, 3), pos.dtype)
-        return TwoBodyResult(pos, vel, zero, zero, converged)
+        return TwoBodyResult(pos, vel, zero, zero, converged, F, sF, cF)
 
     # --- analytic partials (compute_derivative :442-584) ---------------------
     w_vec = jnp.stack(
@@ -205,4 +299,4 @@ def propagate_twobody(
 
     dpos = jnp.stack([dpos1, dpos2, dpos3, dpos4, dpos5, dpos6], axis=-2)
     dvel = jnp.stack([dvel1, dvel2, dvel3, dvel4, dvel5, dvel6], axis=-2)
-    return TwoBodyResult(pos, vel, dpos, dvel, converged)
+    return TwoBodyResult(pos, vel, dpos, dvel, converged, F, sF, cF)

@@ -58,11 +58,13 @@ class IterationResult(NamedTuple):
     d_ra: jnp.ndarray  # (T, N, 6)
     d_dec: jnp.ndarray  # (T, N, 6)
     obs_active: jnp.ndarray  # (T, N) bool — actually used this iteration
+    kepler: jnp.ndarray  # (T, N, 3) (F, sin F, cos F) — warm start for the
+    # next iteration's generalized Kepler solve (NaN on the N-body path)
 
 
 def observation_partials(
     elements_vec, epoch, obs: ObsArrays, propagator=None, ephem=None,
-    jacobian_dtype=None,
+    jacobian_dtype=None, kepler_warm=None,
 ):
     """Predicted (RA, Dec) + d/d(elem) for every (trajectory, observation).
 
@@ -95,23 +97,42 @@ def observation_partials(
         st_pos, st_vel = nb.position, nb.velocity
         st_dpos = nb.dpos_delem
         st_conv = nb.status == 0
+        kepler = jnp.full(obs.mjd.shape + (3,), jnp.nan)
     elif jacobian_dtype is not None:
         st_f = propagate_twobody(
-            eq, epoch[:, None], obs.mjd, compute_derivatives=False
+            eq, epoch[:, None], obs.mjd, compute_derivatives=False,
+            kepler_warm=kepler_warm,
         )
         eq_lo = EquinoctialElements(*(
             f if i == 0 else f.astype(jacobian_dtype) for i, f in enumerate(eq)
         ))  # epoch stays f64 (dt is formed against f64 MJDs inside)
+        # the Jacobian pass re-propagates the same elements in f32: reuse the
+        # f64 Kepler solution instead of re-solving (the f32 solve's own
+        # tolerance is larger than the cast error)
         st_j = propagate_twobody(
-            eq_lo, epoch[:, None], obs.mjd, compute_derivatives=True
+            eq_lo, epoch[:, None], obs.mjd, compute_derivatives=True,
+            kepler_solution=(
+                st_f.anomaly.astype(jacobian_dtype),
+                st_f.anomaly_sin.astype(jacobian_dtype),
+                st_f.anomaly_cos.astype(jacobian_dtype),
+            ),
         )
         st_pos, st_vel = st_f.position, st_f.velocity
         st_dpos = st_j.dpos_delem.astype(st_pos.dtype)
         st_conv = st_f.converged & st_j.converged
+        kepler = jnp.stack(
+            [st_f.anomaly, st_f.anomaly_sin, st_f.anomaly_cos], axis=-1
+        )
     else:
-        st = propagate_twobody(eq, epoch[:, None], obs.mjd, compute_derivatives=True)
+        st = propagate_twobody(
+            eq, epoch[:, None], obs.mjd, compute_derivatives=True,
+            kepler_warm=kepler_warm,
+        )
         st_pos, st_vel, st_dpos, st_conv = (
             st.position, st.velocity, st.dpos_delem, st.converged
+        )
+        kepler = jnp.stack(
+            [st.anomaly, st.anomaly_sin, st.anomaly_cos], axis=-1
         )
 
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000, jnp.asarray(st_pos).dtype)
@@ -144,7 +165,7 @@ def observation_partials(
     d_dec = jnp.einsum("...ec,...c->...e", dpos, d_dec_d_pos)
 
     prop_ok = st_conv & jnp.isfinite(ra) & jnp.isfinite(dec)
-    return ra, dec, d_ra, d_dec, prop_ok
+    return ra, dec, d_ra, d_dec, prop_ok, kepler
 
 
 def _angular_diff(obs, calc):
@@ -162,10 +183,11 @@ def single_iteration(
     propagator=None,
     ephem=None,
     jacobian_dtype=None,
+    kepler_warm=None,
 ) -> IterationResult:
     """One batched Newton step.  Parity: ``single_iteration`` (:140-300)."""
-    ra_c, dec_c, d_ra, d_dec, prop_ok = observation_partials(
-        elements_vec, epoch, obs, propagator, ephem, jacobian_dtype
+    ra_c, dec_c, d_ra, d_dec, prop_ok, kepler = observation_partials(
+        elements_vec, epoch, obs, propagator, ephem, jacobian_dtype, kepler_warm
     )
 
     active = (selection == SEL_ACTIVE) & obs.valid & prop_ok
@@ -234,4 +256,5 @@ def single_iteration(
         g_ra,
         g_dec,
         active,
+        kepler,
     )

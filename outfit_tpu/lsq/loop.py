@@ -81,9 +81,10 @@ def _prewarm_f32(elements0, epoch, obs, cfg, selection0, free, ephem):
     thr = max(cfg.convergence_threshold, 1e-3)
 
     def body(carry):
-        it, el, prev_norm, done = carry
+        it, el, prev_norm, done, kep = carry
         res = single_iteration(
-            el, epoch, selection0, obs32, free, cfg.propagator, ephem
+            el, epoch, selection0, obs32, free, cfg.propagator, ephem,
+            kepler_warm=(kep[..., 0], kep[..., 1], kep[..., 2]),
         )
         sane = (
             res.inversion_ok
@@ -94,14 +95,17 @@ def _prewarm_f32(elements0, epoch, obs, cfg, selection0, free, ephem):
         el = jnp.where(adv[:, None], res.corrected, el)
         plateau = (it >= 2) & (res.correction_norm >= 0.5 * prev_norm)
         done = done | ~sane | (adv & ((res.correction_norm < thr) | plateau))
-        return it + 1, el, jnp.where(adv, res.correction_norm, prev_norm), done
+        return (
+            it + 1, el, jnp.where(adv, res.correction_norm, prev_norm), done,
+            res.kepler,
+        )
 
     def cond(carry):
-        it, _, _, done = carry
+        it, _, _, done, _ = carry
         return (it < cfg.prewarm_max_iterations) & jnp.any(~done)
 
     el0 = jnp.asarray(elements0, jnp.float32)
-    n_it, el, _, _ = jax.lax.while_loop(
+    n_it, el, _, _, _ = jax.lax.while_loop(
         cond,
         body,
         (
@@ -109,6 +113,7 @@ def _prewarm_f32(elements0, epoch, obs, cfg, selection0, free, ephem):
             el0,
             jnp.full(T, jnp.float32(jnp.finfo(jnp.float32).max)),
             jnp.zeros(T, bool),
+            jnp.full(obs.mjd.shape + (3,), jnp.nan, jnp.float32),
         ),
     )
     bad = ~jnp.isfinite(el).all(axis=-1)
@@ -167,6 +172,9 @@ def run_differential_correction(
         inv_ok_last: jnp.ndarray
         outer_done: jnp.ndarray
         total_newton: jnp.ndarray
+        # (T, N, 3) generalized-Kepler (F, sin, cos) of the last evaluation —
+        # warm start for the next iteration's solve (NaN = cold start)
+        kepler: jnp.ndarray
 
     st0 = _St(
         elements=jnp.asarray(elements0, jnp.float64),
@@ -183,6 +191,7 @@ def run_differential_correction(
         inv_ok_last=jnp.zeros(T, bool),
         outer_done=jnp.zeros(T, bool),
         total_newton=prewarm_iters,
+        kepler=jnp.full((T, N, 3), jnp.nan),
     )
 
     def inner_loop(st: _St):
@@ -222,6 +231,9 @@ def run_differential_correction(
             res = single_iteration(
                 st.elements, epoch, st.selection, obs, free, cfg.propagator,
                 ephem, jac_dtype,
+                kepler_warm=(
+                    st.kepler[..., 0], st.kepler[..., 1], st.kepler[..., 2]
+                ),
             )
 
             inv_fail = act & ~res.inversion_ok
@@ -274,6 +286,9 @@ def run_differential_correction(
                 last_ddec=jnp.where(advance[:, None, None], res.d_dec, st.last_ddec),
                 inv_ok_last=jnp.where(advance, res.inversion_ok, st.inv_ok_last),
                 total_newton=st.total_newton + act.astype(jnp.int32),
+                # the solution at st.elements is a valid warm start whether or
+                # not the step advanced (non-advancing lanes keep elements)
+                kepler=res.kepler,
             )
             done = i.inner_done | inv_fail | bizarre | diverged | stagn_break | conv
             return _In(
@@ -386,7 +401,10 @@ def run_differential_correction(
         # accumulated with f32 Jacobians (elements themselves are already at
         # the f64 fixed point — not advanced here)
         res = single_iteration(
-            st.elements, epoch, st.selection, obs, free, cfg.propagator, ephem
+            st.elements, epoch, st.selection, obs, free, cfg.propagator, ephem,
+            kepler_warm=(
+                st.kepler[..., 0], st.kepler[..., 1], st.kepler[..., 2]
+            ),
         )
         keep = (st.status == STATUS_RUNNING) & res.inversion_ok
         k1 = keep[:, None]

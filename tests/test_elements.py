@@ -155,9 +155,14 @@ class TestTwoBody:
     def test_kepler_equation_oracle(self):
         # equinoctial_element.rs:1267-1286
         eq = _eq()
-        f, conv = solve_generalized_kepler(eq, jnp.float64(1.8432075709935847))
+        f, sf, cf, conv = solve_generalized_kepler(
+            eq, jnp.float64(1.8432075709935847)
+        )
         assert bool(conv)
         assert float(f) == pytest.approx(2.0450042417470673, abs=1e-12)
+        # the rotation-carried trig must match libm to ~ulp
+        assert float(sf) == pytest.approx(float(np.sin(2.0450042417470673)), abs=5e-15)
+        assert float(cf) == pytest.approx(float(np.cos(2.0450042417470673)), abs=5e-15)
 
     def test_propagation_oracle(self):
         # equinoctial_element.rs:1288-1315
