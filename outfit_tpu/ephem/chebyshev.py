@@ -67,10 +67,12 @@ def interpolate_body(table: BodyTable, mjd, velocity: bool = True):
     c = jnp.asarray(table.coeffs)[idx]  # (..., 3, n_coeff); asarray: tables
     # loaded from the npz cache are numpy and must be device arrays under jit
     tb, db = _chebyshev_basis(tau, n_coeff)  # (..., n_coeff)
-    pos = jnp.einsum("...cn,...n->...c", c, tb)
+    # multiply + reduce over the (tiny) coefficient axis — einsum would
+    # lower to a padded MXU dot_general (~100x under f64 emulation)
+    pos = jnp.sum(c * tb[..., None, :], -1)
     if not velocity:
         return pos, None
-    vel = jnp.einsum("...cn,...n->...c", c, db) * (2.0 / table.granule_days)
+    vel = jnp.sum(c * db[..., None, :], -1) * (2.0 / table.granule_days)
     return pos, vel
 
 

@@ -62,8 +62,8 @@ def _propagate_equ(eq: EquinoctialElements, epochs, propagator, ephem):
         pos_ecl, vel_ecl, conv = st.position, st.velocity, st.converged
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
     return (
-        jnp.einsum("ij,...j->...i", rot, pos_ecl),
-        jnp.einsum("ij,...j->...i", rot, vel_ecl),
+        jnp.sum(rot * pos_ecl[..., None, :], -1),
+        jnp.sum(rot * vel_ecl[..., None, :], -1),
         conv,
     )
 
@@ -81,7 +81,7 @@ def _aberrated_topocentric(
     def retro(separation):
         t_ret = epochs - separation / VLIGHT_AU
         st = propagate_twobody(eq, eq.reference_epoch, t_ret, compute_derivatives=False)
-        return jnp.einsum("ij,...j->...i", rot, st.position)
+        return jnp.sum(rot * st.position[..., None, :], -1)
 
     r1 = retro(jnp.linalg.norm(topo, axis=-1))
     d1 = r1 - obs_pos

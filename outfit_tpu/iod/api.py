@@ -49,6 +49,7 @@ from outfit_tpu.iod.triplets import generate_triplet_indices, select_rms_interva
 from outfit_tpu.observations.error_model import ErrorModel
 from outfit_tpu.observer.cache import ObserverCache
 from outfit_tpu.time.scales import Ut1Provider
+from outfit_tpu.utils.linalg import rotate3
 
 
 @dataclass
@@ -217,8 +218,8 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
     )
     rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000)
     kind64, el64 = ccek1(
-        jnp.einsum("ij,...j->...i", rot, ppos[..., 1, :]),
-        jnp.einsum("ij,...j->...i", rot, pvel),
+        rotate3(rot, ppos[..., 1, :]),
+        rotate3(rot, pvel),
     )
     eq64 = _to_equinoctial(kind64, el64, pepoch)
     mjd64, ra64, dec64, sra64, sdec64, helio64 = obs_arrays

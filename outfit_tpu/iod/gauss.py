@@ -36,6 +36,7 @@ from outfit_tpu.elements.orb_elem import ccek1, eccentricity_control
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.roots import aberth_deg8, descartes_upper_bound
 from outfit_tpu.kepler.universal import SolverConfig, velocity_correction
+from outfit_tpu.utils.linalg import matvec_small, rotate3
 
 _EPS = float(jnp.finfo(jnp.float64).eps)
 
@@ -129,11 +130,13 @@ def gauss_prelim(tri: GaussTriplets):
 
 def coeff_eight_poly(tri: GaussTriplets, s_mat, s_inv, a, b):
     """Sparse coefficients (c0, c3, c6).  Parity: gauss.rs:585-614."""
-    ra_vec = jnp.einsum("...j,...jc->...c", a, tri.obs_pos)
-    rb_vec = jnp.einsum("...j,...jc->...c", b, tri.obs_pos)
+    # broadcast-multiply + sum, not einsum: tiny-dim dot_generals lower to
+    # pathologically padded MXU matmuls (see utils.linalg.matvec_small)
+    ra_vec = jnp.sum(a[..., None] * tri.obs_pos, axis=-2)
+    rb_vec = jnp.sum(b[..., None] * tri.obs_pos, axis=-2)
     row1 = s_inv[..., 1, :]  # second row of S^-1
-    a2star = jnp.einsum("...c,...c->...", row1, ra_vec)
-    b2star = jnp.einsum("...c,...c->...", row1, rb_vec)
+    a2star = jnp.sum(row1 * ra_vec, axis=-1)
+    b2star = jnp.sum(row1 * rb_vec, axis=-1)
     p2 = tri.obs_pos[..., 1, :]
     r22 = jnp.sum(p2 * p2, axis=-1)
     s2 = s_mat[..., :, 1]
@@ -149,8 +152,8 @@ def _positions_from_cvec(tri, s_inv, u, c_vec, min_rho2):
 
     c_vec: (..., 3).  Returns (pos (..., 3, 3), epoch, rho2_ok).
     """
-    gcap = jnp.einsum("...j,...jc->...c", c_vec, tri.obs_pos)
-    crhom = jnp.einsum("...ij,...j->...i", s_inv, gcap)
+    gcap = jnp.sum(c_vec[..., None] * tri.obs_pos, axis=-2)
+    crhom = matvec_small(s_inv, gcap)
     rho = -crhom / c_vec
     rho2_ok = rho[..., 1] >= min_rho2
     pos = tri.obs_pos + rho[..., None] * u
@@ -167,7 +170,7 @@ def gibbs_velocity(pos, tau1, tau3):
     d2 = (tau1 + tau3) * (rm3[..., 1] / 12.0 - 1.0 / (tau1 * tau3))
     d3 = -tau1 * (rm3[..., 2] / 12.0 + 1.0 / (tau3 * tau13))
     d = jnp.stack([-d1, d2, d3], axis=-1)
-    return GAUSS_GRAV * jnp.einsum("...j,...jc->...c", d, pos)
+    return GAUSS_GRAV * jnp.sum(d[..., None] * pos, axis=-2)
 
 
 
@@ -469,6 +472,6 @@ def candidates_to_elements(cands: GaussCandidates):
     Returns (kind (L,8), elements (L,8,6)).
     """
     rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000, jnp.asarray(cands.vel).dtype)
-    p_ecl = jnp.einsum("ij,...j->...i", rot, cands.pos[..., 1, :])
-    v_ecl = jnp.einsum("ij,...j->...i", rot, cands.vel)
+    p_ecl = rotate3(rot, cands.pos[..., 1, :])
+    v_ecl = rotate3(rot, cands.vel)
     return ccek1(p_ecl, v_ecl)

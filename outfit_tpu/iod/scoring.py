@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from outfit_tpu.constants import ROT_ECLMJ2000_TO_EQUMJ2000, VLIGHT_AU, DPI
 from outfit_tpu.elements.twobody import propagate_twobody
 from outfit_tpu.elements.types import EquinoctialElements
+from outfit_tpu.utils.linalg import rotate3
 
 
 def correct_aberration_first_order(relative, velocity):
@@ -70,8 +71,8 @@ def ephemeris_error_terms(
         compute_derivatives=False,
     )
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000, st.position.dtype)
-    pos_equ = jnp.einsum("ij,...j->...i", rot, st.position)
-    vel_equ = jnp.einsum("ij,...j->...i", rot, st.velocity)
+    pos_equ = rotate3(rot, st.position)
+    vel_equ = rotate3(rot, st.velocity)
     ra, dec = apparent_radec(pos_equ, vel_equ, obs_helio_pos_equ)
 
     diff_ra = (obs_ra - ra) % DPI

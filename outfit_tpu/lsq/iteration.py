@@ -135,10 +135,15 @@ def observation_partials(
             [st.anomaly, st.anomaly_sin, st.anomaly_cos], axis=-1
         )
 
+    # NOTE every contraction below is written as broadcast-multiply + sum,
+    # NOT einsum/@: XLA lowers batched tiny-dim dot_generals (contraction 3
+    # or 6) to MXU matmuls, which under f64 emulation cost ~20 ms per call
+    # at (2048, 12) — ~100x the equivalent VPU elementwise+reduce (measured,
+    # tools/body_cost.py).
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000, jnp.asarray(st_pos).dtype)
-    pos = jnp.einsum("ij,...j->...i", rot, st_pos)  # (T, N, 3) equ
-    vel = jnp.einsum("ij,...j->...i", rot, st_vel)
-    dpos = jnp.einsum("ij,...ej->...ei", rot, st_dpos)  # (T, N, 6, 3)
+    pos = jnp.sum(rot * st_pos[..., None, :], -1)  # (T, N, 3) equ
+    vel = jnp.sum(rot * st_vel[..., None, :], -1)
+    dpos = jnp.sum(rot * st_dpos[..., None, :], -1)  # (T, N, 6, 3)
 
     rel = pos - obs.helio_pos
     rel_norm = jnp.linalg.norm(rel, axis=-1)
@@ -161,8 +166,8 @@ def observation_partials(
     d_ra_d_pos = grad_ra - (jnp.sum(grad_ra * vel, axis=-1) * ab)[..., None] * rel
     d_dec_d_pos = grad_dec - (jnp.sum(grad_dec * vel, axis=-1) * ab)[..., None] * rel
 
-    d_ra = jnp.einsum("...ec,...c->...e", dpos, d_ra_d_pos)  # (T, N, 6)
-    d_dec = jnp.einsum("...ec,...c->...e", dpos, d_dec_d_pos)
+    d_ra = jnp.sum(dpos * d_ra_d_pos[..., None, :], -1)  # (T, N, 6)
+    d_dec = jnp.sum(dpos * d_dec_d_pos[..., None, :], -1)
 
     prop_ok = st_conv & jnp.isfinite(ra) & jnp.isfinite(dec)
     return ra, dec, d_ra, d_dec, prop_ok, kepler
@@ -206,11 +211,16 @@ def single_iteration(
     w_ra = jnp.where(active, 1.0 / obs.sigma_ra**2, 0.0)
     w_dec = jnp.where(active, 1.0 / obs.sigma_dec**2, 0.0)
 
-    normal = jnp.einsum("tnj,tn,tnk->tjk", g_ra, w_ra, g_ra) + jnp.einsum(
-        "tnj,tn,tnk->tjk", g_dec, w_dec, g_dec
+    gw_ra = g_ra * w_ra[..., None]
+    gw_dec = g_dec * w_dec[..., None]
+    # (T, N, 6, 1) x (T, N, 1, 6) -> sum over N: VPU-only normal matrix
+    normal = jnp.sum(
+        gw_ra[..., :, None] * g_ra[..., None, :]
+        + gw_dec[..., :, None] * g_dec[..., None, :],
+        axis=1,
     )
-    rhs = jnp.einsum("tnj,tn,tn->tj", g_ra, w_ra, res_ra) + jnp.einsum(
-        "tnj,tn,tn->tj", g_dec, w_dec, res_dec
+    rhs = jnp.sum(
+        gw_ra * res_ra[..., None] + gw_dec * res_dec[..., None], axis=1
     )
     q = jnp.sum(w_ra * res_ra**2 + w_dec * res_dec**2, axis=-1)
     m = (2 * jnp.sum(active, axis=-1)).astype(jnp.int32)
@@ -232,13 +242,12 @@ def single_iteration(
     cov, chol_ok = cholesky_inverse6(normal_safe)
     inv_ok = finite & chol_ok & jnp.isfinite(cov).all(axis=(-1, -2)) & (m >= 1)
 
-    dx = jnp.einsum("tjk,tk->tj", cov, rhs)
+    dx = jnp.sum(cov * rhs[:, None, :], -1)
     dx = jnp.where(free, dx, 0.0)
     dx = jnp.where(inv_ok[:, None], dx, 0.0)
 
-    corr_norm = jnp.sqrt(
-        jnp.maximum(jnp.einsum("tj,tjk,tk->t", dx, normal, dx), 0.0)
-    )
+    ndx = jnp.sum(normal * dx[:, None, :], -1)
+    corr_norm = jnp.sqrt(jnp.maximum(jnp.sum(dx * ndx, -1), 0.0))
     rms = jnp.sqrt(q / jnp.maximum(m, 1))
     rms = jnp.where(m > 0, rms, 0.0)
 

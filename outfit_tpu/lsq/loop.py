@@ -308,8 +308,10 @@ def run_differential_correction(
         cov = st.last_cov
         var_ra = obs.sigma_ra**2
         var_dec = obs.sigma_dec**2
-        gca = jnp.einsum("tjk,tnk->tnj", cov, st.last_dra)
-        gcd = jnp.einsum("tjk,tnk->tnj", cov, st.last_ddec)
+        # broadcast-multiply + sum, NOT einsum: batched 6-dim dot_generals
+        # lower to (emulated-f64) MXU matmuls at ~100x the VPU cost here
+        gca = jnp.sum(cov[:, None] * st.last_dra[..., None, :], -1)
+        gcd = jnp.sum(cov[:, None] * st.last_ddec[..., None, :], -1)
         # projection term applies to ACTIVE observations only — for rejected
         # points the reference's zero-partial placeholder reduces V to W^-1
         # (outlier_rejection.rs:135-150 via single_iteration's inactive path)

@@ -66,8 +66,8 @@ def pvobs(mjd_tt, observer_fixed_pos, observer_fixed_vel, gast_rad):
         RefSystem.eclm(RefEpoch.j2000()),
     )
     m = rot_frame @ rot_earth
-    dx = jnp.einsum("...ij,...j->...i", m, observer_fixed_pos)
-    dv = jnp.einsum("...ij,...j->...i", m, observer_fixed_vel)
+    dx = jnp.sum(m * observer_fixed_pos[..., None, :], -1)
+    dv = jnp.sum(m * observer_fixed_vel[..., None, :], -1)
     return dx, dv
 
 
@@ -75,11 +75,11 @@ def helio_position(ephem, mjd_tt, geo_pos_ecl):
     """Heliocentric observer position, equatorial mean J2000 (AU)."""
     earth_pos, _ = ephem.earth_ephemeris(jnp.asarray(mjd_tt), velocity=False)
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
-    return earth_pos + jnp.einsum("ij,...j->...i", rot, geo_pos_ecl)
+    return earth_pos + jnp.sum(rot * geo_pos_ecl[..., None, :], -1)
 
 
 def helio_velocity(ephem, mjd_tt, geo_vel_ecl):
     """Heliocentric observer velocity, equatorial mean J2000 (AU/day)."""
     _, earth_vel = ephem.earth_ephemeris(jnp.asarray(mjd_tt), velocity=True)
     rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
-    return earth_vel + jnp.einsum("ij,...j->...i", rot, geo_vel_ecl)
+    return earth_vel + jnp.sum(rot * geo_vel_ecl[..., None, :], -1)

@@ -63,7 +63,7 @@ def perturber_snapshots(ephem, config: NBodyConfig, t0_mjd):
             p = jnp.zeros(jnp.shape(jnp.asarray(t0_mjd)) + (3,))
         else:
             p_equ, _ = ephem.body_ephemeris(body, t0_mjd)
-            p = jnp.einsum("ij,...j->...i", rot, p_equ)
+            p = jnp.sum(rot * p_equ[..., None, :], -1)
         positions.append(p)
         gms.append(gm)
     return jnp.stack(positions, axis=-2), jnp.asarray(np.array(gms))
@@ -79,20 +79,24 @@ def _acceleration_and_gradient(r, pert_pos, gm):
     d2 = jnp.sum(d * d, axis=-1)
     dn = jnp.sqrt(d2)
     dm3 = 1.0 / (d2 * dn)
-    acc_direct = -jnp.einsum("p,...p,...pc->...c", gm, dm3, d)
+    # contractions over the (small) perturber axis are broadcast-multiply +
+    # sum, not einsum — tiny-dim dot_generals hit the emulated-f64 MXU path
+    # (~100x cost; see utils.linalg.matvec_small)
+    acc_direct = -jnp.sum((gm * dm3)[..., None] * d, axis=-2)
 
     rp2 = jnp.sum(pert_pos * pert_pos, axis=-1)
     rpn = jnp.sqrt(rp2)
     is_sun = rpn <= 1e-10
     rpm3 = jnp.where(is_sun, 0.0, 1.0 / jnp.where(is_sun, 1.0, rp2 * rpn))
     # correct heliocentric indirect term: -GM_i r_i / |r_i|^3
-    acc_indirect = -jnp.einsum("p,...p,...pc->...c", gm, rpm3, pert_pos)
+    acc_indirect = -jnp.sum((gm * rpm3)[..., None] * pert_pos, axis=-2)
 
     eye = jnp.eye(3)
     dm5 = dm3 / d2
-    grad = jnp.einsum("p,...p,...pi,...pj->...ij", gm, 3.0 * dm5, d, d) - jnp.einsum(
-        "p,...p,ij->...ij", gm, dm3, eye
-    )
+    w = gm * 3.0 * dm5  # (..., P)
+    grad = jnp.sum(
+        w[..., None, None] * d[..., :, None] * d[..., None, :], axis=-3
+    ) - jnp.sum(gm * dm3, axis=-1)[..., None, None] * eye
     return acc_direct + acc_indirect, grad
 
 
@@ -128,10 +132,13 @@ def propagate_nbody(
         v = y[..., 3:6]
         phi = y[..., 6:42].reshape(y.shape[:-1] + (6, 6))
         acc, grad = _acceleration_and_gradient(r, pert_pos, gm)
-        a_mat = jnp.zeros(y.shape[:-1] + (6, 6))
-        a_mat = a_mat.at[..., 0:3, 3:6].set(jnp.eye(3))
-        a_mat = a_mat.at[..., 3:6, 0:3].set(grad)
-        dphi = jnp.einsum("...ij,...jk->...ik", a_mat, phi)
+        # A = [[0, I], [grad, 0]] exploited structurally: dPhi = A Phi means
+        # rows 0-2 of dPhi are Phi rows 3-5, rows 3-5 are grad @ Phi[0:3]
+        # (multiply+sum, not einsum — MXU dot_general pathology, see above)
+        dphi_bot = jnp.sum(
+            grad[..., :, :, None] * phi[..., None, 0:3, :], axis=-2
+        )
+        dphi = jnp.concatenate([phi[..., 3:6, :], dphi_bot], axis=-2)
         return jnp.concatenate(
             [v, acc, dphi.reshape(y.shape[:-1] + (36,))], axis=-1
         )
@@ -146,7 +153,9 @@ def propagate_nbody(
     phi1 = res.y[..., 6:42].reshape(batch + (6, 6))
 
     # J(t1) = Phi(t1) @ J0_state, with J0_state (6state x 6elem) = j0^T
-    j_state = jnp.einsum("...ij,...ej->...ei", phi1, j0)  # (..., 6elem, 6state)
+    j_state = jnp.sum(
+        phi1[..., None, :, :] * j0[..., :, None, :], axis=-1
+    )  # (..., 6elem, 6state)
     dpos = j_state[..., 0:3]
     dvel = j_state[..., 3:6]
 

@@ -79,3 +79,24 @@ def cholesky_inverse6(a):
         [jnp.stack(out[i], axis=-1) for i in range(_N)], axis=-2
     )
     return inv, ok
+
+
+# ---------------------------------------------------------------------------
+# Tiny-contraction helpers (VPU elementwise + reduce, never MXU dot_general)
+# ---------------------------------------------------------------------------
+# XLA lowers batched einsums with small contraction dims (3 or 6) to MXU
+# matmuls; under f64 emulation (and "highest" f32 matmul precision) those
+# cost ~100x the equivalent broadcast-multiply + sum at orbit-determination
+# batch shapes (measured: tools/body_cost.py — a single (2048,12)-batched
+# 6-dim normal-equation einsum dominated the whole LSQ iteration at ~20 ms).
+# Every hot-path contraction goes through these instead.
+
+
+def matvec_small(m, v):
+    """(..., i, j) @ (..., j) -> (..., i) via multiply + reduce."""
+    return jnp.sum(m * v[..., None, :], -1)
+
+
+def rotate3(rot, v):
+    """Apply a (3, 3) rotation (or batch thereof) to (..., 3) vectors."""
+    return jnp.sum(jnp.asarray(rot, jnp.asarray(v).dtype) * v[..., None, :], -1)
