@@ -175,8 +175,11 @@ def main():
     target_per_chip = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on v5e-8
 
     try:
-        # scale the batch until the chip is reasonably full or time budget hit
-        value = bench_iod_lsq(n_traj=2048)  # saturates the chip (~16k IOD lanes)
+        # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
+        # latency-bound and nearly flat in batch size (34.5 ms @ 2048 ->
+        # 41.8 ms @ 8192), so production batches this large are the
+        # steady-state operating point (fink-fat-scale datasets are 1e5+)
+        value = bench_iod_lsq(n_traj=8192)
         result = {
             "metric": "full IOD+LSQ trajectory fits/sec/chip",
             "value": round(value, 2),
