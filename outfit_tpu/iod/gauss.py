@@ -305,7 +305,10 @@ def gauss_candidates(
 
     descartes_ok = descartes_upper_bound(c0, c3, c6) > 0
 
-    roots = aberth_deg8(c0, c3, c6, params.aberth_max_iter, params.aberth_eps)
+    roots = aberth_deg8(
+        c0, c3, c6, params.aberth_max_iter, params.aberth_eps,
+        active=descartes_ok & nonsing,
+    )
     r2 = roots.real  # (L, 8)
     # real-root test: the reference's absolute 1e-6 cut assumes f64 Aberth;
     # in f32 a genuinely real root carries ~|z|*O(100 eps) imaginary noise,

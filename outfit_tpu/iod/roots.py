@@ -65,11 +65,17 @@ def _cdiv(ar, ai, br, bi):
     return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
 
-def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
+def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6, active=None):
     """All 8 complex roots of x^8 + c6 x^6 + c3 x^3 + c0, batched.
 
     Returns a :class:`ComplexRoots` with (..., 8) float64 ``real``/``imag``,
     sorted by real part ascending.
+
+    ``active``: optional per-lane bool mask — inactive lanes (e.g. Descartes
+    count 0, singular LOS matrix) are frozen immediately so their
+    (potentially ill-conditioned) iterations never hold the batch-converged
+    while loop open.  Parity: the reference skips Aberth entirely for
+    Descartes-zero triplets (gauss.rs:1130-1135).
     """
     dtype = jnp.result_type(c0, c3, c6)
     if not jnp.issubdtype(dtype, jnp.floating):
@@ -133,10 +139,17 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6):
         # full fixed iteration count gives full-precision roots.
         wmag = jnp.sqrt(wr * wr + wi * wi)
         zmag = jnp.sqrt(zr * zr + zi * zi)
-        # freeze threshold ~= machine precision of the working dtype
-        # (450*eps(f64) ~= the historical 1e-13), capped by the caller's eps
-        thr = min(eps, 450.0 * feps)
+        # freeze threshold: the caller's eps capped at ~machine precision of
+        # f64 (450*eps(f64) ~= the historical 1e-13), but FLOORED at 30 eps
+        # of the working dtype — in f32 a 1e-6 relative step (~8 eps) is
+        # unreachable for clustered roots, which otherwise limit-cycle and
+        # hold the whole batch at the full iteration budget.  The winning
+        # root is re-Newtoned on f64 coefficients in the polish pass, so
+        # 30 eps(f32) ~ 3.6e-6 relative is ample here.
+        thr = max(min(eps, 450.0 * 2.220446049250313e-16), 30.0 * feps)
         conv = wmag <= thr * (1.0 + zmag)
+        if active is not None:
+            conv = conv | ~active[..., None]
         return (
             it + 1,
             jnp.where(conv, zr, zr - wr),
