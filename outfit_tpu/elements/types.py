@@ -25,6 +25,25 @@ from outfit_tpu.kepler.angles import principal_angle
 
 _EPS_REG = 1.0e-12  # near-circular / near-equatorial regularization threshold
 
+_RAD_TO_DEG = 180.0 / 3.141592653589793
+
+
+def _fmt_scalar(x):
+    import numpy as np
+
+    a = np.asarray(x)
+    return f"{float(a):.6f}" if a.size == 1 else f"<batch {a.shape}>"
+
+
+def _fmt_angle(x):
+    import numpy as np
+
+    a = np.asarray(x)
+    if a.size != 1:
+        return f"<batch {a.shape}>"
+    v = float(a)
+    return f"{v:.6f} rad ({v * _RAD_TO_DEG:.6f}°)"
+
 
 class KeplerianElements(NamedTuple):
     reference_epoch: jnp.ndarray
@@ -47,6 +66,19 @@ class KeplerianElements(NamedTuple):
                 self.mean_anomaly,
             ],
             axis=-1,
+        )
+
+    def __str__(self):
+        """Parity: KeplerianElements Display (keplerian_element.rs:429-468)."""
+        return (
+            f"Elements @ epoch (MJD): {_fmt_scalar(self.reference_epoch)}\n"
+            "-------------------------------------------\n"
+            f"  a   (semi-major axis)       = {_fmt_scalar(self.semi_major_axis)} AU\n"
+            f"  e   (eccentricity)          = {_fmt_scalar(self.eccentricity)}\n"
+            f"  i   (inclination)           = {_fmt_angle(self.inclination)}\n"
+            f"  Ω   (longitude of node)     = {_fmt_angle(self.ascending_node_longitude)}\n"
+            f"  ω   (argument of periapsis) = {_fmt_angle(self.periapsis_argument)}\n"
+            f"  M   (mean anomaly)          = {_fmt_angle(self.mean_anomaly)}\n"
         )
 
 
@@ -73,6 +105,19 @@ class EquinoctialElements(NamedTuple):
     def eccentricity(self):
         return jnp.sqrt(self.h**2 + self.k**2)
 
+    def __str__(self):
+        """Parity: EquinoctialElements Display (equinoctial_element.rs:1170-1208)."""
+        return (
+            f"Elements @ epoch (MJD): {_fmt_scalar(self.reference_epoch)}\n"
+            "------------------------------------------------\n"
+            f"  a   (semi-major axis)            = {_fmt_scalar(self.semi_major_axis)} AU\n"
+            f"  h   (e·sin(Ω+ω))                 = {_fmt_scalar(self.h)}\n"
+            f"  k   (e·cos(Ω+ω))                 = {_fmt_scalar(self.k)}\n"
+            f"  p   (tan(i/2)·sinΩ)              = {_fmt_scalar(self.p)}\n"
+            f"  q   (tan(i/2)·cosΩ)              = {_fmt_scalar(self.q)}\n"
+            f"  λ   (mean longitude)             = {_fmt_angle(self.mean_longitude)}\n"
+        )
+
 
 class CometaryElements(NamedTuple):
     reference_epoch: jnp.ndarray
@@ -95,6 +140,19 @@ class CometaryElements(NamedTuple):
                 self.true_anomaly,
             ],
             axis=-1,
+        )
+
+    def __str__(self):
+        """Parity: CometaryElements Display (cometary_element.rs:508-556)."""
+        return (
+            f"Elements @ epoch (MJD): {_fmt_scalar(self.reference_epoch)}\n"
+            "------------------------------------------------\n"
+            f"  q   (perihelion distance)     = {_fmt_scalar(self.perihelion_distance)} AU\n"
+            f"  e   (eccentricity)            = {_fmt_scalar(self.eccentricity)}\n"
+            f"  i   (inclination)             = {_fmt_angle(self.inclination)}\n"
+            f"  Ω   (longitude of node)       = {_fmt_angle(self.ascending_node_longitude)}\n"
+            f"  ω   (argument of periapsis)   = {_fmt_angle(self.periapsis_argument)}\n"
+            f"  ν   (true anomaly)            = {_fmt_angle(self.true_anomaly)}\n"
         )
 
 

@@ -307,7 +307,7 @@ def gauss_candidates(
 
     roots = aberth_deg8(
         c0, c3, c6, params.aberth_max_iter, params.aberth_eps,
-        active=descartes_ok & nonsing,
+        active=descartes_ok & nonsing, sort=False,  # best-K re-ranks below
     )
     r2 = roots.real  # (L, 8)
     # real-root test: the reference's absolute 1e-6 cut assumes f64 Aberth;
@@ -331,8 +331,10 @@ def gauss_candidates(
     # polynomial has at most 3 positive real roots in practice, so this caps
     # the correction/scoring cost at no loss)
     n_keep = min(params.max_tested_solutions, 8)
-    order = jnp.argsort(jnp.where(root_ok, r2, jnp.inf), axis=-1)[..., :n_keep]
-    r2 = jnp.take_along_axis(r2, order, axis=-1)
+    # top_k of the negated masked r2 = the n_keep smallest, ascending —
+    # cheaper than a full argsort on TPU
+    neg_r2, order = jax.lax.top_k(-jnp.where(root_ok, r2, jnp.inf), n_keep)
+    r2 = -neg_r2
     root_ok = jnp.take_along_axis(root_ok, order, axis=-1)
     r2_safe = jnp.where(root_ok, r2, 1.0)
 

@@ -65,7 +65,9 @@ def _cdiv(ar, ai, br, bi):
     return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
 
-def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6, active=None):
+def aberth_deg8(
+    c0, c3, c6, max_iter: int = 50, eps: float = 1e-6, active=None, sort=True
+):
     """All 8 complex roots of x^8 + c6 x^6 + c3 x^3 + c0, batched.
 
     Returns a :class:`ComplexRoots` with (..., 8) float64 ``real``/``imag``,
@@ -164,6 +166,11 @@ def aberth_deg8(c0, c3, c6, max_iter: int = 50, eps: float = 1e-6, active=None):
     _, zr, zi, _ = jax.lax.while_loop(
         cond, body, (jnp.array(0, jnp.int32), zr, zi, jnp.array(False))
     )
+    if not sort:
+        # callers that re-rank the roots themselves (gauss_candidates keeps
+        # the best-K by masked r2) can skip the canonical sort; the
+        # fixed-circle initialization keeps the unsorted order deterministic
+        return ComplexRoots(zr, zi)
     order = jnp.argsort(zr, axis=-1)
     return ComplexRoots(
         jnp.take_along_axis(zr, order, axis=-1),
