@@ -67,6 +67,25 @@ class FitResult:
     equinoctial: Optional[np.ndarray] = None  # (6,) a,h,k,p,q,lambda (ecliptic)
 
     @property
+    def orbit_quality(self) -> float:
+        """Scalar fit quality = the windowed IOD RMS.  Parity:
+        ``FitOrbitResult::orbit_quality`` (constants.rs:157-162)."""
+        return self.rms
+
+    @property
+    def orbital_elements(self):
+        """ccek1 element set (Keplerian or Cometary per ``kind``); parity:
+        ``FitOrbitResult::orbital_elements`` (constants.rs:169-174)."""
+        if self.elements is None:
+            return None
+        e = self.elements
+        if self.kind == KIND_KEPLERIAN:
+            return KeplerianElements(self.epoch, e[0], e[1], e[2], e[3], e[4], e[5])
+        from outfit_tpu.elements.types import CometaryElements
+
+        return CometaryElements(self.epoch, e[0], e[1], e[2], e[3], e[4], e[5])
+
+    @property
     def keplerian(self) -> Optional[KeplerianElements]:
         if self.elements is None or self.kind != KIND_KEPLERIAN:
             return None

@@ -64,6 +64,23 @@ class LsqResult:
     iod: Optional[FitResult] = None
 
     @property
+    def orbit_quality(self) -> float:
+        """Scalar fit quality.  Parity: ``FitOrbitResult::orbit_quality``
+        (constants.rs:157-162) — the normalised RMS (sqrt reduced chi^2)
+        for a converged differential correction, the IOD RMS on fallback."""
+        if self.fell_back_to_iod and self.iod is not None:
+            return self.iod.rms
+        return self.normalised_rms
+
+    @property
+    def orbital_elements(self):
+        """Equinoctial element set of the fit (parity:
+        ``FitOrbitResult::orbital_elements``, constants.rs:169-174)."""
+        if self.equinoctial is None:
+            return None
+        return EquinoctialElements(self.epoch, *map(jnp.float64, self.equinoctial))
+
+    @property
     def keplerian(self):
         if self.equinoctial is None:
             return None

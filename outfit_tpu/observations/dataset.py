@@ -166,6 +166,15 @@ class ObsDataset:
         return ds
 
     @classmethod
+    def from_parquet(cls, path: str, **kwargs) -> "ObsDataset":
+        """Parquet ingestion (photom ``from_lazy`` scan_parquet analogue,
+        tests/test_iod_from_polars.rs).  Column names via the
+        :meth:`from_dataframe` keyword arguments."""
+        import pandas as pd
+
+        return cls.from_dataframe(pd.read_parquet(path), **kwargs)
+
+    @classmethod
     def from_dataframe(cls, df, *, traj_col="trajectory_id", mjd_col="mjd_tt",
                        ra_col="ra", dec_col="dec", obs_col="observatory",
                        angles_in_degrees=True) -> "ObsDataset":

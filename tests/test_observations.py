@@ -238,3 +238,49 @@ class TestParserRobustness:
             py = parse_file(str(p))
             assert native is not None
             assert len(native[0]) == len(py), name
+
+
+class TestParquetIngestion:
+    """Parquet -> IOD parity (mirrors ``tests/test_iod_from_polars.rs``:
+    the reference's polars scan_parquet path must yield the same fits as
+    direct MPC ingestion; the upstream parquet fixture is not shipped, so
+    the round trip is built from the 8467 MPC fixture)."""
+
+    def test_parquet_roundtrip_matches_mpc_iod(self, tmp_path):
+        pd = pytest.importorskip("pandas")
+
+        from outfit_tpu.ephem import JPLEphem
+        from outfit_tpu.iod import IODParams, fit_full_iod
+
+        mpc = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+        df = pd.DataFrame(
+            {
+                "traj_id": ["8467"] * len(mpc),
+                "mjd": mpc.mjd_tt,
+                "ra_deg": np.degrees(mpc.ra),
+                "dec_deg": np.degrees(mpc.dec),
+                "site": [mpc.get_observation(i).observer.code for i in range(len(mpc))],
+            }
+        )
+        path = str(tmp_path / "traj.parquet")
+        df.to_parquet(path)
+
+        pq = ObsDataset.from_parquet(
+            path, traj_col="traj_id", mjd_col="mjd", ra_col="ra_deg",
+            dec_col="dec_deg", obs_col="site",
+        )
+        assert len(pq) == len(mpc)
+        np.testing.assert_allclose(pq.mjd_tt, mpc.mjd_tt, atol=0)
+        np.testing.assert_allclose(pq.ra, mpc.ra, atol=1e-14)
+        np.testing.assert_allclose(pq.dec, mpc.dec, atol=1e-14)
+
+        eph = JPLEphem.new("analytic:builtin")
+        params = IODParams(n_noise_realizations=2, max_triplets=4)
+        r_mpc = fit_full_iod(mpc, eph, params, seed=42,
+                             error_model=ErrorModel.fcct14())["8467"]
+        r_pq = fit_full_iod(pq, eph, params, seed=42,
+                            error_model=ErrorModel.fcct14())["8467"]
+        assert r_mpc.ok and r_pq.ok
+        # same data + same per-trajectory seed -> identical fit
+        np.testing.assert_allclose(r_pq.equinoctial, r_mpc.equinoctial, rtol=1e-12)
+        assert r_pq.rms == pytest.approx(r_mpc.rms, rel=1e-12)
