@@ -1,0 +1,121 @@
+"""Multi-chip data-parallel sharding: results must be independent of the mesh.
+
+Parity: the reference's de-facto determinism test is bitwise equality of
+the sequential and rayon-parallel paths (``tests/test_gauss_iod.rs:170-189``;
+SURVEY §4.3).  Here the analogue is: the IOD and LSQ kernels sharded over
+the 8-virtual-device CPU mesh (conftest) must produce the same results as
+the unsharded single-device run.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from outfit_tpu.iod.api import _iod_kernel
+from outfit_tpu.iod.params import IODParams
+from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+from outfit_tpu.lsq.iteration import ObsArrays
+from outfit_tpu.lsq.loop import run_differential_correction
+from outfit_tpu.parallel import data_mesh, shard_batch
+
+from __graft_entry__ import _synthetic_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+    return data_mesh(jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def batch():
+    # 16 trajectories x 8 lanes = 128 lanes, divisible by the mesh
+    return _synthetic_batch(n_traj=16, lanes_per_traj=8, n_obs=12, seed=11)
+
+
+class TestShardedIOD:
+    def test_sharded_equals_unsharded(self, mesh, batch):
+        tri, obs_arrays, lane_traj, window = batch
+        params = IODParams(n_noise_realizations=3, precision="mixed")
+        fn = jax.jit(lambda t, o, lt, w: _iod_kernel(t, o, lt, w, params))
+
+        base = jax.block_until_ready(fn(tri, obs_arrays, lane_traj, window))
+
+        tri_s = shard_batch(mesh, tri)
+        window_s = shard_batch(mesh, window)
+        lane_traj_s = shard_batch(mesh, lane_traj)
+        obs_s = shard_batch(mesh, obs_arrays)
+        with mesh:
+            sharded = jax.block_until_ready(
+                fn(tri_s, obs_s, lane_traj_s, window_s)
+            )
+
+        names = ["best_rms", "kind", "elements", "equinoctial", "epoch", "corrected"]
+        for name, a, b in zip(names, base, sharded):
+            a, b = np.asarray(a), np.asarray(b)
+            fin = np.isfinite(a) if a.dtype.kind == "f" else np.ones_like(a, bool)
+            np.testing.assert_array_equal(
+                np.isfinite(b) if b.dtype.kind == "f" else b, fin if a.dtype.kind == "f" else b,
+            )
+            if a.dtype.kind == "f":
+                # same backend, order-independent reductions -> tight match
+                np.testing.assert_allclose(
+                    a[fin], b[np.isfinite(b)], rtol=1e-12, atol=1e-12,
+                    err_msg=name,
+                )
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+class TestShardedLSQ:
+    def test_sharded_equals_unsharded(self, mesh, batch):
+        tri, obs_arrays, lane_traj, window = batch
+        params = IODParams(n_noise_realizations=3, precision="mixed")
+        out = jax.jit(lambda t, o, lt, w: _iod_kernel(t, o, lt, w, params))(
+            tri, obs_arrays, lane_traj, window
+        )
+        seed_eq = np.asarray(out[3])
+        seed_ep = np.asarray(out[4])
+        ok = np.isfinite(np.asarray(out[0])) & np.isfinite(seed_eq).all(axis=1)
+        seed_eq = np.where(ok[:, None], seed_eq, np.array([2.0, 0, 0, 0, 0, 1.0]))
+        seed_ep = np.where(ok, seed_ep, 57000.0)
+
+        mjd, ra, dec, sra, sdec, helio = obs_arrays
+        T, N = np.asarray(mjd).shape
+        obs = ObsArrays(
+            mjd, ra, dec, sra, sdec,
+            jnp.broadcast_to(jnp.asarray(helio), (T, N, 3)),
+            jnp.ones((T, N), bool),
+        )
+        cfg = DifferentialCorrectionConfig(
+            divergence_grace_iterations=2, precision="mixed"
+        )
+        fn = jax.jit(lambda e, t, o: run_differential_correction(e, t, o, cfg))
+        el, ep = jnp.asarray(seed_eq), jnp.asarray(seed_ep)
+
+        base = jax.block_until_ready(fn(el, ep, obs))
+        with mesh:
+            sharded = jax.block_until_ready(
+                fn(
+                    shard_batch(mesh, el),
+                    shard_batch(mesh, ep),
+                    shard_batch(mesh, obs),
+                )
+            )
+
+        np.testing.assert_array_equal(
+            np.asarray(base.status), np.asarray(sharded.status)
+        )
+        conv = np.asarray(base.status) == 1
+        np.testing.assert_allclose(
+            np.asarray(base.elements)[conv],
+            np.asarray(sharded.elements)[conv],
+            rtol=1e-12, atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.normalised_rms)[conv],
+            np.asarray(sharded.normalised_rms)[conv],
+            rtol=1e-10,
+        )
