@@ -50,3 +50,27 @@ class DifferentialCorrectionConfig:
     #: RMS transiently (e.g. 1.8 -> 7.7 -> 0.02 -> 1e-10); a grace of 2
     #: recovers those fits instead of falling back to the IOD orbit.
     divergence_grace_iterations: int = 0
+
+    # --- serde-feature analogue (Cargo.toml:67,81): round-trippable dicts ---
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        d = asdict(self)
+        d["outlier_rejection"] = asdict(self.outlier_rejection)
+        d["orbital_limits"] = self.orbital_limits._asdict()
+        d["propagator"] = self.propagator.to_dict()
+        d["free_elements"] = list(self.free_elements)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DifferentialCorrectionConfig":
+        d = dict(d)
+        if isinstance(d.get("outlier_rejection"), dict):
+            d["outlier_rejection"] = OutlierRejectionConfig(**d["outlier_rejection"])
+        if isinstance(d.get("orbital_limits"), dict):
+            d["orbital_limits"] = EquinoctialLimits(**d["orbital_limits"])
+        if isinstance(d.get("propagator"), dict):
+            d["propagator"] = PropagatorKind.from_dict(d["propagator"])
+        if "free_elements" in d:
+            d["free_elements"] = tuple(d["free_elements"])
+        return cls(**d)

@@ -58,6 +58,26 @@ class PropagatorKind:
     def two_body(cls) -> "PropagatorKind":
         return cls(nbody=False)
 
+    # --- serde-feature analogue (Cargo.toml:67,81) --------------------------
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        d = asdict(self)
+        d["config"] = dict(d["config"], perturbing_bodies=list(
+            self.config.perturbing_bodies
+        ))
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PropagatorKind":
+        d = dict(d)
+        if isinstance(d.get("config"), dict):
+            c = dict(d["config"])
+            if "perturbing_bodies" in c:
+                c["perturbing_bodies"] = tuple(int(b) for b in c["perturbing_bodies"])
+            d["config"] = NBodyConfig(**c)
+        return cls(**d)
+
     @classmethod
     def n_body(cls, config: NBodyConfig = NBodyConfig()) -> "PropagatorKind":
         return cls(nbody=True, config=config)

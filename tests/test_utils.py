@@ -35,3 +35,32 @@ def test_singular_flagged():
     a[3, 3] = 0.0
     _, ok = cholesky_inverse6(jnp.asarray(a))
     assert not bool(ok)
+
+
+class TestConfigSerde:
+    """Serde-feature analogue round trips (Cargo.toml:67,81: the reference's
+    optional serde derives on the solver-parameter structs)."""
+
+    def test_iod_params_roundtrip(self):
+        import json
+
+        from outfit_tpu.iod.params import IODParams
+
+        p = IODParams(n_noise_realizations=7, precision="mixed", max_triplets=5)
+        d = json.loads(json.dumps(p.to_dict()))
+        assert IODParams.from_dict(d) == p
+
+    def test_diffcor_config_roundtrip(self):
+        import json
+
+        from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+        from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
+
+        cfg = DifferentialCorrectionConfig(
+            max_newton_iterations=12,
+            free_elements=(True, True, False, True, True, True),
+            propagator=PropagatorKind(nbody=True, config=NBodyConfig.with_planets()),
+            precision="mixed",
+        )
+        d = json.loads(json.dumps(cfg.to_dict()))
+        assert DifferentialCorrectionConfig.from_dict(d) == cfg
