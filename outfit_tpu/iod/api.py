@@ -45,7 +45,10 @@ from outfit_tpu.iod.gauss import (
 )
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.scoring import rms_orbit_error
-from outfit_tpu.iod.triplets import generate_triplet_indices, select_rms_interval
+from outfit_tpu.iod.triplets import (
+    generate_triplet_indices,
+    select_rms_interval_batch,
+)
 from outfit_tpu.observations.error_model import ErrorModel
 from outfit_tpu.observer.cache import ObserverCache
 from outfit_tpu.time.scales import Ut1Provider
@@ -282,17 +285,17 @@ def fit_full_iod(
 
     results: Dict[str, FitResult] = {}
     lane_ra, lane_dec, lane_t, lane_pos = [], [], [], []
-    lane_sra, lane_sdec = [], []
     lane_traj = []
-    windows = []
+    win_lo, win_hi = [], []
     traj_rows = []  # (tid, obs_indices)
 
     n_real = params.n_noise_realizations + 1
     base_key = jax.random.PRNGKey(seed)
 
+    # triplet enumeration per trajectory (vectorized numpy inside)
     kept_tids = []
-    for tid in dataset.iter_traj_id():
-        idx = dataset.trajectory_obs_indices(tid)
+    kept = []  # (tid, idx, trips (K, 3) local indices)
+    for tid, idx in dataset.trajectory_groups():
         epochs = dataset.mjd_tt[idx]
         trips = generate_triplet_indices(
             epochs,
@@ -311,34 +314,51 @@ def fit_full_iod(
                 f"dt_min={params.dt_min}, dt_max={params.dt_max_triplet})",
             )
             continue
-
-        t_row = len(traj_rows)
-        traj_rows.append((tid, idx))
+        kept.append((tid, idx, np.asarray(trips, np.int64)))
         kept_tids.append(tid)
 
-        key = jax.random.fold_in(base_key, stable_hash(tid))
-        z = np.array(jax.random.normal(key, (len(trips), n_real, 3, 2)))
-        z[:, 0, :, :] = 0.0  # realization 0 = exact triplet
-
-        for k_t, (i1, i2, i3) in enumerate(trips):
-            g_idx = idx[[i1, i2, i3]]
-            w0, w1 = select_rms_interval(epochs, i1, i3, params.extf, params.dtmax)
-            for r in range(n_real):
-                lane_ra.append(
-                    dataset.ra[g_idx]
-                    + z[k_t, r, :, 0] * dataset.ra_error[g_idx] * params.noise_scale
-                )
-                lane_dec.append(
-                    dataset.dec[g_idx]
-                    + z[k_t, r, :, 1] * dataset.dec_error[g_idx] * params.noise_scale
-                )
-                lane_t.append(dataset.mjd_tt[g_idx])
-                lane_pos.append(helio[g_idx])
-                lane_traj.append(t_row)
-                windows.append((w0, w1))
-
-    if not traj_rows:
+    if not kept:
         return results
+
+    # one batched draw for every trajectory's Monte-Carlo noise: per-tid key,
+    # FIXED shape (max_triplets, n_real, 3, 2) — deterministic, independent
+    # of dataset composition, batch split, AND of the realized triplet count
+    # (the first K_t rows are used).  Parity contract: obs_dataset_api.rs
+    # :277-296 (base seed ^ stable trajectory hash).
+    hashes = jnp.asarray([stable_hash(t) for t in kept_tids], jnp.uint32)
+    z_all = np.array(
+        jax.vmap(
+            lambda h: jax.random.normal(
+                jax.random.fold_in(base_key, h),
+                (params.max_triplets, n_real, 3, 2),
+            )
+        )(hashes)
+    )
+    z_all[:, :, 0, :, :] = 0.0  # realization 0 = exact triplet
+
+    for t_row, (tid, idx, tr) in enumerate(kept):
+        epochs = dataset.mjd_tt[idx]
+        K = tr.shape[0]
+        g = idx[tr]  # (K, 3) global observation indices
+        z = z_all[t_row, :K]  # (K, n_real, 3, 2)
+        ns = params.noise_scale
+        # (K, n_real, 3) lanes, flattened row-major (triplet-major) — the
+        # same lane order as the scalar loop produced
+        ra_l = dataset.ra[g][:, None, :] + z[..., 0] * dataset.ra_error[g][:, None, :] * ns
+        dec_l = dataset.dec[g][:, None, :] + z[..., 1] * dataset.dec_error[g][:, None, :] * ns
+        t_l = np.broadcast_to(dataset.mjd_tt[g][:, None, :], (K, n_real, 3))
+        pos_l = np.broadcast_to(helio[g][:, None, :, :], (K, n_real, 3, 3))
+        lane_ra.append(ra_l.reshape(K * n_real, 3))
+        lane_dec.append(dec_l.reshape(K * n_real, 3))
+        lane_t.append(t_l.reshape(K * n_real, 3))
+        lane_pos.append(pos_l.reshape(K * n_real, 3, 3))
+        lane_traj.append(np.full(K * n_real, t_row, np.int64))
+        w0, w1 = select_rms_interval_batch(
+            epochs, tr[:, 0], tr[:, 2], params.extf, params.dtmax
+        )
+        win_lo.append(np.repeat(w0, n_real))
+        win_hi.append(np.repeat(w1, n_real))
+        traj_rows.append((tid, idx))
 
     n_max = max(len(idx) for _, idx in traj_rows)
     n_max = _bucket(n_max)  # stable padded shapes -> compilation-cache hits
@@ -360,16 +380,16 @@ def fit_full_iod(
         obs_helio[t_row, :n] = helio[idx]
         obs_valid[t_row, :n] = True
 
-    L = len(lane_ra)
-    window_mask = np.zeros((L, n_max), dtype=bool)
-    for li, (w0, w1) in enumerate(windows):
-        window_mask[li, w0 : w1 + 1] = True
-
-    lane_ra = np.stack(lane_ra)
-    lane_dec = np.stack(lane_dec)
-    lane_t = np.stack(lane_t)
-    lane_pos = np.stack(lane_pos)
-    lane_traj_np = np.array(lane_traj)
+    lane_ra = np.concatenate(lane_ra)
+    lane_dec = np.concatenate(lane_dec)
+    lane_t = np.concatenate(lane_t)
+    lane_pos = np.concatenate(lane_pos)
+    lane_traj_np = np.concatenate(lane_traj)
+    w_lo = np.concatenate(win_lo)
+    w_hi = np.concatenate(win_hi)
+    L = lane_ra.shape[0]
+    col = np.arange(n_max)
+    window_mask = (col >= w_lo[:, None]) & (col <= w_hi[:, None])
 
     # --- trajectory-aligned device batches (IODParams.batch_size, mod.rs:
     # 169-171) + shape bucketing: lanes and trajectories are padded to

@@ -50,29 +50,32 @@ def generate_triplet_indices(
     """Best-K spacing-weighted feasible triplets (indices into ``epochs``).
 
     ``epochs`` must be sorted ascending.  Returns original (pre-downsample)
-    indices.
+    indices.  Fully vectorized (the reference's lazy two-pointer stream +
+    bounded heap, index_generator.rs:94-260 / mod.rs:365-408, is a scalar-CPU
+    shape; enumerating the <= m^3/6 combinations with numpy and taking a
+    lexicographic best-K is equivalent and ~100x faster from Python).
     """
     n = len(epochs)
     keep = downsample_uniform_with_edges(n, max_obs)
     t = epochs[keep]
     m = len(t)
-    cands = []
-    for a in range(m - 2):
-        # valid last indices k > a+1 with dt_min <= t[k]-t[a] <= dt_max
-        for k in range(a + 2, m):
-            span = t[k] - t[a]
-            if span < dt_min:
-                continue
-            if span > dt_max:
-                break
-            for j in range(a + 1, k):
-                w = float(triplet_weight(t[a], t[j], t[k], optimal_interval))
-                cands.append((w, a, j, k))
-    cands.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
-    out = []
-    for w, a, j, k in cands[:max_triplets]:
-        out.append((int(keep[a]), int(keep[j]), int(keep[k])))
-    return out
+    if m < 3:
+        return []
+    a, j, k = np.meshgrid(
+        np.arange(m), np.arange(m), np.arange(m), indexing="ij", sparse=True
+    )
+    span = t[k] - t[a]
+    feasible = (a < j) & (j < k) & (span >= dt_min) & (span <= dt_max)
+    ai, ji, ki = np.nonzero(feasible)
+    if ai.size == 0:
+        return []
+    w = triplet_weight(t[ai], t[ji], t[ki], optimal_interval)
+    # ascending (w, a, j, k) — identical to the scalar sort order
+    order = np.lexsort((ki, ji, ai, w))[:max_triplets]
+    ka = keep[ai[order]]
+    kj = keep[ji[order]]
+    kk = keep[ki[order]]
+    return [(int(x), int(y), int(z)) for x, y, z in zip(ka, kj, kk)]
 
 
 def select_rms_interval(
@@ -83,24 +86,32 @@ def select_rms_interval(
     Parity: ``select_rms_interval`` (trajectory.rs:294-350): extf x triplet
     span, or 10 x full arc when extf < 0, floored at dtmax.
     """
-    n = len(epochs)
+    w0, w1 = select_rms_interval_batch(
+        epochs, np.asarray([idx1]), np.asarray([idx3]), extf, dtmax
+    )
+    return int(w0[0]), int(w1[0])
+
+
+def select_rms_interval_batch(
+    epochs: np.ndarray, idx1: np.ndarray, idx3: np.ndarray, extf: float,
+    dtmax: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`select_rms_interval` over many triplets at once.
+
+    ``epochs`` sorted ascending; ``idx1``/``idx3`` arrays of triplet
+    first/last indices.  Returns (start, end) index arrays (inclusive).
+    """
+    epochs = np.asarray(epochs)
+    idx1 = np.asarray(idx1)
+    idx3 = np.asarray(idx3)
     if extf >= 0.0:
         dt = (epochs[idx3] - epochs[idx1]) * extf
     else:
-        dt = 10.0 * (epochs[-1] - epochs[0])
+        dt = np.full(idx1.shape, 10.0 * (epochs[-1] - epochs[0]))
     if dtmax >= 0.0:
-        dt = max(dt, dtmax)
-
-    i_start = idx1
-    for i in range(idx1, -1, -1):
-        if epochs[idx1] - epochs[i] > dt:
-            break
-        i_start = i
-    i_end = n - 1
-    for i in range(idx3, n):
-        if epochs[i] - epochs[idx3] > dt:
-            i_end = i - 1 if i > idx3 else idx3
-            break
-    else:
-        i_end = n - 1
-    return i_start, i_end
+        dt = np.maximum(dt, dtmax)
+    # first index with epochs[i] >= epochs[idx1] - dt
+    i_start = np.searchsorted(epochs, epochs[idx1] - dt, side="left")
+    # last index with epochs[i] <= epochs[idx3] + dt
+    i_end = np.searchsorted(epochs, epochs[idx3] + dt, side="right") - 1
+    return i_start, np.maximum(i_end, idx3)

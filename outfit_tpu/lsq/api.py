@@ -175,7 +175,10 @@ def fit_lsq(
     helio = np.asarray(cache.helio_pos_equ)
     from outfit_tpu.iod.api import _bucket
 
-    n_max = _bucket(max(len(dataset.trajectory_obs_indices(tid)) for tid, _ in rows))
+    # one lexsort for all trajectories (O(T^2) per-trajectory scans dominate
+    # host time at survey scale)
+    traj_idx_map = dict(dataset.trajectory_groups())
+    n_max = _bucket(max(len(traj_idx_map[tid]) for tid, _ in rows))
     T = len(rows)
     arr = {
         k: np.zeros((T, n_max))
@@ -186,7 +189,7 @@ def fit_lsq(
     el0 = np.zeros((T, 6))
     ep0 = np.zeros(T)
     for t, (tid, iod) in enumerate(rows):
-        idx = dataset.trajectory_obs_indices(tid)
+        idx = traj_idx_map[tid]
         n = len(idx)
         arr["mjd"][t, :n] = dataset.mjd_tt[idx]
         arr["ra"][t, :n] = dataset.ra[idx]

@@ -181,25 +181,48 @@ class ObsDataset:
         """Columnar ingestion (pandas / pyarrow-backed parquet).
 
         Parity: photom's ``from_lazy`` polars path (SURVEY 2.12) —
-        ``pd.read_parquet`` upstream covers the parquet case.
+        ``pd.read_parquet`` upstream covers the parquet case.  Fully
+        vectorized: columns become the dataset arrays directly (no per-row
+        Python objects — survey-scale frames are 1e6+ rows).
         """
         import math
 
+        from outfit_tpu.observations.observatories import get_observatory
+
         scale = math.pi / 180.0 if angles_in_degrees else 1.0
-        records = [
-            MpcRecord(
-                traj_id=str(df[traj_col].iloc[i]),
-                mjd_tt=float(df[mjd_col].iloc[i]),
-                ra=float(df[ra_col].iloc[i]) * scale,
-                dec=float(df[dec_col].iloc[i]) * scale,
-                mag=None,
-                band=" ",
-                observatory=str(df[obs_col].iloc[i]) if obs_col in df else "500",
-                discovery=False,
-            )
-            for i in range(len(df))
-        ]
-        return cls._build(records)
+        n = len(df)
+        ds = cls()
+        ds.mjd_tt = np.asarray(df[mjd_col], np.float64)
+        ds.ra = np.asarray(df[ra_col], np.float64) * scale
+        ds.dec = np.asarray(df[dec_col], np.float64) * scale
+        ds.ra_error = np.full(n, np.nan)
+        ds.dec_error = np.full(n, np.nan)
+        ds.mag = np.full(n, np.nan)
+
+        tids = np.asarray(df[traj_col]).astype(str)
+        uniq_t, inv_t = np.unique(tids, return_inverse=True)
+        # preserve first-appearance order (the reference's insertion order)
+        first = np.full(len(uniq_t), n, np.int64)
+        np.minimum.at(first, inv_t, np.arange(n))
+        order = np.argsort(first, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        ds.traj_ids = [str(t) for t in uniq_t[order]]
+        ds.traj_index = rank[inv_t]
+
+        if obs_col in df:
+            codes = np.asarray(df[obs_col]).astype(str)
+        else:
+            codes = np.full(n, "500")
+        uniq_o, inv_o = np.unique(codes, return_inverse=True)
+        first_o = np.full(len(uniq_o), n, np.int64)
+        np.minimum.at(first_o, inv_o, np.arange(n))
+        order_o = np.argsort(first_o, kind="stable")
+        rank_o = np.empty_like(order_o)
+        rank_o[order_o] = np.arange(len(order_o))
+        ds.observers = [get_observatory(str(c)) for c in uniq_o[order_o]]
+        ds.observer_index = rank_o[inv_o]
+        return ds
 
     @classmethod
     def _build(cls, records: Sequence[MpcRecord]) -> "ObsDataset":
@@ -302,6 +325,25 @@ class ObsDataset:
         ti = self.traj_ids.index(traj_id)
         idx = np.nonzero(self.traj_index == ti)[0]
         return idx[np.argsort(self.mjd_tt[idx], kind="stable")]
+
+    def trajectory_groups(self):
+        """[(traj_id, epoch-sorted observation indices)] for every
+        trajectory, in ``iter_traj_id`` order — one lexsort for the whole
+        dataset instead of an O(T^2) per-trajectory scan (the host-side prep
+        cost dominates device time at survey scale otherwise)."""
+        if len(self.mjd_tt) == 0:
+            return []
+        order = np.lexsort((self.mjd_tt, self.traj_index))
+        ti_sorted = self.traj_index[order]
+        bounds = np.nonzero(np.diff(ti_sorted))[0] + 1
+        groups = {
+            int(ti_sorted[s[0]]): s for s in np.split(order, bounds)
+        }
+        return [
+            (tid, groups[ti])
+            for ti, tid in enumerate(self.traj_ids)
+            if ti in groups
+        ]
 
     def get_observation(self, i: int) -> Observation:
         return Observation(

@@ -79,22 +79,22 @@ def batch_rms_correction(mjd, traj_idx, obs_idx, sigma, gap_max_days: float):
     """
     mjd = np.asarray(mjd)
     sigma = np.asarray(sigma, dtype=np.float64).copy()
-    keys = {}
-    for i in range(len(mjd)):
-        keys.setdefault((int(traj_idx[i]), int(obs_idx[i])), []).append(i)
-    for _, idxs in keys.items():
-        idxs = sorted(idxs, key=lambda i: mjd[i])
-        batch = [idxs[0]]
-        batches = []
-        for i in idxs[1:]:
-            if mjd[i] - mjd[batch[-1]] <= gap_max_days:
-                batch.append(i)
-            else:
-                batches.append(batch)
-                batch = [i]
-        batches.append(batch)
-        for b in batches:
-            factor = np.sqrt(len(b))
-            for i in b:
-                sigma[i] *= factor
+    n = len(mjd)
+    if n == 0:
+        return sigma
+    traj_idx = np.asarray(traj_idx)
+    obs_idx = np.asarray(obs_idx)
+    # vectorized: sort by (traj, station, epoch); a batch breaks where the
+    # group changes or the epoch gap exceeds gap_max (same batches as the
+    # scalar group-then-split loop — both operate on the stably sorted order)
+    order = np.lexsort((mjd, obs_idx, traj_idx))
+    t_s = traj_idx[order]
+    o_s = obs_idx[order]
+    m_s = mjd[order]
+    new_batch = np.ones(n, dtype=bool)
+    same_group = (t_s[1:] == t_s[:-1]) & (o_s[1:] == o_s[:-1])
+    new_batch[1:] = ~(same_group & (np.diff(m_s) <= gap_max_days))
+    bid = np.cumsum(new_batch) - 1
+    factor = np.sqrt(np.bincount(bid))[bid]
+    sigma[order] *= factor
     return sigma

@@ -22,6 +22,9 @@ from outfit_tpu.observer.geometry import (
 )
 from outfit_tpu.time.scales import Ut1Provider
 
+# compile-cached jitted cache-build compute, keyed by (ephemeris, velocity)
+_BUILD_JIT = {}
+
 
 class ObserverCache(NamedTuple):
     """Dense per-observation observer states.
@@ -38,7 +41,15 @@ class ObserverCache(NamedTuple):
 
     @classmethod
     def build(cls, dataset, ephem, ut1: Ut1Provider = None, cache_velocity: bool = True):
-        """Build from an ObsDataset + ephemeris.  Parity: OutfitCache::build."""
+        """Build from an ObsDataset + ephemeris.  Parity: OutfitCache::build.
+
+        The device compute (GMST/nutation/rotpn chain + ephemeris lookup for
+        every observation) runs as ONE jitted call on power-of-two padded
+        shapes — eager per-primitive dispatch cost dominated host prep at
+        survey scale otherwise.  UT1 table interpolation stays host-side.
+        """
+        import jax
+
         if ut1 is None:
             ut1 = Ut1Provider()
         if len(dataset.observers) == 0:  # empty dataset
@@ -52,14 +63,38 @@ class ObserverCache(NamedTuple):
             [np.asarray(earth_fixed_velocity(o)) for o in dataset.observers]
         )
         oi = np.asarray(dataset.observer_index)
-        obs_fixed_pos = jnp.asarray(fixed_pos[oi])
-        obs_fixed_vel = jnp.asarray(fixed_vel[oi])
 
-        mjd = jnp.asarray(dataset.mjd_tt)
-        g = gast(dataset.mjd_tt, ut1)
-        geo_pos, geo_vel = pvobs(mjd, obs_fixed_pos, obs_fixed_vel, g)
-        if not cache_velocity:
-            geo_vel = jnp.zeros_like(geo_vel)
-        hp = helio_position(ephem, mjd, geo_pos)
-        hv = helio_velocity(ephem, mjd, geo_vel)
-        return cls(mjd, geo_pos, geo_vel, hp, hv)
+        n = len(dataset.mjd_tt)
+        nb = 8
+        while nb < n:
+            nb *= 2
+        pad = nb - n
+        mjd_np = np.concatenate([dataset.mjd_tt, np.full(pad, dataset.mjd_tt[0])])
+        tut = ut1.tt_mjd_to_ut1(mjd_np)
+        fp = np.concatenate([fixed_pos[oi], np.zeros((pad, 3))])
+        fv = np.concatenate([fixed_vel[oi], np.zeros((pad, 3))])
+
+        key = (id(ephem), bool(cache_velocity))
+        fn = _BUILD_JIT.get(key)
+        if fn is None:
+            def _compute(mjd, tut, fp, fv):
+                from outfit_tpu.frames import equequ
+                from outfit_tpu.time import gmst
+
+                g = gmst(tut) + equequ(mjd)
+                geo_pos, geo_vel = pvobs(mjd, fp, fv, g)
+                if not cache_velocity:
+                    geo_vel = jnp.zeros_like(geo_vel)
+                hp = helio_position(ephem, mjd, geo_pos)
+                hv = helio_velocity(ephem, mjd, geo_vel)
+                return geo_pos, geo_vel, hp, hv
+
+            fn = _BUILD_JIT[key] = jax.jit(_compute)
+
+        geo_pos, geo_vel, hp, hv = fn(
+            jnp.asarray(mjd_np), jnp.asarray(tut), jnp.asarray(fp), jnp.asarray(fv)
+        )
+        s = slice(0, n)
+        return cls(
+            jnp.asarray(dataset.mjd_tt), geo_pos[s], geo_vel[s], hp[s], hv[s]
+        )
