@@ -363,5 +363,10 @@ class ObsDataset:
     def iter_observer(self):
         return iter(self.observers)
 
+    def iter_observations(self):
+        """Iterate all observations in storage order (photom surface,
+        SURVEY 2.12)."""
+        return (self.get_observation(i) for i in range(len(self)))
+
     def materialize_trajectory(self, traj_id: str) -> List[Observation]:
         return [self.get_observation(int(i)) for i in self.trajectory_obs_indices(traj_id)]
