@@ -481,3 +481,50 @@ class TestReferenceOracles:
             [-0.015549845137774663, -0.003876936109837664, -0.0027014074002979886],
             rtol=1e-12,
         )
+
+
+class TestTripletVectorization:
+    """The vectorized triplet enumerator must reproduce the scalar
+    reference algorithm (index_generator.rs:94-260 + mod.rs:365-408)
+    exactly — same best-K set, same (w, a, j, k) order."""
+
+    @staticmethod
+    def _scalar_reference(epochs, dt_min, dt_max, dtw, max_obs, max_triplets):
+        from outfit_tpu.iod.triplets import (
+            downsample_uniform_with_edges,
+            triplet_weight,
+        )
+
+        keep = downsample_uniform_with_edges(len(epochs), max_obs)
+        t = epochs[keep]
+        m = len(t)
+        cands = []
+        for a in range(m - 2):
+            for k in range(a + 2, m):
+                span = t[k] - t[a]
+                if span < dt_min:
+                    continue
+                if span > dt_max:
+                    break
+                for j in range(a + 1, k):
+                    w = float(triplet_weight(t[a], t[j], t[k], dtw))
+                    cands.append((w, a, j, k))
+        cands.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
+        return [
+            (int(keep[a]), int(keep[j]), int(keep[k]))
+            for _, a, j, k in cands[:max_triplets]
+        ]
+
+    def test_matches_scalar_reference(self):
+        rng = np.random.default_rng(5)
+        for trial in range(30):
+            n = int(rng.integers(3, 40))
+            epochs = np.sort(rng.uniform(0, rng.uniform(1, 200), n))
+            dt_min = float(rng.uniform(0.0, 0.5))
+            dt_max = float(rng.uniform(5.0, 200.0))
+            dtw = float(rng.uniform(5.0, 30.0))
+            max_obs = int(rng.integers(3, 30))
+            kmax = int(rng.integers(1, 15))
+            got = generate_triplet_indices(epochs, dt_min, dt_max, dtw, max_obs, kmax)
+            want = self._scalar_reference(epochs, dt_min, dt_max, dtw, max_obs, kmax)
+            assert got == want, f"trial {trial}: {got} != {want}"
