@@ -99,7 +99,9 @@ class HorizonEphemeris:
         slot = {v: k for k, v in _SLOT_TO_BODY.items()}[Body(body)]
         off, nc, ns = (int(x) for x in self.ipt[slot])
         if nc == 0:
-            raise ValueError(f"body {body!r} not present in this DE file")
+            from outfit_tpu.errors import EphemerisBodyNotSupported
+
+            raise EphemerisBodyNotSupported(f"body {body!r} not present in this DE file")
         blocks = self._blocks
         n_blocks = blocks.shape[0]
         # per block: ns sub-intervals x 3 components x nc coefficients,
@@ -118,3 +120,89 @@ class HorizonEphemeris:
             if self.ipt[slot][1] > 0:
                 out[body] = self.body_table(body)
         return out
+
+
+def write_synthetic_horizon(
+    path,
+    specs,
+    au_km: float = 1.495978707e8,
+    emrat: float = 81.3005682214972154,
+    denum: int = 440,
+    extra_constants: int = 0,
+    titles=("SYNTHETIC DE", "", ""),
+):
+    """Write a minimal valid classic-layout DE binary (testing utility;
+    mirror of ``naif.write_synthetic_spk``).
+
+    ``specs``: ``{slot: (BodyTable, ns)}`` — granule-uniform tables (AU,
+    MJD) sharing one start epoch and one block length
+    ``ns * granule_days``.  ``extra_constants`` > 0 emulates NCON > 400
+    files where IPT[13..14] shift past the extra constant names
+    (horizon_data.rs:123-254 header layout).
+    """
+    slots = sorted(specs)
+    t0s = {float(specs[s][0].t0) for s in slots}
+    blocks_days = {
+        float(specs[s][0].granule_days) * specs[s][1] for s in slots
+    }
+    if len(t0s) != 1 or len(blocks_days) != 1:
+        raise ValueError("all tables must share t0 and ns*granule_days")
+    t0 = t0s.pop()
+    block_days = blocks_days.pop()
+    n_blocks = {
+        np.asarray(specs[s][0].coeffs).shape[0] // specs[s][1] for s in slots
+    }
+    if len(n_blocks) != 1:
+        raise ValueError("all tables must cover the same number of blocks")
+    n_blocks = n_blocks.pop()
+
+    ipt = np.zeros((15, 3), np.int64)
+    off = 3  # 1-based f64 word offset within a block (after jd0, jd1)
+    for s in slots:
+        tb, ns = specs[s]
+        nc = np.asarray(tb.coeffs).shape[2]
+        ipt[s] = (off, nc, ns)
+        off += _slot_dimension(s) * nc * ns
+    recsize = off - 1  # == sum(dim*nc*ns) + 2
+    ncon = 400 + extra_constants
+    header_bytes = 2856 + extra_constants * 6 + 24
+    if recsize * 8 < header_bytes:
+        raise ValueError(
+            f"record size {recsize * 8} bytes too small for the header "
+            f"({header_bytes}); use more coefficients"
+        )
+
+    jd_start = t0 + JDTOMJD
+    jd_end = jd_start + n_blocks * block_days
+
+    rec1 = bytearray(recsize * 8)
+    for i, t in enumerate(titles[:3]):
+        rec1[i * 84 : (i + 1) * 84] = t.encode("ascii")[:84].ljust(84)
+    # CNAM 400x6 stays blank
+    rec1[2652:2676] = np.array([jd_start, jd_end, block_days], "<f8").tobytes()
+    rec1[2676:2680] = np.array([ncon], "<i4").tobytes()
+    rec1[2680:2688] = np.array([au_km], "<f8").tobytes()
+    rec1[2688:2696] = np.array([emrat], "<f8").tobytes()
+    rec1[2696:2840] = ipt[:12].astype("<i4").tobytes()
+    rec1[2840:2844] = np.array([denum], "<i4").tobytes()
+    rec1[2844:2856] = ipt[12].astype("<i4").tobytes()
+    off13 = 2856 + extra_constants * 6
+    rec1[off13 : off13 + 24] = ipt[13:15].astype("<i4").tobytes()
+
+    rec2 = np.zeros(recsize, "<f8").tobytes()  # constant values
+
+    data = np.zeros((n_blocks, recsize))
+    data[:, 0] = jd_start + np.arange(n_blocks) * block_days
+    data[:, 1] = data[:, 0] + block_days
+    for s in slots:
+        tb, ns = specs[s]
+        nc = np.asarray(tb.coeffs).shape[2]
+        # (n_blocks*ns, 3, nc) AU -> per-block sub-interval-major km layout
+        c = np.asarray(tb.coeffs).reshape(n_blocks, ns, 3, nc) * au_km
+        base = int(ipt[s][0]) - 1
+        data[:, base : base + ns * 3 * nc] = c.reshape(n_blocks, ns * 3 * nc)
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(rec1))
+        fh.write(rec2)
+        fh.write(data.astype("<f8").tobytes())

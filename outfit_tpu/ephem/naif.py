@@ -29,7 +29,9 @@ _J2000_MJD = 51544.5  # ET epoch J2000 in MJD (TDB)
 
 
 class SpkSegment:
-    def __init__(self, target, center, frame, dtype, et_start, et_end, table):
+    def __init__(
+        self, target, center, frame, dtype, et_start, et_end, table, vel_table=None
+    ):
         self.target = int(target)
         self.center = int(center)
         self.frame = int(frame)
@@ -37,6 +39,7 @@ class SpkSegment:
         self.et_start = float(et_start)
         self.et_end = float(et_end)
         self.table = table  # BodyTable (MJD TDB epochs, AU)
+        self.vel_table = vel_table  # Type-3 only: explicit velocity sets (AU/day)
 
 
 class NaifEphemeris:
@@ -48,7 +51,9 @@ class NaifEphemeris:
 
         locidw = raw[0:8].decode("ascii", "replace")
         if not locidw.startswith("DAF"):
-            raise ValueError(f"not a DAF file: id word {locidw!r}")
+            from outfit_tpu.errors import InvalidJPLEphemFileVersion
+
+            raise InvalidJPLEphemFileVersion(f"not a DAF file: id word {locidw!r}")
         locfmt = raw[88:96].decode("ascii", "replace")
         self._end = "<" if "LTL" in locfmt else ">"
         e = self._end
@@ -57,9 +62,12 @@ class NaifEphemeris:
         fward = int(np.frombuffer(raw, e + "i4", 1, 76)[0])
 
         if self.nd != 2 or self.ni != 6:
-            raise ValueError(f"not an SPK DAF (ND={self.nd}, NI={self.ni})")
+            from outfit_tpu.errors import InvalidJPLEphemFileVersion
+
+            raise InvalidJPLEphemFileVersion(f"not an SPK DAF (ND={self.nd}, NI={self.ni})")
 
         self.segments = []
+        self._skipped = []  # (target, center, dtype) of unsupported segments
         rec = fward
         ss = self.nd + (self.ni + 1) // 2  # summary size in f64 words
         while rec > 0:
@@ -79,6 +87,7 @@ class NaifEphemeris:
         et_start, et_end = dd
         target, center, frame, dtype, a0, a1 = (int(x) for x in ii)
         if dtype not in (2, 3):
+            self._skipped.append((target, center, dtype))
             return None
         e = self._end
         # trailer: INIT, INTLEN, RSIZE, N (last 4 words of the segment)
@@ -91,20 +100,45 @@ class NaifEphemeris:
         t0_mjd = _J2000_MJD + init / 86400.0
         gran_days = intlen / 86400.0
         table = BodyTable(float(t0_mjd), float(gran_days), np.asarray(coeffs))
-        return SpkSegment(target, center, frame, dtype, et_start, et_end, table)
+        vel_table = None
+        if dtype == 3:
+            # Type-3 records carry explicit velocity coefficient sets
+            # (km/s -> AU/day); runtime interpolation still differentiates
+            # the position polynomials (one code path for both types), and
+            # the parsed sets are cross-checked against that derivative in
+            # tests (ephemeris_record.rs:195 interpolate parity)
+            vc = recs[:, 2 + 3 * ncoeff : 2 + 6 * ncoeff].reshape(n, 3, ncoeff)
+            vel_table = BodyTable(
+                float(t0_mjd), float(gran_days), np.asarray(vc) / AU * 86400.0
+            )
+        return SpkSegment(
+            target, center, frame, dtype, et_start, et_end, table, vel_table
+        )
 
     def segment_for(self, target: int, center: int) -> SpkSegment:
         for s in self.segments:
             if s.target == target and s.center == center:
                 return s
-        raise KeyError(f"no SPK segment for target={target} center={center}")
+        for t, c, dtype in self._skipped:
+            if t == target and c == center:
+                from outfit_tpu.errors import InvalidSpkDataType
+
+                raise InvalidSpkDataType(
+                    f"SPK segment for target={target} center={center} has "
+                    f"unsupported data type {dtype} (only Type 2/3)"
+                )
+        from outfit_tpu.errors import EphemerisBodyNotSupported
+
+        raise EphemerisBodyNotSupported(f"no SPK segment for target={target} center={center}")
 
 
 def write_synthetic_spk(path, segments, endian="<"):
-    """Write a minimal valid Type-2 SPK file (testing utility).
+    """Write a minimal valid Type-2 / Type-3 SPK file (testing utility).
 
-    ``segments``: list of (target, center, BodyTable) — positions in AU are
-    converted back to km; epochs to ET seconds.
+    ``segments``: list of ``(target, center, BodyTable)`` (Type 2) or
+    ``(target, center, BodyTable, vel_BodyTable)`` (Type 3, explicit
+    velocity coefficient sets in AU/day) — positions in AU are converted
+    back to km; epochs to ET seconds.
     """
     e = endian
     nd, ni = 2, 6
@@ -114,18 +148,29 @@ def write_synthetic_spk(path, segments, endian="<"):
     data_words = []
     summaries = []
     next_addr = 2 * 128 + 1  # 1-based word address of first data word
-    for target, center, table in segments:
+    for seg in segments:
+        if len(seg) == 3:
+            target, center, table = seg
+            vel, dtype = None, 2
+        else:
+            target, center, table, vel = seg
+            dtype = 3
         coeffs = np.asarray(table.coeffs) * AU
         n, _, ncoeff = coeffs.shape
-        rsize = 2 + 3 * ncoeff
+        rsize = 2 + (3 if dtype == 2 else 6) * ncoeff
         init = (table.t0 - _J2000_MJD) * 86400.0
         intlen = table.granule_days * 86400.0
+        vcoeffs = None
+        if dtype == 3:
+            vcoeffs = np.asarray(vel.coeffs) * AU / 86400.0  # AU/day -> km/s
         words = []
         for g in range(n):
             mid = init + (g + 0.5) * intlen
             rad = 0.5 * intlen
             words.extend([mid, rad])
             words.extend(coeffs[g].ravel())
+            if dtype == 3:
+                words.extend(vcoeffs[g].ravel())
         words.extend([init, intlen, float(rsize), float(n)])
         a0 = next_addr
         a1 = next_addr + len(words) - 1
@@ -133,7 +178,7 @@ def write_synthetic_spk(path, segments, endian="<"):
         data_words.extend(words)
         et0 = init
         et1 = init + n * intlen
-        summaries.append((et0, et1, target, center, 1, 2, a0, a1))
+        summaries.append((et0, et1, target, center, 1, dtype, a0, a1))
 
     nrec_total = 2 + (len(data_words) * 8 + 1023) // 1024
     buf = bytearray(nrec_total * 1024 + ((-len(data_words)) % 128) * 8)

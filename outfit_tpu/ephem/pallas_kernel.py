@@ -99,7 +99,7 @@ def _run(coeffs, idx, tau, granule_days, interpret=False):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # HBM table
+            pl.BlockSpec(memory_space=pl.ANY),  # HBM table
         ],
         out_specs=[
             pl.BlockSpec((_TILE, 3), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),

@@ -13,6 +13,7 @@ from typing import Optional, Union
 import jax.numpy as jnp
 import numpy as np
 
+from outfit_tpu.errors import InvalidOrbit
 from outfit_tpu.elements.types import EquinoctialElements, KeplerianElements, keplerian_to_equinoctial
 from outfit_tpu.ephemeris.compute import ApparentPosition, BodyGeometry, compute_apparent
 from outfit_tpu.ephemeris.request import EphemerisRequest
@@ -63,7 +64,7 @@ def compute_ephemeris(
     if ecc >= 1.0:
         return EphemerisResult(
             [
-                EphemerisEntry(t, o, error=f"InvalidOrbit(e={ecc:.3f} >= 1)")
+                EphemerisEntry(t, o, error=str(InvalidOrbit(f"InvalidOrbit(e={ecc:.3f} >= 1)")))
                 for o, t in pairs
             ]
         )

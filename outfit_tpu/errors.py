@@ -4,15 +4,28 @@ Parity: ``OutfitError`` (``src/outfit_errors.rs:145-296``), a single enum of
 ~46 variants.  The TPU-native design splits the taxonomy by layer:
 
 * **inside batched kernels** errors are DATA — integer status codes and
-  validity masks (``kepler.universal.STATUS_*``, ``lsq.loop.STATUS_*``,
-  candidate masks in ``iod.gauss``) so lanes fail independently without
-  aborting the batch (the reference stores ``Err`` values per trajectory,
-  ``obs_dataset_api.rs:66-68``; masks are the vectorized equivalent);
-* **at the host API boundary** errors are exceptions (this module) or
-  structured error strings on per-trajectory results
-  (``FitResult.error`` / ``LsqResult.error`` / ``EphemerisEntry.error``).
+  validity masks — so lanes fail independently without aborting the batch
+  (the reference stores ``Err`` values per trajectory,
+  ``obs_dataset_api.rs:66-68``; masks are the vectorized equivalent).
+  Reference variants that name in-kernel failures therefore have NO
+  exception class here; they map to status codes / masks instead:
 
-The variant names below mirror the reference's for findability.
+  - ``NewtonRaphsonKeplerConvergence`` / ``BrentDekkerKeplerConvergence``
+    -> ``kepler.universal.STATUS_*`` codes,
+  - ``SingularDirectionMatrix`` / ``GaussNoRootsFound`` /
+    ``PolynomialRootFindingFailed`` / ``SpuriousRootDetected`` /
+    ``DegenerateState`` / ``VelocityCorrectionError`` -> candidate
+    validity masks in ``iod.gauss``,
+  - ``NBodyPropagationFailed`` -> non-finite state masks in
+    ``propagator.nbody``,
+  - ``RmsComputationFailed`` / ``NonFiniteScore`` -> inf lane scores in
+    ``iod.scoring``.
+
+* **at the host API boundary** errors are the exceptions below (every class
+  has at least one raise site) or structured error strings on
+  per-trajectory results (``FitResult.error`` / ``LsqResult.error`` /
+  ``EphemerisEntry.error``), built via the result-error classes so the
+  strings match the reference's variant formats.
 """
 
 
@@ -20,156 +33,90 @@ class OutfitError(Exception):
     """Base class for host-side errors."""
 
 
-class InvalidRefSystem(OutfitError):
-    pass
+# -- raised at the host API boundary -----------------------------------------
 
 
-class SingularDirectionMatrix(OutfitError):
-    pass
+class InvalidRefSystem(OutfitError, ValueError):
+    """Invalid rotation-axis index / non-converging rotpn chain
+    (ref_system.rs RefSystem errors)."""
 
 
-class PolynomialRootFindingFailed(OutfitError):
-    pass
+class InvalidIODParameter(OutfitError, ValueError):
+    """IODParams / config validation failure (mirrors the reference's
+    builder validation errors, initial_orbit_determination/mod.rs:544-624)."""
 
 
-class SpuriousRootDetected(OutfitError):
-    pass
+class InvalidErrorModel(OutfitError, ValueError):
+    """Unknown astrometric error-model name (photom ObsErrorModel parse)."""
 
 
-class GaussNoRootsFound(OutfitError):
-    pass
+class TrajectoryIdNotFound(OutfitError, KeyError):
+    """Requested trajectory id is not present in the dataset."""
 
 
-class NoViableOrbit(OutfitError):
-    def __init__(self, cause, attempts):
-        super().__init__(f"no viable orbit after {attempts} attempts: {cause}")
-        self.cause = cause
-        self.attempts = attempts
+class UnknownObservatory(OutfitError, KeyError):
+    """MPC observatory code absent from the catalog (photom fails loudly;
+    a silent geocenter fallback would move the observer by up to ~6400 km)."""
 
 
-class NoFeasibleTriplets(OutfitError):
-    def __init__(self, span, n_obs, dt_min, dt_max):
-        super().__init__(
-            f"no feasible triplets (span={span}, n_obs={n_obs}, "
-            f"dt_min={dt_min}, dt_max={dt_max})"
-        )
-
-
-class BizarreOrbit(OutfitError):
-    pass
-
-
-class DifferentialCorrectionDiverged(OutfitError):
-    pass
-
-
-class DifferentialCorrectionFailed(OutfitError):
-    pass
-
-
-class NewtonRaphsonKeplerConvergence(OutfitError):
-    pass
-
-
-class NBodyPropagationFailed(OutfitError):
-    pass
-
-
-class DegenerateState(OutfitError):
-    pass
-
-
-class InvalidOrbit(OutfitError):
-    pass
-
-
-class InvalidConversion(OutfitError):
-    pass
-
-
-class EphemerisBodyNotSupported(OutfitError):
-    pass
-
-
-class InvalidJPLEphemFileSource(OutfitError):
-    pass
-
-
-class ObservationNotFound(OutfitError):
-    pass
-
-
-class NonFiniteScore(OutfitError):
-    pass
-
-
-class BrentDekkerKeplerConvergence(OutfitError):
-    """Bracketing Kepler fallback failed (outfit_errors.rs ~:200)."""
-
-
-class GaussPrelimOrbitFailed(OutfitError):
-    """No preliminary Gauss orbit could be formed for a triplet."""
-
-
-class InvalidErrorModel(OutfitError):
-    """Unknown astrometric error-model name."""
-
-
-class InvalidErrorModelFilePath(OutfitError):
-    """Error-model data file missing or unreadable."""
-
-
-class InvalidFloatValue(OutfitError):
-    """Non-finite or unparsable floating-point field."""
-
-
-class InvalidIODParameter(OutfitError):
-    """IODParams validation failure (mirrors the builder errors)."""
-
-
-class InvalidJPLEphemFileVersion(OutfitError):
-    """Ephemeris binary has an unsupported DE version / layout."""
-
-
-class InvalidJPLStringFormat(OutfitError):
-    """Ephemeris source string is not 'scheme:NAME'."""
-
-
-class InvalidSpkDataType(OutfitError):
-    """DAF/SPK segment data type is not Type 2 / Type 3."""
+class InvalidJPLStringFormat(OutfitError, ValueError):
+    """Ephemeris source string is not 'scheme:NAME'
+    (download_jpl_file.rs:87-126)."""
 
 
 class JPLFileNotFound(OutfitError, FileNotFoundError):
     """Resolved ephemeris path does not exist (no-network build)."""
 
 
-class NoTrajectoryIndex(OutfitError):
-    """Dataset has no trajectory index for the requested operation."""
+class InvalidJPLEphemFileVersion(OutfitError, ValueError):
+    """Ephemeris binary has an unsupported format / layout."""
 
 
-class NoiseInjectionError(OutfitError):
-    """Monte-Carlo noise generation failed."""
+class InvalidSpkDataType(OutfitError, ValueError):
+    """DAF/SPK segment data type is not Type 2 / Type 3."""
 
 
-class ObsDatasetError(OutfitError):
-    """Generic observation-dataset construction/ingestion failure."""
+class EphemerisBodyNotSupported(OutfitError, KeyError):
+    """No ephemeris segment/table for the requested body."""
 
 
-class ObserverIdIsNone(OutfitError):
-    """Observation carries no resolvable observer."""
+# -- per-trajectory result errors (stored as strings, never raised from the
+#    batch pipelines; constants.rs stores Err values the same way) ------------
 
 
-class RmsComputationFailed(OutfitError):
-    """RMS scoring produced no usable value for a trajectory."""
+class NoFeasibleTriplets(OutfitError):
+    def __init__(self, span, n_obs, dt_min, dt_max):
+        super().__init__(
+            f"NoFeasibleTriplets(span={span:.3f}, n_obs={n_obs}, "
+            f"dt_min={dt_min}, dt_max={dt_max})"
+        )
 
 
-class RootFindingError(OutfitError):
-    """Generic scalar root-finder failure."""
+class NoViableOrbit(OutfitError):
+    def __init__(self, attempts, cause=None):
+        msg = f"NoViableOrbit(attempts={attempts})"
+        if cause:
+            msg = f"NoViableOrbit(cause={cause}, attempts={attempts})"
+        super().__init__(msg)
+        self.cause = cause
+        self.attempts = attempts
 
 
-class TrajectoryIdNotFound(OutfitError):
-    """Requested trajectory id is not present in the dataset."""
+class BizarreOrbit(OutfitError):
+    """Elements left the EquinoctialLimits box (equinoctial_element.rs
+    :258-268); LSQ status code 2."""
 
 
-class VelocityCorrectionError(OutfitError):
-    """Lagrange f-g velocity correction failed (velocity.rs:94-209)."""
+class DifferentialCorrectionDiverged(OutfitError):
+    """RMS grew past the divergence ratio (diff_cor.rs:336-388); LSQ
+    status code 3."""
+
+
+class DifferentialCorrectionFailed(OutfitError):
+    """Normal-equation inversion failed (least_square.rs:329-341); LSQ
+    status code 4."""
+
+
+class InvalidOrbit(OutfitError):
+    """Ephemeris request on a non-elliptical orbit (e >= 1 precheck,
+    observation_ephemeris.rs:288-296)."""

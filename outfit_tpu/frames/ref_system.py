@@ -44,7 +44,9 @@ def rotmt(alpha, k: int):
     elif k == 2:
         rows = [[c, s, zero], [-s, c, zero], [zero, zero, one]]
     else:
-        raise ValueError(f"rotmt: invalid axis index {k} (must be 0,1,2)")
+        from outfit_tpu.errors import InvalidRefSystem
+
+        raise InvalidRefSystem(f"rotmt: invalid axis index {k} (must be 0,1,2)")
     return jnp.stack(
         [jnp.stack(r, axis=-1) for r in rows], axis=-2
     )
@@ -181,4 +183,6 @@ def rotpn(src: RefSystem, dst: RefSystem):
                 current = RefSystem("Eclm", current.epoch)
         rotation = _mul(rotation, step)
 
-    raise ValueError("rotpn: transformation did not converge in 20 iterations")
+    from outfit_tpu.errors import InvalidRefSystem
+
+    raise InvalidRefSystem("rotpn: transformation did not converge in 20 iterations")

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from outfit_tpu.constants import ROT_EQUMJ2000_TO_ECLMJ2000
+from outfit_tpu.errors import NoFeasibleTriplets, NoViableOrbit
 from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN, ccek1
 from outfit_tpu.elements.types import (
     CometaryElements,
@@ -45,10 +46,7 @@ from outfit_tpu.iod.gauss import (
 )
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.scoring import rms_orbit_error
-from outfit_tpu.iod.triplets import (
-    generate_triplet_indices,
-    select_rms_interval_batch,
-)
+from outfit_tpu.iod.triplets import generate_triplet_indices_batch
 from outfit_tpu.observations.error_model import ErrorModel
 from outfit_tpu.observer.cache import ObserverCache
 from outfit_tpu.time.scales import Ut1Provider
@@ -110,6 +108,62 @@ def stable_hash(traj_id: str) -> int:
     """Order-stable trajectory hash (determinism contract,
     obs_dataset_api.rs:277-296)."""
     return zlib.crc32(traj_id.encode("utf-8"))
+
+
+@dataclass
+class PaddedDatasetArrays:
+    """(T, n_max) per-trajectory padded views of a whole dataset, built with
+    one lexsort + vectorized scatters (no per-trajectory Python loops — the
+    host-prep bottleneck at survey scale, docs/DESIGN.md)."""
+
+    counts: np.ndarray  # (T,) observations per trajectory
+    n_max: int  # bucketed padded width
+    mjd: np.ndarray  # (T, n_max) epoch-sorted
+    ra: np.ndarray
+    dec: np.ndarray
+    sra: np.ndarray  # padded slots = 1.0 (benign weights)
+    sdec: np.ndarray
+    helio: np.ndarray  # (T, n_max, 3)
+    valid: np.ndarray  # (T, n_max) bool
+    glob_idx: np.ndarray  # (T, n_max) global observation index per slot
+
+
+def padded_dataset_arrays(dataset, helio: np.ndarray) -> PaddedDatasetArrays:
+    """Build the padded per-trajectory layout for every trajectory, in
+    ``traj_ids`` order.  ``helio`` is the observer-cache heliocentric
+    position table aligned with dataset storage order."""
+    n = len(dataset.mjd_tt)
+    Tall = dataset.n_trajectories
+    order = np.lexsort((dataset.mjd_tt, dataset.traj_index))
+    ti_sorted = dataset.traj_index[order]
+    counts = np.bincount(ti_sorted, minlength=Tall)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n) - starts[ti_sorted]
+    n_max = _bucket(int(counts.max(initial=1)))
+
+    def _scatter(src, fill=0.0):
+        out = np.full((Tall, n_max), fill)
+        out[ti_sorted, pos] = src[order]
+        return out
+
+    helio_pad = np.zeros((Tall, n_max, 3))
+    helio_pad[ti_sorted, pos] = helio[order]
+    valid = np.zeros((Tall, n_max), dtype=bool)
+    valid[ti_sorted, pos] = True
+    glob_idx = np.zeros((Tall, n_max), np.int64)
+    glob_idx[ti_sorted, pos] = order
+    return PaddedDatasetArrays(
+        counts=counts,
+        n_max=n_max,
+        mjd=_scatter(dataset.mjd_tt),
+        ra=_scatter(dataset.ra),
+        dec=_scatter(dataset.dec),
+        sra=_scatter(dataset.ra_error, fill=1.0),
+        sdec=_scatter(dataset.dec_error, fill=1.0),
+        helio=helio_pad,
+        valid=valid,
+        glob_idx=glob_idx,
+    )
 
 
 def _lane_select(rms, valid, corrected):
@@ -263,6 +317,7 @@ def fit_full_iod(
     ut1: Optional[Ut1Provider] = None,
     error_model: Optional[ErrorModel] = None,
     cache: Optional[ObserverCache] = None,
+    mesh="auto",
 ) -> Dict[str, FitResult]:
     """Batch IOD over every trajectory of the dataset.
 
@@ -270,7 +325,16 @@ def fit_full_iod(
     parallel variant is subsumed — all trajectories run as one device batch,
     and per-trajectory deterministic seeding keeps results schedule-
     independent (the reference's bitwise sequential==parallel contract).
+
+    ``mesh="auto"`` (default) shards the lane batch over a 1-D data mesh of
+    all local devices when more than one is present — the multi-chip path IS
+    the public entry point (the reference ships ``fit_full_iod_parallel`` as
+    a user API, obs_dataset_api.rs:174-207).  Pass ``mesh=None`` to force
+    single-device, or an explicit ``jax.sharding.Mesh``.
     """
+    from outfit_tpu.parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh)
     params = params.validated()
     if error_model is not None:
         dataset.apply_error_model(error_model)
@@ -284,41 +348,95 @@ def fit_full_iod(
     helio = np.asarray(cache.helio_pos_equ)
 
     results: Dict[str, FitResult] = {}
-    lane_ra, lane_dec, lane_t, lane_pos = [], [], [], []
-    lane_traj = []
-    win_lo, win_hi = [], []
-    traj_rows = []  # (tid, obs_indices)
-
     n_real = params.n_noise_realizations + 1
     base_key = jax.random.PRNGKey(seed)
 
-    # triplet enumeration per trajectory (vectorized numpy inside)
-    kept_tids = []
-    kept = []  # (tid, idx, trips (K, 3) local indices)
-    for tid, idx in dataset.trajectory_groups():
-        epochs = dataset.mjd_tt[idx]
-        trips = generate_triplet_indices(
-            epochs,
-            params.dt_min,
-            params.dt_max_triplet,
-            params.optimal_interval_time,
-            params.max_obs_for_triplets,
-            params.max_triplets,
-        )
-        if not trips:
-            span = float(epochs[-1] - epochs[0]) if len(epochs) else 0.0
+    # --- vectorized padded layout: one lexsort + scatters for the WHOLE
+    # dataset (per-trajectory Python loops dominated host prep at survey
+    # scale: ~0.35 ms/trajectory, docs/DESIGN.md) --------------------------
+    Tall = dataset.n_trajectories
+    if len(dataset.mjd_tt) == 0 or Tall == 0:
+        for tid in dataset.traj_ids:
             results[tid] = FitResult(
-                tid,
-                ok=False,
-                error=f"NoFeasibleTriplets(span={span:.3f}, n_obs={len(idx)}, "
-                f"dt_min={params.dt_min}, dt_max={params.dt_max_triplet})",
+                tid, ok=False,
+                error=str(
+                    NoFeasibleTriplets(
+                        0.0, 0, params.dt_min, params.dt_max_triplet
+                    )
+                ),
             )
-            continue
-        kept.append((tid, idx, np.asarray(trips, np.int64)))
-        kept_tids.append(tid)
-
-    if not kept:
         return results
+    lay = padded_dataset_arrays(dataset, helio)
+    counts_all = lay.counts
+    n_max = lay.n_max
+    epochs_pad = lay.mjd
+    obs_ra_all = lay.ra
+    obs_dec_all = lay.dec
+    obs_sra_all = lay.sra
+    obs_sdec_all = lay.sdec
+    obs_helio_all = lay.helio
+    obs_valid_all = lay.valid
+    glob_idx = lay.glob_idx
+
+    trips_all, ktrips_all = generate_triplet_indices_batch(
+        epochs_pad,
+        counts_all,
+        params.dt_min,
+        params.dt_max_triplet,
+        params.optimal_interval_time,
+        params.max_obs_for_triplets,
+        params.max_triplets,
+    )
+
+    # trajectories observed from an unresolvable station are errors, not
+    # silently-geocentric fits (photom fails loudly; observatories.py)
+    unk = np.fromiter(
+        (o.unknown for o in dataset.observers), bool, count=len(dataset.observers)
+    )
+    bad_traj = np.zeros(Tall, bool)
+    if unk.any():
+        bad_obs = unk[dataset.observer_index]
+        bad_traj = np.bincount(
+            dataset.traj_index[bad_obs], minlength=Tall
+        ).astype(bool)
+        for t in np.nonzero(bad_traj)[0]:
+            tid = dataset.traj_ids[t]
+            sel = dataset.traj_index == t
+            codes = sorted(
+                {
+                    dataset.observers[i].code or "?"
+                    for i in np.unique(dataset.observer_index[sel & bad_obs])
+                }
+            )
+            results[tid] = FitResult(
+                tid, ok=False, error=f"UnknownObservatory({', '.join(codes)})"
+            )
+        ktrips_all = np.where(bad_traj, 0, ktrips_all)
+
+    arc = np.where(
+        counts_all > 0,
+        epochs_pad[np.arange(Tall), np.maximum(counts_all - 1, 0)]
+        - epochs_pad[:, 0],
+        0.0,
+    )
+    for t in np.nonzero((ktrips_all == 0) & ~bad_traj)[0]:
+        tid = dataset.traj_ids[t]
+        results[tid] = FitResult(
+            tid,
+            ok=False,
+            error=str(
+                NoFeasibleTriplets(
+                    arc[t],
+                    int(counts_all[t]),
+                    params.dt_min,
+                    params.dt_max_triplet,
+                )
+            ),
+        )
+    kept_rows = np.nonzero(ktrips_all > 0)[0]
+    if kept_rows.size == 0:
+        return results
+    kept_tids = [dataset.traj_ids[t] for t in kept_rows]
 
     # one batched draw for every trajectory's Monte-Carlo noise: per-tid key,
     # FIXED shape (max_triplets, n_real, 3, 2) — deterministic, independent
@@ -336,80 +454,76 @@ def fit_full_iod(
     )
     z_all[:, :, 0, :, :] = 0.0  # realization 0 = exact triplet
 
-    for t_row, (tid, idx, tr) in enumerate(kept):
-        epochs = dataset.mjd_tt[idx]
-        K = tr.shape[0]
-        g = idx[tr]  # (K, 3) global observation indices
-        z = z_all[t_row, :K]  # (K, n_real, 3, 2)
-        ns = params.noise_scale
-        # (K, n_real, 3) lanes, flattened row-major (triplet-major) — the
-        # same lane order as the scalar loop produced
-        ra_l = dataset.ra[g][:, None, :] + z[..., 0] * dataset.ra_error[g][:, None, :] * ns
-        dec_l = dataset.dec[g][:, None, :] + z[..., 1] * dataset.dec_error[g][:, None, :] * ns
-        t_l = np.broadcast_to(dataset.mjd_tt[g][:, None, :], (K, n_real, 3))
-        pos_l = np.broadcast_to(helio[g][:, None, :, :], (K, n_real, 3, 3))
-        lane_ra.append(ra_l.reshape(K * n_real, 3))
-        lane_dec.append(dec_l.reshape(K * n_real, 3))
-        lane_t.append(t_l.reshape(K * n_real, 3))
-        lane_pos.append(pos_l.reshape(K * n_real, 3, 3))
-        lane_traj.append(np.full(K * n_real, t_row, np.int64))
-        w0, w1 = select_rms_interval_batch(
-            epochs, tr[:, 0], tr[:, 2], params.extf, params.dtmax
-        )
-        win_lo.append(np.repeat(w0, n_real))
-        win_hi.append(np.repeat(w1, n_real))
-        traj_rows.append((tid, idx))
+    # --- vectorized lane assembly: (trajectory x triplet x realization) ----
+    Tk = kept_rows.size
+    K_t = ktrips_all[kept_rows]  # (Tk,) realized triplet counts
+    S = int(K_t.sum())
+    tk_t = np.repeat(np.arange(Tk), K_t)  # (S,) kept-row per flat triplet
+    tk_off = np.concatenate([[0], np.cumsum(K_t)[:-1]])
+    tk_k = np.arange(S) - tk_off[tk_t]  # triplet rank within its trajectory
+    rows_k = kept_rows[tk_t]  # (S,) dataset trajectory row
+    tr_flat = trips_all[rows_k, tk_k]  # (S, 3) local observation indices
+    g_flat = glob_idx[rows_k[:, None], tr_flat]  # (S, 3) global indices
+    z_flat = z_all[tk_t, tk_k]  # (S, n_real, 3, 2)
+    ns = params.noise_scale
+    # (S, n_real, 3) lanes, flattened row-major (triplet-major per
+    # trajectory) — the same lane order as the scalar loop produced
+    ra_l = dataset.ra[g_flat][:, None, :] + z_flat[..., 0] * dataset.ra_error[g_flat][:, None, :] * ns
+    dec_l = dataset.dec[g_flat][:, None, :] + z_flat[..., 1] * dataset.dec_error[g_flat][:, None, :] * ns
+    L = S * n_real
+    lane_ra = ra_l.reshape(L, 3)
+    lane_dec = dec_l.reshape(L, 3)
+    lane_t = np.broadcast_to(
+        dataset.mjd_tt[g_flat][:, None, :], (S, n_real, 3)
+    ).reshape(L, 3)
+    lane_pos = np.broadcast_to(
+        helio[g_flat][:, None, :, :], (S, n_real, 3, 3)
+    ).reshape(L, 3, 3)
+    lane_traj_np = np.repeat(tk_t, n_real)
 
-    n_max = max(len(idx) for _, idx in traj_rows)
-    n_max = _bucket(n_max)  # stable padded shapes -> compilation-cache hits
-    T = len(traj_rows)
-    obs_mjd = np.zeros((T, n_max))
-    obs_ra = np.zeros((T, n_max))
-    obs_dec = np.zeros((T, n_max))
-    obs_sra = np.ones((T, n_max))
-    obs_sdec = np.ones((T, n_max))
-    obs_helio = np.zeros((T, n_max, 3))
-    obs_valid = np.zeros((T, n_max), dtype=bool)
-    for t_row, (_, idx) in enumerate(traj_rows):
-        n = len(idx)
-        obs_mjd[t_row, :n] = dataset.mjd_tt[idx]
-        obs_ra[t_row, :n] = dataset.ra[idx]
-        obs_dec[t_row, :n] = dataset.dec[idx]
-        obs_sra[t_row, :n] = dataset.ra_error[idx]
-        obs_sdec[t_row, :n] = dataset.dec_error[idx]
-        obs_helio[t_row, :n] = helio[idx]
-        obs_valid[t_row, :n] = True
-
-    lane_ra = np.concatenate(lane_ra)
-    lane_dec = np.concatenate(lane_dec)
-    lane_t = np.concatenate(lane_t)
-    lane_pos = np.concatenate(lane_pos)
-    lane_traj_np = np.concatenate(lane_traj)
-    w_lo = np.concatenate(win_lo)
-    w_hi = np.concatenate(win_hi)
-    L = lane_ra.shape[0]
-    col = np.arange(n_max)
-    window_mask = (col >= w_lo[:, None]) & (col <= w_hi[:, None])
+    # RMS window (select_rms_interval, trajectory.rs:294-350) batched over
+    # flat triplets: with sorted epochs and dt >= 0 the searchsorted index
+    # window equals the epoch-interval mask (triplet endpoints included)
+    te1 = epochs_pad[rows_k, tr_flat[:, 0]]
+    te3 = epochs_pad[rows_k, tr_flat[:, 2]]
+    if params.extf >= 0.0:
+        dt = (te3 - te1) * params.extf
+    else:
+        dt = 10.0 * arc[rows_k]
+    if params.dtmax >= 0.0:
+        dt = np.maximum(dt, params.dtmax)
+    ep_k = epochs_pad[rows_k]  # (S, n_max)
+    wmask_tr = (
+        (ep_k >= (te1 - dt)[:, None])
+        & (ep_k <= (te3 + dt)[:, None])
+        & obs_valid_all[rows_k]
+    )
+    window_mask = np.repeat(wmask_tr, n_real, axis=0)  # (L, n_max)
+    T = Tk
 
     # --- trajectory-aligned device batches (IODParams.batch_size, mod.rs:
     # 169-171) + shape bucketing: lanes and trajectories are padded to
     # powers of two so different datasets (and different chunks) reuse the
-    # same compiled kernel
+    # same compiled kernel.  Lanes are contiguous per trajectory and
+    # trajectory-major, so every chunk is a SLICE (no isin scans).
+    lane_counts = (K_t * n_real).astype(np.int64)
+    lane_off = np.concatenate([[0], np.cumsum(lane_counts)])  # (Tk+1,)
     if params.batch_size > 0:
-        groups = []
-        cur, cur_lanes = [], 0
-        counts = np.bincount(lane_traj_np, minlength=T)
-        for t_row in range(T):
-            c = int(counts[t_row])
-            if cur and cur_lanes + c > params.batch_size:
-                groups.append(cur)
-                cur, cur_lanes = [], 0
-            cur.append(t_row)
-            cur_lanes += c
-        if cur:
-            groups.append(cur)
+        bounds = [0]
+        while bounds[-1] < Tk:
+            s = bounds[-1]
+            e = (
+                int(
+                    np.searchsorted(
+                        lane_off, lane_off[s] + params.batch_size, side="right"
+                    )
+                )
+                - 1
+            )
+            bounds.append(max(e, s + 1))
+        spans = list(zip(bounds[:-1], bounds[1:]))
     else:
-        groups = [list(range(T))]
+        spans = [(0, Tk)]
 
     best_rms = np.full(T, np.inf)
     kind = np.zeros(T, np.int32)
@@ -418,34 +532,39 @@ def fit_full_iod(
     epoch = np.zeros(T)
     corrected = np.zeros(T, bool)
 
-    for group in groups:
-        gset = np.isin(lane_traj_np, group)
-        g_lanes = np.nonzero(gset)[0]
-        remap = {t: i for i, t in enumerate(group)}
-        g_traj = np.array([remap[t] for t in lane_traj_np[g_lanes]])
-        Tg = len(group)
+    pending = []  # dispatch everything first: chunk N+1's host prep and
+    # transfers overlap chunk N's device execution (async dispatch)
+    for t0g, t1g in spans:
+        sl = slice(int(lane_off[t0g]), int(lane_off[t1g]))
+        g_traj = lane_traj_np[sl] - t0g
+        Tg = t1g - t0g
 
         # pad lanes to a bucket with inert rows (window all-False -> inf
         # score -> excluded from the segment argmin); padded trajectory
         # rows have no valid observations
-        Lg = len(g_lanes)
+        Lg = sl.stop - sl.start
         Lb = _bucket(Lg)
+        if mesh is not None and Lb % mesh.devices.size:
+            from outfit_tpu.parallel import pad_to_multiple
+
+            Lb = pad_to_multiple(Lb, mesh.devices.size)
         Tb = _bucket(Tg + (1 if Lb > Lg else 0))
 
         def lane_pad(x):
-            out = np.concatenate([x[g_lanes], np.repeat(x[g_lanes[:1]], Lb - Lg, axis=0)])
-            return out
+            return np.concatenate(
+                [x[sl], np.repeat(x[sl][:1], Lb - Lg, axis=0)]
+            )
 
         g_window = np.concatenate(
-            [window_mask[g_lanes], np.zeros((Lb - Lg, n_max), bool)]
+            [window_mask[sl], np.zeros((Lb - Lg, n_max), bool)]
         )
-        g_lane_traj = np.concatenate(
-            [g_traj, np.full(Lb - Lg, Tg, np.int64)]
-        )
+        g_lane_traj = np.concatenate([g_traj, np.full(Lb - Lg, Tg, np.int64)])
+
+        g_rows = kept_rows[t0g:t1g]
 
         def traj_pad(x):
             shape = (Tb - Tg,) + x.shape[1:]
-            return np.concatenate([x[group], np.zeros(shape, x.dtype)])
+            return np.concatenate([x[g_rows], np.zeros(shape, x.dtype)])
 
         tri = GaussTriplets(
             jnp.asarray(lane_pad(lane_ra)),
@@ -455,28 +574,45 @@ def fit_full_iod(
         )
         g_obs = tuple(
             jnp.asarray(traj_pad(x))
-            for x in (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
+            for x in (
+                epochs_pad,
+                obs_ra_all,
+                obs_dec_all,
+                obs_sra_all,
+                obs_sdec_all,
+                obs_helio_all,
+            )
         )
-        out = _iod_kernel_jit(
-            tri, g_obs, jnp.asarray(g_lane_traj), jnp.asarray(g_window), params
-        )
+        g_lane_traj = jnp.asarray(g_lane_traj)
+        g_window = jnp.asarray(g_window)
+        if mesh is not None:
+            # lanes sharded over the data axis; per-trajectory observation
+            # tables replicated (small, and the lane->trajectory gather
+            # stays shard-local)
+            from outfit_tpu.parallel import replicate, shard_batch
+
+            tri = shard_batch(mesh, tri)
+            g_lane_traj = shard_batch(mesh, g_lane_traj)
+            g_window = shard_batch(mesh, g_window)
+            g_obs = replicate(mesh, g_obs)
+        out = _iod_kernel_jit(tri, g_obs, g_lane_traj, g_window, params)
+        pending.append((t0g, t1g, Tg, out))
+
+    for t0g, t1g, Tg, out in pending:
         g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = (np.asarray(o) for o in out)
-        idx = np.asarray(group)
-        best_rms[idx] = g_rms[:Tg]
-        kind[idx] = g_kind[:Tg]
-        el[idx] = g_el[:Tg]
-        eqv[idx] = g_eqv[:Tg]
-        epoch[idx] = g_epoch[:Tg]
-        corrected[idx] = g_corr[:Tg]
+        best_rms[t0g:t1g] = g_rms[:Tg]
+        kind[t0g:t1g] = g_kind[:Tg]
+        el[t0g:t1g] = g_el[:Tg]
+        eqv[t0g:t1g] = g_eqv[:Tg]
+        epoch[t0g:t1g] = g_epoch[:Tg]
+        corrected[t0g:t1g] = g_corr[:Tg]
 
     # kernel outputs are per-trajectory (the segment argmin runs on device)
-    lane_counts = np.bincount(lane_traj_np, minlength=len(kept_tids))
-
     for t_row, tid in enumerate(kept_tids):
         if not np.isfinite(best_rms[t_row]):
             results[tid] = FitResult(
                 tid, ok=False,
-                error=f"NoViableOrbit(attempts={int(lane_counts[t_row])})",
+                error=str(NoViableOrbit(int(lane_counts[t_row]))),
             )
             continue
         results[tid] = FitResult(

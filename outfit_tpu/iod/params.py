@@ -90,14 +90,16 @@ class IODParams:
 
     def validated(self) -> "IODParams":
         """Parity: IODParamsBuilder::build() validation (:544-624)."""
+        from outfit_tpu.errors import InvalidIODParameter
+
         if self.dt_min <= 0 or self.dt_max_triplet <= self.dt_min:
-            raise ValueError("require 0 < dt_min < dt_max_triplet")
+            raise InvalidIODParameter("require 0 < dt_min < dt_max_triplet")
         if self.noise_scale < 0 or self.max_triplets < 1:
-            raise ValueError("noise_scale >= 0 and max_triplets >= 1 required")
+            raise InvalidIODParameter("noise_scale >= 0 and max_triplets >= 1 required")
         if self.r2_min_au <= 0 or self.r2_max_au <= self.r2_min_au:
-            raise ValueError("require 0 < r2_min_au < r2_max_au")
+            raise InvalidIODParameter("require 0 < r2_min_au < r2_max_au")
         if self.precision not in ("f64", "mixed"):
-            raise ValueError("precision must be 'f64' or 'mixed'")
+            raise InvalidIODParameter("precision must be 'f64' or 'mixed'")
         if self.batch_size < 0:
-            raise ValueError("batch_size must be >= 0 (0 = single batch)")
+            raise InvalidIODParameter("batch_size must be >= 0 (0 = single batch)")
         return self

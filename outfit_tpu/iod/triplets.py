@@ -78,6 +78,99 @@ def generate_triplet_indices(
     return [(int(x), int(y), int(z)) for x, y, z in zip(ka, kj, kk)]
 
 
+def generate_triplet_indices_batch(
+    epochs_pad: np.ndarray,
+    counts: np.ndarray,
+    dt_min: float,
+    dt_max: float,
+    optimal_interval: float,
+    max_obs: int,
+    max_triplets: int,
+    budget: int = 32_000_000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`generate_triplet_indices` over MANY trajectories.
+
+    ``epochs_pad`` is ``(T, n_max)`` per-trajectory sorted epochs (padding
+    arbitrary), ``counts`` the valid lengths.  Returns ``(trips, ktrips)``:
+    ``trips[t, :ktrips[t]]`` are the best-K triplets as local observation
+    indices, element-for-element equal to the scalar enumerator (property-
+    tested).  This removes the per-trajectory Python loop that dominated
+    host prep at survey scale (~0.35 ms/trajectory, docs/DESIGN.md).
+
+    ``budget`` caps the (chunk x combination) working-set size.
+    """
+    counts = np.asarray(counts, np.int64)
+    T = counts.shape[0]
+    trips = np.zeros((T, max_triplets, 3), np.int64)
+    ktrips = np.zeros(T, np.int64)
+    if T == 0:
+        return trips, ktrips
+
+    # downsample map (index_generator.rs:66-75): identity when n <= max_obs,
+    # uniform-with-edges otherwise; the scalar max_keep<=3 quirk keeps 3
+    m_eff = np.where(counts <= max_obs, counts, 3 if max_obs <= 3 else max_obs)
+    m_eff = np.minimum(m_eff, counts)
+    m_cap = int(m_eff.max(initial=0))
+    if m_cap < 3:
+        return trips, ktrips
+
+    i = np.arange(m_cap)
+    nm1 = np.maximum(counts - 1, 0)[:, None]
+    down = i[None, :] * nm1 // np.maximum(m_eff - 1, 1)[:, None]
+    keep = np.where(counts[:, None] <= max_obs, np.minimum(i, nm1), down)
+    if max_obs <= 3:
+        # scalar special case: [0, n//2, n-1]
+        special = np.stack(
+            [np.zeros(T, np.int64), counts // 2, nm1[:, 0]], axis=1
+        )
+        keep = np.where(
+            (counts[:, None] > max_obs), special[:, : m_cap], keep
+        )
+    keep = np.minimum(keep, nm1)
+
+    td = np.take_along_axis(
+        epochs_pad, np.minimum(keep, epochs_pad.shape[1] - 1), axis=1
+    )  # (T, m_cap) downsampled epochs
+
+    # combination list in (a, j, k) lexicographic order — matches the scalar
+    # enumerator's nonzero order, so stable sort ties resolve identically
+    a, j, k = np.meshgrid(
+        np.arange(m_cap), np.arange(m_cap), np.arange(m_cap),
+        indexing="ij", sparse=True,
+    )
+    ai, ji, ki = np.nonzero((a < j) & (j < k))
+    M = ai.size
+    if M == 0:
+        return trips, ktrips
+
+    chunk = max(1, int(budget // max(M, 1)))
+    for lo in range(0, T, chunk):
+        sl = slice(lo, min(lo + chunk, T))
+        tdc = td[sl]
+        t1 = tdc[:, ai]
+        t2 = tdc[:, ji]
+        t3 = tdc[:, ki]
+        span = t3 - t1
+        feas = (
+            (ki[None, :] < m_eff[sl, None])
+            & (span >= dt_min)
+            & (span <= dt_max)
+        )
+        w = triplet_weight(t1, t2, t3, optimal_interval)
+        w = np.where(feas, w, np.inf)
+        order = np.argsort(w, axis=1, kind="stable")[:, :max_triplets]
+        kc = np.minimum(feas.sum(axis=1), max_triplets)
+        kp = keep[sl]
+        pad_k = order.shape[1]
+        if pad_k < max_triplets:
+            order = np.pad(order, ((0, 0), (0, max_triplets - pad_k)))
+        trips[sl, :, 0] = np.take_along_axis(kp, ai[order], axis=1)
+        trips[sl, :, 1] = np.take_along_axis(kp, ji[order], axis=1)
+        trips[sl, :, 2] = np.take_along_axis(kp, ki[order], axis=1)
+        ktrips[sl] = kc
+    return trips, ktrips
+
+
 def select_rms_interval(
     epochs: np.ndarray, idx1: int, idx3: int, extf: float, dtmax: float
 ) -> Tuple[int, int]:

@@ -34,12 +34,28 @@ from outfit_tpu.observations.error_model import ErrorModel
 from outfit_tpu.observer.cache import ObserverCache
 from outfit_tpu.time.scales import Ut1Provider
 
-_STATUS_NAMES = {
+from outfit_tpu.errors import (
+    BizarreOrbit,
+    DifferentialCorrectionDiverged,
+    DifferentialCorrectionFailed,
+)
+
+# LSQ kernel status code -> result-error class (errors.py docstring)
+_STATUS_ERRORS = {
     1: None,
-    2: "BizarreOrbit",
-    3: "DifferentialCorrectionDiverged",
-    4: "DifferentialCorrectionFailed(inversion)",
+    2: BizarreOrbit(),
+    3: DifferentialCorrectionDiverged(),
+    4: DifferentialCorrectionFailed("inversion"),
 }
+
+
+def _status_name(code):
+    e = _STATUS_ERRORS.get(code)
+    if e is None and code in _STATUS_ERRORS:
+        return None
+    if e is None:
+        return f"status={code}"
+    return f"{type(e).__name__}({e.args[0]})" if e.args else type(e).__name__
 
 
 @dataclass
@@ -114,20 +130,26 @@ class LsqResult:
         return np.sqrt(np.maximum(np.diag(cov), 0.0))
 
 
-_jit_cache = {}
-
-
 def _get_runner(cfg: DifferentialCorrectionConfig, ephem):
     """Compile-cached correction runner; the ephemeris tables are closed
-    over (needed for the N-body propagator, and JPLEphem is not a pytree)."""
-    key = (cfg, id(ephem))
-    if key not in _jit_cache:
-        _jit_cache[key] = jax.jit(
+    over (needed for the N-body propagator, and JPLEphem is not a pytree).
+    The cache lives ON the ephem object so compiled executables are released
+    with it (a module dict keyed by id(ephem) would leak and can collide
+    after id reuse)."""
+    store = getattr(ephem, "_lsq_runner_jit", None)
+    if store is None:
+        store = {}
+        try:
+            ephem._lsq_runner_jit = store
+        except AttributeError:
+            pass
+    if cfg not in store:
+        store[cfg] = jax.jit(
             lambda el, ep, obs: run_differential_correction(
                 el, ep, obs, cfg, ephem=ephem
             )
         )
-    return _jit_cache[key]
+    return store[cfg]
 
 
 def fit_lsq(
@@ -139,8 +161,17 @@ def fit_lsq(
     ut1: Optional[Ut1Provider] = None,
     error_model: Optional[ErrorModel] = None,
     initial_orbits: Optional[Dict[str, FitResult]] = None,
+    mesh="auto",
 ) -> Dict[str, LsqResult]:
-    """IOD + differential correction for every trajectory of the dataset."""
+    """IOD + differential correction for every trajectory of the dataset.
+
+    ``mesh="auto"`` (default) shards the trajectory batch over a 1-D data
+    mesh of all local devices when more than one is present (and forwards
+    the mesh to the IOD seeding stage); ``mesh=None`` forces single-device.
+    """
+    from outfit_tpu.parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh)
     if error_model is not None:
         dataset.apply_error_model(error_model)
         dataset.apply_batch_rms_correction(iod_params.gap_max)
@@ -151,7 +182,7 @@ def fit_lsq(
 
     if initial_orbits is None:
         initial_orbits = fit_full_iod(
-            dataset, ephem, iod_params, seed=seed, ut1=ut1, cache=cache
+            dataset, ephem, iod_params, seed=seed, ut1=ut1, cache=cache, mesh=mesh
         )
 
     results: Dict[str, LsqResult] = {}
@@ -173,35 +204,46 @@ def fit_lsq(
         return results
 
     helio = np.asarray(cache.helio_pos_equ)
-    from outfit_tpu.iod.api import _bucket
+    from outfit_tpu.iod.api import padded_dataset_arrays
 
-    # one lexsort for all trajectories (O(T^2) per-trajectory scans dominate
-    # host time at survey scale)
-    traj_idx_map = dict(dataset.trajectory_groups())
-    n_max = _bucket(max(len(traj_idx_map[tid]) for tid, _ in rows))
+    # vectorized padded layout for the whole dataset (one lexsort +
+    # scatters; the old per-trajectory fill loop dominated host prep at
+    # survey scale), then gather the rows that have IOD seeds
+    lay = padded_dataset_arrays(dataset, helio)
+    n_max = lay.n_max
     T = len(rows)
+    tid_to_row = {tid: i for i, tid in enumerate(dataset.traj_ids)}
+    rsel = np.fromiter(
+        (tid_to_row[tid] for tid, _ in rows), np.int64, count=T
+    )
     arr = {
-        k: np.zeros((T, n_max))
-        for k in ("mjd", "ra", "dec", "sra", "sdec")
+        "mjd": lay.mjd[rsel],
+        "ra": lay.ra[rsel],
+        "dec": lay.dec[rsel],
+        "sra": lay.sra[rsel],
+        "sdec": lay.sdec[rsel],
     }
-    hp = np.zeros((T, n_max, 3))
-    valid = np.zeros((T, n_max), dtype=bool)
-    el0 = np.zeros((T, 6))
-    ep0 = np.zeros(T)
-    for t, (tid, iod) in enumerate(rows):
-        idx = traj_idx_map[tid]
-        n = len(idx)
-        arr["mjd"][t, :n] = dataset.mjd_tt[idx]
-        arr["ra"][t, :n] = dataset.ra[idx]
-        arr["dec"][t, :n] = dataset.dec[idx]
-        arr["sra"][t, :n] = dataset.ra_error[idx]
-        arr["sdec"][t, :n] = dataset.dec_error[idx]
-        arr["sra"][t, n:] = 1.0
-        arr["sdec"][t, n:] = 1.0
-        hp[t, :n] = helio[idx]
-        valid[t, :n] = True
-        el0[t] = iod.equinoctial
-        ep0[t] = iod.epoch
+    hp = lay.helio[rsel]
+    valid = lay.valid[rsel]
+    el0 = np.stack([iod.equinoctial for _, iod in rows])
+    ep0 = np.fromiter((iod.epoch for _, iod in rows), np.float64, count=T)
+
+    if mesh is not None:
+        # pad the trajectory axis to a mesh multiple with inert rows (no
+        # valid observations, benign seed elements) so the batch shards
+        # evenly; padded rows are dropped on unpack
+        from outfit_tpu.parallel import pad_to_multiple, shard_batch
+
+        pad = pad_to_multiple(T, mesh.devices.size) - T
+        if pad:
+            for k in ("mjd", "ra", "dec"):
+                arr[k] = np.concatenate([arr[k], np.zeros((pad, n_max))])
+            for k in ("sra", "sdec"):
+                arr[k] = np.concatenate([arr[k], np.ones((pad, n_max))])
+            hp = np.concatenate([hp, np.zeros((pad, n_max, 3))])
+            valid = np.concatenate([valid, np.zeros((pad, n_max), bool)])
+            el0 = np.concatenate([el0, np.tile([2.0, 0, 0, 0, 0, 0.0], (pad, 1))])
+            ep0 = np.concatenate([ep0, np.full(pad, 57000.0)])
 
     obs = ObsArrays(
         jnp.asarray(arr["mjd"]),
@@ -212,8 +254,14 @@ def fit_lsq(
         jnp.asarray(hp),
         jnp.asarray(valid),
     )
+    el = jnp.asarray(el0)
+    ep = jnp.asarray(ep0)
+    if mesh is not None:
+        obs = shard_batch(mesh, obs)
+        el = shard_batch(mesh, el)
+        ep = shard_batch(mesh, ep)
 
-    out = _get_runner(config, ephem)(jnp.asarray(el0), jnp.asarray(ep0), obs)
+    out = _get_runner(config, ephem)(el, ep, obs)
 
     status = np.asarray(out.status)
     elements = np.asarray(out.elements)
@@ -243,7 +291,7 @@ def fit_lsq(
             results[tid] = LsqResult(
                 tid,
                 ok=True,
-                error=_STATUS_NAMES.get(int(status[t]), f"status={status[t]}"),
+                error=_status_name(int(status[t])),
                 fell_back_to_iod=True,
                 normalised_rms=float(iod.rms),
                 epoch=float(iod.epoch),

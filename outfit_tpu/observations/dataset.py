@@ -316,13 +316,21 @@ class ObsDataset:
     def iter_traj_id(self):
         return iter(self.traj_ids)
 
+    def _traj_row(self, traj_id: str) -> int:
+        try:
+            return self.traj_ids.index(traj_id)
+        except ValueError:
+            from outfit_tpu.errors import TrajectoryIdNotFound
+
+            raise TrajectoryIdNotFound(traj_id) from None
+
     def len_trajectory(self, traj_id: str) -> int:
-        ti = self.traj_ids.index(traj_id)
+        ti = self._traj_row(traj_id)
         return int(np.sum(self.traj_index == ti))
 
     def trajectory_obs_indices(self, traj_id: str) -> np.ndarray:
         """Observation indices of one trajectory, sorted by epoch."""
-        ti = self.traj_ids.index(traj_id)
+        ti = self._traj_row(traj_id)
         idx = np.nonzero(self.traj_index == ti)[0]
         return idx[np.argsort(self.mjd_tt[idx], kind="stable")]
 
@@ -332,17 +340,19 @@ class ObsDataset:
         dataset instead of an O(T^2) per-trajectory scan (the host-side prep
         cost dominates device time at survey scale otherwise)."""
         if len(self.mjd_tt) == 0:
-            return []
+            empty = np.empty(0, dtype=np.int64)
+            return [(tid, empty) for tid in self.traj_ids]
         order = np.lexsort((self.mjd_tt, self.traj_index))
         ti_sorted = self.traj_index[order]
         bounds = np.nonzero(np.diff(ti_sorted))[0] + 1
+        # Key each chunk by its first member's trajectory in ORIGINAL index
+        # space (s holds original indices; ti_sorted is positional).
         groups = {
-            int(ti_sorted[s[0]]): s for s in np.split(order, bounds)
+            int(self.traj_index[s[0]]): s for s in np.split(order, bounds)
         }
+        empty = np.empty(0, dtype=np.int64)
         return [
-            (tid, groups[ti])
-            for ti, tid in enumerate(self.traj_ids)
-            if ti in groups
+            (tid, groups.get(ti, empty)) for ti, tid in enumerate(self.traj_ids)
         ]
 
     def get_observation(self, i: int) -> Observation:

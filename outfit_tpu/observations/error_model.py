@@ -62,6 +62,22 @@ class ErrorModel:
     def constant(cls, arcsec: float) -> "ErrorModel":
         return cls(default_arcsec=arcsec, station_arcsec={})
 
+    @classmethod
+    def from_name(cls, name: str) -> "ErrorModel":
+        """Resolve a model by name (photom ``ObsErrorModel`` parse parity):
+        ``"fcct14"`` or ``"constant:<arcsec>"``."""
+        from outfit_tpu.errors import InvalidErrorModel
+
+        key = name.strip().lower()
+        if key == "fcct14":
+            return cls.fcct14()
+        if key.startswith("constant:"):
+            try:
+                return cls.constant(float(key.split(":", 1)[1]))
+            except ValueError as e:
+                raise InvalidErrorModel(f"bad constant error model {name!r}") from e
+        raise InvalidErrorModel(f"unknown error model {name!r}")
+
     def sigma_rad(self, station_codes) -> np.ndarray:
         """Per-observation sigma (radians) for RA*cos(dec) and Dec alike."""
         out = np.array(

@@ -42,6 +42,12 @@ class Observer:
     rho_sin_phi: float
     name: Optional[str] = None
     code: Optional[str] = None
+    #: catalog could not resolve this code — consumers must surface a
+    #: per-trajectory error rather than silently use the geocenter
+    unknown: bool = False
+    #: coordinates are approximate (embedded geodetic data, not a parsed
+    #: MPC ObsCodes entry)
+    approx: bool = False
 
     @classmethod
     def from_parallax(cls, longitude_rad, rho_cos_phi, rho_sin_phi, name=None, code=None):
@@ -129,15 +135,40 @@ def _catalog() -> dict:
             _catalog_cache[code] = Observer.geocenter()
         else:
             lo, c, s = parallax_from_geodetic(lon, lat, h)
-            _catalog_cache[code] = Observer(lo, c, s, None, code)
+            _catalog_cache[code] = Observer(lo, c, s, None, code, approx=True)
     return _catalog_cache
 
 
-def get_observatory(code: str) -> Observer:
-    """Look up an MPC observatory code; unknown codes fall back to the
-    geocenter (flagged by name) rather than failing the whole dataset."""
+_warned_codes: set = set()
+
+
+def get_observatory(code: str, strict: bool = False) -> Observer:
+    """Look up an MPC observatory code.
+
+    Unknown codes warn once and return an Observer with ``unknown=True``
+    (geocentric coordinates) so file ingestion never aborts mid-parse; the
+    fitting pipelines surface an UnknownObservatory error for every
+    trajectory that uses one (the reference's photom fails loudly — a
+    silent geocenter would move the observer by up to ~6400 km).
+    ``strict=True`` raises :class:`outfit_tpu.errors.UnknownObservatory`
+    immediately.
+    """
     cat = _catalog()
     code = code.strip()
     if code in cat:
         return cat[code]
-    return Observer(0.0, 0.0, 0.0, f"UNKNOWN({code})", code)
+    if strict:
+        from outfit_tpu.errors import UnknownObservatory
+
+        raise UnknownObservatory(code)
+    if code not in _warned_codes:
+        _warned_codes.add(code)
+        import warnings
+
+        warnings.warn(
+            f"unknown MPC observatory code {code!r}: trajectories using it "
+            "will carry an UnknownObservatory error (set $OUTFIT_OBSCODES "
+            "to a full MPC ObsCodes file to resolve more sites)",
+            stacklevel=2,
+        )
+    return Observer(0.0, 0.0, 0.0, f"UNKNOWN({code})", code, unknown=True)

@@ -22,8 +22,19 @@ from outfit_tpu.observer.geometry import (
 )
 from outfit_tpu.time.scales import Ut1Provider
 
-# compile-cached jitted cache-build compute, keyed by (ephemeris, velocity)
-_BUILD_JIT = {}
+def _build_jit_for(ephem, cache_velocity: bool):
+    """Compile-cached jitted cache-build compute, stored ON the ephemeris
+    object so its lifetime (and the closed-over compiled executables') is
+    tied to the ephemeris, not the process — a module-level dict keyed by
+    id(ephem) would leak every ephemeris ever used."""
+    store = getattr(ephem, "_observer_cache_jit", None)
+    if store is None:
+        store = {}
+        try:
+            ephem._observer_cache_jit = store
+        except AttributeError:
+            pass  # exotic immutable ephem: fall through, re-jit per build
+    return store
 
 
 class ObserverCache(NamedTuple):
@@ -74,8 +85,9 @@ class ObserverCache(NamedTuple):
         fp = np.concatenate([fixed_pos[oi], np.zeros((pad, 3))])
         fv = np.concatenate([fixed_vel[oi], np.zeros((pad, 3))])
 
-        key = (id(ephem), bool(cache_velocity))
-        fn = _BUILD_JIT.get(key)
+        store = _build_jit_for(ephem, cache_velocity)
+        key = bool(cache_velocity)
+        fn = store.get(key)
         if fn is None:
             def _compute(mjd, tut, fp, fv):
                 from outfit_tpu.frames import equequ
@@ -89,7 +101,7 @@ class ObserverCache(NamedTuple):
                 hv = helio_velocity(ephem, mjd, geo_vel)
                 return geo_pos, geo_vel, hp, hv
 
-            fn = _BUILD_JIT[key] = jax.jit(_compute)
+            fn = store[key] = jax.jit(_compute)
 
         geo_pos, geo_vel, hp, hv = fn(
             jnp.asarray(mjd_np), jnp.asarray(tut), jnp.asarray(fp), jnp.asarray(fv)

@@ -10,7 +10,10 @@ HashMap fold/reduce analogue).
 """
 
 from outfit_tpu.parallel.sharding import (  # noqa: F401
+    auto_mesh,
     data_mesh,
-    shard_batch,
     pad_to_multiple,
+    replicate,
+    resolve_mesh,
+    shard_batch,
 )

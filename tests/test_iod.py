@@ -528,3 +528,35 @@ class TestTripletVectorization:
             got = generate_triplet_indices(epochs, dt_min, dt_max, dtw, max_obs, kmax)
             want = self._scalar_reference(epochs, dt_min, dt_max, dtw, max_obs, kmax)
             assert got == want, f"trial {trial}: {got} != {want}"
+
+    def test_batch_matches_per_trajectory(self):
+        """generate_triplet_indices_batch over a ragged padded batch must
+        equal the per-trajectory enumerator element for element."""
+        from outfit_tpu.iod.triplets import generate_triplet_indices_batch
+
+        rng = np.random.default_rng(17)
+        for trial in range(12):
+            T = int(rng.integers(1, 24))
+            counts = rng.integers(0, 28, T)
+            n_max = max(int(counts.max()), 1)
+            epochs_pad = np.zeros((T, n_max))
+            per_traj = []
+            for t in range(T):
+                e = np.sort(rng.uniform(0, rng.uniform(1, 150), counts[t]))
+                epochs_pad[t, : counts[t]] = e
+                per_traj.append(e)
+            dt_min = float(rng.uniform(0.0, 0.5))
+            dt_max = float(rng.uniform(5.0, 200.0))
+            dtw = float(rng.uniform(5.0, 30.0))
+            max_obs = int(rng.integers(3, 30))
+            kmax = int(rng.integers(1, 12))
+            trips, ktrips = generate_triplet_indices_batch(
+                epochs_pad, counts, dt_min, dt_max, dtw, max_obs, kmax,
+                budget=int(rng.choice([64, 32_000_000])),  # force chunking too
+            )
+            for t in range(T):
+                want = generate_triplet_indices(
+                    per_traj[t], dt_min, dt_max, dtw, max_obs, kmax
+                )
+                got = [tuple(map(int, row)) for row in trips[t, : ktrips[t]]]
+                assert got == want, f"trial {trial} traj {t}: {got} != {want}"

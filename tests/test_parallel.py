@@ -73,6 +73,60 @@ class TestShardedIOD:
                 np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+class TestUserApiSharded:
+    """The PUBLIC entry points are the multi-chip path: with >1 device,
+    fit_full_iod/fit_lsq auto-shard over jax.devices() and must reproduce
+    the single-device results (the reference's fit_full_iod_parallel ==
+    fit_full_iod contract, tests/test_gauss_iod.rs:170-189)."""
+
+    DATA = "/root/reference/tests/data"
+
+    @pytest.fixture(scope="class")
+    def ds_eph(self):
+        from outfit_tpu.ephem import JPLEphem
+        from outfit_tpu.observations import ObsDataset
+
+        ds = ObsDataset.from_mpc_80_col_files(
+            [f"{self.DATA}/{n}.obs" for n in ("2015AB", "8467", "33803")]
+        )
+        return ds, JPLEphem.analytic(53500.0, 61500.0)
+
+    def test_fit_full_iod_auto_mesh_equals_single_device(self, mesh, ds_eph):
+        from outfit_tpu.iod.api import fit_full_iod
+
+        ds, eph = ds_eph
+        params = IODParams(n_noise_realizations=5)
+        auto = fit_full_iod(ds, eph, params, seed=42)  # auto -> 8-device mesh
+        single = fit_full_iod(ds, eph, params, seed=42, mesh=None)
+        assert set(auto) == set(single) and len(auto) == 3
+        for tid in auto:
+            a, s = auto[tid], single[tid]
+            assert a.ok and s.ok
+            assert a.kind == s.kind and a.corrected == s.corrected
+            np.testing.assert_allclose(a.rms, s.rms, rtol=1e-9)
+            np.testing.assert_allclose(a.elements, s.elements, rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(a.epoch, s.epoch, rtol=0, atol=1e-9)
+
+    def test_fit_lsq_auto_mesh_equals_single_device(self, mesh, ds_eph):
+        from outfit_tpu.lsq.api import fit_lsq
+
+        ds, eph = ds_eph
+        params = IODParams(n_noise_realizations=5)
+        auto = fit_lsq(ds, eph, params, seed=42)
+        single = fit_lsq(ds, eph, params, seed=42, mesh=None)
+        assert set(auto) == set(single) and len(auto) == 3
+        for tid in auto:
+            a, s = auto[tid], single[tid]
+            assert a.ok and s.ok
+            assert a.fell_back_to_iod == s.fell_back_to_iod
+            np.testing.assert_allclose(
+                a.normalised_rms, s.normalised_rms, rtol=1e-8
+            )
+            np.testing.assert_allclose(
+                a.equinoctial, s.equinoctial, rtol=1e-8, atol=1e-12
+            )
+
+
 class TestShardedLSQ:
     def test_sharded_equals_unsharded(self, mesh, batch):
         tri, obs_arrays, lane_traj, window = batch
