@@ -126,6 +126,8 @@ class PaddedDatasetArrays:
     helio: np.ndarray  # (T, n_max, 3)
     valid: np.ndarray  # (T, n_max) bool
     glob_idx: np.ndarray  # (T, n_max) global observation index per slot
+    bias_ra: Optional[np.ndarray] = None  # (T, n_max) debiasing, radians
+    bias_dec: Optional[np.ndarray] = None
 
 
 def padded_dataset_arrays(dataset, helio: np.ndarray) -> PaddedDatasetArrays:
@@ -163,7 +165,20 @@ def padded_dataset_arrays(dataset, helio: np.ndarray) -> PaddedDatasetArrays:
         helio=helio_pad,
         valid=valid,
         glob_idx=glob_idx,
+        bias_ra=None if dataset.bias_ra is None else _scatter(dataset.bias_ra),
+        bias_dec=None if dataset.bias_dec is None else _scatter(dataset.bias_dec),
     )
+
+
+def _draw_noise(base_key, hashes, max_triplets, n_real):
+    return jax.vmap(
+        lambda h: jax.random.normal(
+            jax.random.fold_in(base_key, h), (max_triplets, n_real, 3, 2)
+        )
+    )(hashes)
+
+
+_draw_noise_jit = jax.jit(_draw_noise, static_argnames=("max_triplets", "n_real"))
 
 
 def _lane_select(rms, valid, corrected):
@@ -442,16 +457,17 @@ def fit_full_iod(
     # FIXED shape (max_triplets, n_real, 3, 2) — deterministic, independent
     # of dataset composition, batch split, AND of the realized triplet count
     # (the first K_t rows are used).  Parity contract: obs_dataset_api.rs
-    # :277-296 (base seed ^ stable trajectory hash).
-    hashes = jnp.asarray([stable_hash(t) for t in kept_tids], jnp.uint32)
-    z_all = np.array(
-        jax.vmap(
-            lambda h: jax.random.normal(
-                jax.random.fold_in(base_key, h),
-                (params.max_triplets, n_real, 3, 2),
-            )
-        )(hashes)
+    # :277-296 (base seed ^ stable trajectory hash).  Jitted with the hash
+    # count bucketed: eager dispatch costs ~25 ms/op through the axon
+    # tunnel, and per-hash fold_in keys make padding value-transparent.
+    hashes_np = np.fromiter(
+        (stable_hash(t) for t in kept_tids), np.uint32, count=len(kept_tids)
     )
+    hb = _bucket(len(hashes_np))
+    hashes = jnp.asarray(np.pad(hashes_np, (0, hb - len(hashes_np))))
+    z_all = np.asarray(
+        _draw_noise_jit(base_key, hashes, params.max_triplets, n_real)
+    )[: len(kept_tids)].copy()
     z_all[:, :, 0, :, :] = 0.0  # realization 0 = exact triplet
 
     # --- vectorized lane assembly: (trajectory x triplet x realization) ----

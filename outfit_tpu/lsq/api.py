@@ -144,11 +144,14 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem):
         except AttributeError:
             pass
     if cfg not in store:
-        store[cfg] = jax.jit(
-            lambda el, ep, obs: run_differential_correction(
-                el, ep, obs, cfg, ephem=ephem
-            )
-        )
+
+        def _run(el, ep, obs):
+            out = run_differential_correction(el, ep, obs, cfg, ephem=ephem)
+            # 1-sigma extraction inside the jit: an eager follow-up op costs
+            # a full tunnel round-trip (~25 ms) per call
+            return out, uncertainties_from_covariance(out.covariance)
+
+        store[cfg] = jax.jit(_run)
     return store[cfg]
 
 
@@ -162,6 +165,7 @@ def fit_lsq(
     error_model: Optional[ErrorModel] = None,
     initial_orbits: Optional[Dict[str, FitResult]] = None,
     mesh="auto",
+    cache: Optional[ObserverCache] = None,
 ) -> Dict[str, LsqResult]:
     """IOD + differential correction for every trajectory of the dataset.
 
@@ -178,7 +182,8 @@ def fit_lsq(
     if np.isnan(dataset.ra_error).any():
         dataset.apply_error_model(ErrorModel.fcct14())
         dataset.apply_batch_rms_correction(iod_params.gap_max)
-    cache = ObserverCache.build(dataset, ephem, ut1)
+    if cache is None:
+        cache = ObserverCache.build(dataset, ephem, ut1)
 
     if initial_orbits is None:
         initial_orbits = fit_full_iod(
@@ -223,27 +228,38 @@ def fit_lsq(
         "sra": lay.sra[rsel],
         "sdec": lay.sdec[rsel],
     }
+    if lay.bias_ra is not None:
+        arr["bra"] = lay.bias_ra[rsel]
+        arr["bdec"] = lay.bias_dec[rsel]
     hp = lay.helio[rsel]
     valid = lay.valid[rsel]
     el0 = np.stack([iod.equinoctial for _, iod in rows])
     ep0 = np.fromiter((iod.epoch for _, iod in rows), np.float64, count=T)
 
-    if mesh is not None:
-        # pad the trajectory axis to a mesh multiple with inert rows (no
-        # valid observations, benign seed elements) so the batch shards
-        # evenly; padded rows are dropped on unpack
-        from outfit_tpu.parallel import pad_to_multiple, shard_batch
+    # ALWAYS pad the trajectory axis to a power-of-two bucket with inert
+    # rows (no valid observations, benign seed elements): T is the number
+    # of IOD-converged trajectories, which varies per dataset — unbucketed
+    # it recompiles the correction kernel for every dataset (~50 s through
+    # the axon tunnel; measured as the entire e2e cost).  With a mesh, the
+    # bucket is additionally a mesh multiple so the batch shards evenly.
+    # Padded rows are dropped on unpack.
+    from outfit_tpu.iod.api import _bucket
+    from outfit_tpu.parallel import pad_to_multiple, shard_batch
 
-        pad = pad_to_multiple(T, mesh.devices.size) - T
-        if pad:
-            for k in ("mjd", "ra", "dec"):
+    Tb = _bucket(T)
+    if mesh is not None:
+        Tb = pad_to_multiple(Tb, mesh.devices.size)
+    pad = Tb - T
+    if pad:
+        for k in ("mjd", "ra", "dec", "bra", "bdec"):
+            if k in arr:
                 arr[k] = np.concatenate([arr[k], np.zeros((pad, n_max))])
-            for k in ("sra", "sdec"):
-                arr[k] = np.concatenate([arr[k], np.ones((pad, n_max))])
-            hp = np.concatenate([hp, np.zeros((pad, n_max, 3))])
-            valid = np.concatenate([valid, np.zeros((pad, n_max), bool)])
-            el0 = np.concatenate([el0, np.tile([2.0, 0, 0, 0, 0, 0.0], (pad, 1))])
-            ep0 = np.concatenate([ep0, np.full(pad, 57000.0)])
+        for k in ("sra", "sdec"):
+            arr[k] = np.concatenate([arr[k], np.ones((pad, n_max))])
+        hp = np.concatenate([hp, np.zeros((pad, n_max, 3))])
+        valid = np.concatenate([valid, np.zeros((pad, n_max), bool)])
+        el0 = np.concatenate([el0, np.tile([2.0, 0, 0, 0, 0, 0.0], (pad, 1))])
+        ep0 = np.concatenate([ep0, np.full(pad, 57000.0)])
 
     obs = ObsArrays(
         jnp.asarray(arr["mjd"]),
@@ -253,6 +269,8 @@ def fit_lsq(
         jnp.asarray(arr["sdec"]),
         jnp.asarray(hp),
         jnp.asarray(valid),
+        bias_ra=jnp.asarray(arr["bra"]) if "bra" in arr else None,
+        bias_dec=jnp.asarray(arr["bdec"]) if "bdec" in arr else None,
     )
     el = jnp.asarray(el0)
     ep = jnp.asarray(ep0)
@@ -261,7 +279,7 @@ def fit_lsq(
         el = shard_batch(mesh, el)
         ep = shard_batch(mesh, ep)
 
-    out = _get_runner(config, ephem)(el, ep, obs)
+    out, sig_dev = _get_runner(config, ephem)(el, ep, obs)
 
     status = np.asarray(out.status)
     elements = np.asarray(out.elements)
@@ -270,7 +288,7 @@ def fit_lsq(
     sel = np.asarray(out.selection)
     m = np.asarray(out.num_measurements)
     its = np.asarray(out.total_newton_iterations)
-    sigmas = np.asarray(uncertainties_from_covariance(out.covariance))
+    sigmas = np.asarray(sig_dev)
 
     for t, (tid, iod) in enumerate(rows):
         if status[t] == STATUS_OK and np.isfinite(elements[t]).all():

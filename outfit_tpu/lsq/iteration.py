@@ -43,6 +43,12 @@ class ObsArrays(NamedTuple):
     sigma_dec: jnp.ndarray
     helio_pos: jnp.ndarray  # (T, N, 3) observer heliocentric, equatorial J2000
     valid: jnp.ndarray  # (T, N) bool: real observation (not padding)
+    #: per-observation astrometric bias (radians; e.g. star-catalog
+    #: debiasing), subtracted from the residuals — parity with ObsFitData's
+    #: bias field (obs_fit_data.rs:29-116, single_iteration.rs:196-207).
+    #: None = unbiased (the common case; keeps older callers working).
+    bias_ra: jnp.ndarray = None
+    bias_dec: jnp.ndarray = None
 
 
 class IterationResult(NamedTuple):
@@ -202,8 +208,12 @@ def single_iteration(
     # rejected points, single_iteration.rs:73-85 — current-orbit residuals
     # make recovery behave as intended and are strictly more accurate)
 
-    res_ra = jnp.where(usable, _angular_diff(obs.ra, ra_c), 0.0)
-    res_dec = jnp.where(usable, obs.dec - dec_c, 0.0)
+    # debiased residuals (single_iteration.rs:196-207): the catalog bias is
+    # subtracted from the observed angles before differencing
+    obs_ra = obs.ra if obs.bias_ra is None else obs.ra - obs.bias_ra
+    obs_dec = obs.dec if obs.bias_dec is None else obs.dec - obs.bias_dec
+    res_ra = jnp.where(usable, _angular_diff(obs_ra, ra_c), 0.0)
+    res_dec = jnp.where(usable, obs_dec - dec_c, 0.0)
     g_ra = jnp.where(usable[..., None], d_ra, 0.0)
     g_dec = jnp.where(usable[..., None], d_dec, 0.0)
 

@@ -52,6 +52,7 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p,
             ctypes.c_char_p,
             ctypes.c_char_p,
+            ctypes.c_char_p,
         ]
         _lib = lib
     except (subprocess.CalledProcessError, OSError):
@@ -66,9 +67,9 @@ def native_available() -> bool:
 def parse_file_native(path: str):
     """Parse an MPC 80-col file with the native parser.
 
-    Returns ``(mjd_tt, ra, dec, mag, ids, obscodes, discovery)`` as numpy
-    arrays (ids 'U12'-style stripped strings), or None if the native library
-    is unavailable.
+    Returns ``(mjd_tt, ra, dec, mag, ids, obscodes, discovery, catalogs)``
+    as numpy arrays (ids 'U12'-style stripped strings), or None if the
+    native library is unavailable.
     """
     lib = _build()
     if lib is None:
@@ -83,6 +84,7 @@ def parse_file_native(path: str):
     ids = np.zeros(n_lines, dtype="S12")
     obscodes = np.zeros(n_lines, dtype="S3")
     disc = np.zeros(n_lines, dtype=np.int8)
+    cats = np.zeros(n_lines, dtype="S1")
     n = lib.parse_mpc80(
         buf,
         len(buf),
@@ -93,6 +95,7 @@ def parse_file_native(path: str):
         ids.ctypes.data_as(ctypes.c_char_p),
         obscodes.ctypes.data_as(ctypes.c_char_p),
         disc.ctypes.data_as(ctypes.c_char_p),
+        cats.ctypes.data_as(ctypes.c_char_p),
     )
     ids_str = np.char.strip(ids[:n].astype("U12"))
     codes = np.char.strip(obscodes[:n].astype("U3"))
@@ -104,4 +107,5 @@ def parse_file_native(path: str):
         ids_str,
         codes,
         disc[:n].astype(bool),
+        cats[:n].astype("U1"),
     )

@@ -86,7 +86,7 @@ static int parse_float(const char *s, int len, double *out) {
  * Returns the number of records parsed. */
 long parse_mpc80(const char *buf, long buf_len, double *mjd_tt, double *ra,
                  double *dec, double *mag, char *ids, char *obscodes,
-                 char *discovery) {
+                 char *discovery, char *catalogs) {
   long n = 0;
   long pos = 0;
   const double DEG = 3.14159265358979323846 / 180.0;
@@ -157,6 +157,8 @@ long parse_mpc80(const char *buf, long buf_len, double *mjd_tt, double *ra,
       if (len >= 80) memcpy(obscodes + n * 3, line + 77, 3);
       else memcpy(obscodes + n * 3, "500", 3);
       discovery[n] = (len > 12 && line[12] == '*') ? 1 : 0;
+      /* col 72 (0-based 71): astrometric reference catalog code */
+      catalogs[n] = (len > 71) ? line[71] : ' ';
       n++;
     }
   }

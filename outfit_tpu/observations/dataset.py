@@ -49,6 +49,23 @@ class ObsDataset:
     traj_ids: List[str] = field(default_factory=list)
     observers: List[Observer] = field(default_factory=list)
     mag: np.ndarray = field(default_factory=lambda: np.empty(0))
+    #: per-observation astrometric reference catalog code (MPC col 72)
+    catalog: np.ndarray = field(default_factory=lambda: np.empty(0, dtype="U1"))
+    #: optional per-observation astrometric bias (radians), e.g. star-catalog
+    #: debiasing — subtracted from the residuals by the LSQ pipeline
+    #: (parity: ObsFitData.bias, obs_fit_data.rs:29-116)
+    bias_ra: Optional[np.ndarray] = None
+    bias_dec: Optional[np.ndarray] = None
+
+    def set_bias(self, bias_ra, bias_dec) -> "ObsDataset":
+        """Attach per-observation astrometric biases (radians)."""
+        bias_ra = np.asarray(bias_ra, np.float64)
+        bias_dec = np.asarray(bias_dec, np.float64)
+        if bias_ra.shape != self.mjd_tt.shape or bias_dec.shape != self.mjd_tt.shape:
+            raise ValueError("bias arrays must match the observation count")
+        self.bias_ra = bias_ra
+        self.bias_dec = bias_dec
+        return self
 
     # -- construction ---------------------------------------------------------
 
@@ -108,14 +125,15 @@ class ObsDataset:
         ds = cls()
         traj_map: Dict[str, int] = {}
         obs_map: Dict[str, int] = {}
-        chunks = {k: [] for k in ("mjd", "ra", "dec", "mag", "ti", "oi")}
-        for mjd, ra, dec, mag, ids, codes, _disc in parsed_files:
+        chunks = {k: [] for k in ("mjd", "ra", "dec", "mag", "ti", "oi", "cat")}
+        for mjd, ra, dec, mag, ids, codes, _disc, cats in parsed_files:
             if trajectory_per_file and len(ids):
                 ids = [cls._canonical_file_tid(ids[0])] * len(ids)
             chunks["mjd"].append(mjd)
             chunks["ra"].append(ra)
             chunks["dec"].append(dec)
             chunks["mag"].append(mag)
+            chunks["cat"].append(cats)
             ti = np.empty(len(ids), dtype=np.int64)
             oi = np.empty(len(ids), dtype=np.int64)
             for i, (tid, code) in enumerate(zip(ids, codes)):
@@ -133,6 +151,11 @@ class ObsDataset:
         ds.ra = np.concatenate(chunks["ra"]) if chunks["ra"] else np.empty(0)
         ds.dec = np.concatenate(chunks["dec"]) if chunks["dec"] else np.empty(0)
         ds.mag = np.concatenate(chunks["mag"]) if chunks["mag"] else np.empty(0)
+        ds.catalog = (
+            np.concatenate(chunks["cat"])
+            if chunks["cat"]
+            else np.empty(0, dtype="U1")
+        )
         ds.traj_index = (
             np.concatenate(chunks["ti"]) if chunks["ti"] else np.empty(0, np.int64)
         )
@@ -177,7 +200,7 @@ class ObsDataset:
     @classmethod
     def from_dataframe(cls, df, *, traj_col="trajectory_id", mjd_col="mjd_tt",
                        ra_col="ra", dec_col="dec", obs_col="observatory",
-                       angles_in_degrees=True) -> "ObsDataset":
+                       catalog_col="catalog", angles_in_degrees=True) -> "ObsDataset":
         """Columnar ingestion (pandas / pyarrow-backed parquet).
 
         Parity: photom's ``from_lazy`` polars path (SURVEY 2.12) —
@@ -198,6 +221,11 @@ class ObsDataset:
         ds.ra_error = np.full(n, np.nan)
         ds.dec_error = np.full(n, np.nan)
         ds.mag = np.full(n, np.nan)
+        if catalog_col in df:
+            ds.catalog = np.asarray(df[catalog_col]).astype("U1")
+            ds.catalog[ds.catalog == ""] = " "
+        else:
+            ds.catalog = np.full(n, " ", dtype="U1")
 
         tids = np.asarray(df[traj_col]).astype(str)
         uniq_t, inv_t = np.unique(tids, return_inverse=True)
@@ -238,6 +266,7 @@ class ObsDataset:
         ds.traj_index = np.empty(n, dtype=np.int64)
         ds.observer_index = np.empty(n, dtype=np.int64)
         ds.mag = np.full(n, np.nan)
+        ds.catalog = np.full(n, " ", dtype="U1")
         for i, r in enumerate(records):
             ti = traj_map.setdefault(r.traj_id, len(traj_map))
             if ti == len(ds.traj_ids):
@@ -252,11 +281,13 @@ class ObsDataset:
             ds.observer_index[i] = oi
             if r.mag is not None:
                 ds.mag[i] = r.mag
+            ds.catalog[i] = getattr(r, "catalog", " ") or " "
         return ds
 
     def push_observation(
         self, traj_id: str, mjd_tt: float, ra: float, dec: float,
         ra_error: float, dec_error: float, observer: Observer,
+        catalog: str = " ",
     ) -> None:
         """Append one observation (angles/sigmas in radians)."""
         if traj_id in self.traj_ids:
@@ -281,6 +312,10 @@ class ObsDataset:
         self.traj_index = np.append(self.traj_index, ti)
         self.observer_index = np.append(self.observer_index, oi)
         self.mag = np.append(self.mag, np.nan)
+        self.catalog = np.append(self.catalog, catalog or " ")
+        if self.bias_ra is not None:
+            self.bias_ra = np.append(self.bias_ra, 0.0)
+            self.bias_dec = np.append(self.bias_dec, 0.0)
 
     # -- error models ---------------------------------------------------------
 
@@ -288,7 +323,8 @@ class ObsDataset:
         """Assign per-observation sigmas (parity: with_error_model +
         apply_model_errors).  Mutates and returns self."""
         codes = [self.observers[i].code or "?" for i in self.observer_index]
-        sig = model.sigma_rad(codes)
+        cats = self.catalog if len(self.catalog) == len(self) else None
+        sig = model.sigma_rad(codes, cats)
         self.ra_error = sig.copy()
         self.dec_error = sig.copy()
         return self

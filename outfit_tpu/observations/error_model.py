@@ -47,16 +47,65 @@ _FCCT14_STATION = {
 }
 
 
+#: FCCT14 per-(station, catalog-flag) overrides (arcsec).  The paper's full
+#: table keys on the MPC column-72 catalog code; entries here are the
+#: published survey/catalog pairs, extendable from a data file (see
+#: :meth:`ErrorModel.load_table`).
+_FCCT14_STATION_CATALOG: Dict[tuple, float] = {
+    # Pan-STARRS reductions against their internal reference catalog
+    ("F51", "t"): 0.15,
+    ("F52", "t"): 0.15,
+    # Mt. Lemmon / Catalina with Gaia-era catalogs
+    ("G96", "U"): 0.3,
+    ("G96", "V"): 0.3,
+    ("703", "U"): 0.8,
+    ("703", "V"): 0.8,
+}
+
+
 @dataclass
 class ErrorModel:
-    """Per-station astrometric error model (sigmas in arcsec)."""
+    """Per-station astrometric error model (sigmas in arcsec).
+
+    Lookup hierarchy per observation (photom FCCT14 parity):
+    ``(station, catalog)`` -> ``station`` -> ``default_arcsec``.
+    """
 
     default_arcsec: float = 1.0
     station_arcsec: Dict[str, float] = field(default_factory=lambda: dict(_FCCT14_STATION))
+    station_catalog_arcsec: Dict[tuple, float] = field(
+        default_factory=lambda: dict(_FCCT14_STATION_CATALOG)
+    )
 
     @classmethod
     def fcct14(cls) -> "ErrorModel":
-        return cls()
+        import os
+
+        model = cls()
+        path = os.environ.get("OUTFIT_FCCT14")
+        if path and os.path.exists(path):
+            model.load_table(path)
+        return model
+
+    def load_table(self, path: str) -> "ErrorModel":
+        """Merge a full FCCT14 table from a CSV file with lines
+        ``station,catalog,arcsec`` (catalog ``*`` = station-level).
+        Zero-egress builds can't download the published table; this is the
+        hook for supplying it."""
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = [p.strip() for p in line.split(",")]
+                if len(parts) != 3:
+                    continue
+                station, cat, val = parts
+                if cat in ("*", ""):
+                    self.station_arcsec[station] = float(val)
+                else:
+                    self.station_catalog_arcsec[(station, cat)] = float(val)
+        return self
 
     @classmethod
     def constant(cls, arcsec: float) -> "ErrorModel":
@@ -78,10 +127,23 @@ class ErrorModel:
                 raise InvalidErrorModel(f"bad constant error model {name!r}") from e
         raise InvalidErrorModel(f"unknown error model {name!r}")
 
-    def sigma_rad(self, station_codes) -> np.ndarray:
-        """Per-observation sigma (radians) for RA*cos(dec) and Dec alike."""
+    def sigma_rad(self, station_codes, catalogs=None) -> np.ndarray:
+        """Per-observation sigma (radians) for RA*cos(dec) and Dec alike.
+
+        ``catalogs``: optional per-observation MPC catalog codes (col 72)
+        enabling the per-(station, catalog) tier of the lookup."""
+        if catalogs is None:
+            out = np.array(
+                [self.station_arcsec.get(c, self.default_arcsec) for c in station_codes]
+            )
+            return out * RADSEC
         out = np.array(
-            [self.station_arcsec.get(c, self.default_arcsec) for c in station_codes]
+            [
+                self.station_catalog_arcsec.get(
+                    (c, k), self.station_arcsec.get(c, self.default_arcsec)
+                )
+                for c, k in zip(station_codes, catalogs)
+            ]
         )
         return out * RADSEC
 

@@ -30,6 +30,7 @@ class MpcRecord:
     band: str
     observatory: str
     discovery: bool
+    catalog: str = " "
 
     def _replace_traj(self, tid: str) -> "MpcRecord":
         import dataclasses
@@ -92,6 +93,7 @@ def parse_line(line: str) -> Optional[MpcRecord]:
         band=band,
         observatory=obs_code or "500",
         discovery=line[12] == "*",
+        catalog=line[71] if len(line) > 71 else " ",
     )
 
 

@@ -67,6 +67,40 @@ _KEP_TRUE = (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3)
 _EPOCHS = 57000.0 + np.array([0.0, 1.0, 2.0, 5.0, 8.0, 12.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0])
 
 
+class TestDebiasing:
+    def test_bias_is_subtracted_from_residuals(self, eph):
+        """Parity with ObsFitData.bias (obs_fit_data.rs:29-116,
+        single_iteration.rs:196-207): fitting biased observations WITH the
+        matching bias vector must reproduce the unbiased fit."""
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds_clean = _synth_dataset(eph, kep_true, _EPOCHS)
+
+        bias = 2.0 * RADSEC  # 2 arcsec systematic catalog offset
+        ds_biased = _synth_dataset(eph, kep_true, _EPOCHS)
+        ds_biased.ra = ds_biased.ra + bias
+        ds_biased.dec = ds_biased.dec - bias
+        ds_biased.set_bias(
+            np.full(len(ds_biased), bias), np.full(len(ds_biased), -bias)
+        )
+
+        r_clean = fit_lsq(ds_clean, eph, _IOD, seed=42)["SYNTH"]
+        r_debiased = fit_lsq(ds_biased, eph, _IOD, seed=42)["SYNTH"]
+        assert r_clean.ok and r_debiased.ok
+        assert not r_debiased.fell_back_to_iod
+        # the LSQ fixed point is defined by the debiased residuals: same
+        # orbit to the Newton convergence tolerance (seeds differ slightly
+        # because the IOD stage sees the biased angles)
+        np.testing.assert_allclose(
+            r_debiased.equinoctial, r_clean.equinoctial, rtol=1e-7, atol=1e-9
+        )
+        # and ignoring the bias shifts the orbit measurably
+        ds_nobias = _synth_dataset(eph, kep_true, _EPOCHS)
+        ds_nobias.ra = ds_nobias.ra + bias
+        ds_nobias.dec = ds_nobias.dec - bias
+        r_raw = fit_lsq(ds_nobias, eph, _IOD, seed=42)["SYNTH"]
+        assert np.abs(r_raw.equinoctial - r_clean.equinoctial).max() > 1e-6
+
+
 class TestClosure:
     def test_exact_recovery(self, eph):
         kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))

@@ -262,7 +262,7 @@ class TestNativeParser:
         for name in ("2015AB", "8467", "33803", "K25D50B"):
             path = f"{DATA}/{name}.obs"
             py = parse_file(path)
-            mjd, ra, dec, mag, ids, codes, disc = parse_file_native(path)
+            mjd, ra, dec, mag, ids, codes, disc, cats = parse_file_native(path)
             assert len(py) == len(mjd)
             for i, r in enumerate(py):
                 assert abs(r.mjd_tt - mjd[i]) < 1e-9
@@ -270,6 +270,7 @@ class TestNativeParser:
                 assert abs(r.dec - dec[i]) < 1e-12
                 assert r.traj_id == ids[i]
                 assert r.observatory == codes[i]
+                assert r.catalog == (cats[i] or " ")
 
     def test_dataset_native_vs_python_identical(self):
         files = [f"{DATA}/{n}.obs" for n in ("2015AB", "8467")]
@@ -280,6 +281,23 @@ class TestNativeParser:
         np.testing.assert_array_equal(ds_n.traj_index, ds_p.traj_index)
         np.testing.assert_array_equal(ds_n.observer_index, ds_p.observer_index)
         np.testing.assert_allclose(ds_n.ra, ds_p.ra, atol=1e-13)
+        np.testing.assert_array_equal(ds_n.catalog, ds_p.catalog)
+
+    def test_catalog_column_parsed(self):
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        # 2015AB.obs carries catalog flags in col 72 (e.g. 'L' = 2MASS-era)
+        assert set(ds.catalog) - {" "}  # at least one real flag
+        assert len(ds.catalog) == len(ds)
+
+    def test_error_model_catalog_tier(self):
+        m = ErrorModel.fcct14()
+        m.station_catalog_arcsec[("G96", "V")] = 0.3
+        s = m.sigma_rad(["G96", "G96", "ZZZ"], ["V", " ", "V"])
+        from outfit_tpu.constants import RADSEC
+
+        assert s[0] == pytest.approx(0.3 * RADSEC)
+        assert s[1] == pytest.approx(m.station_arcsec["G96"] * RADSEC)
+        assert s[2] == pytest.approx(m.default_arcsec * RADSEC)
 
 
 class TestParserRobustness:
@@ -336,6 +354,7 @@ class TestParquetIngestion:
                 "ra_deg": np.degrees(mpc.ra),
                 "dec_deg": np.degrees(mpc.dec),
                 "site": [mpc.get_observation(i).observer.code for i in range(len(mpc))],
+                "catalog": mpc.catalog,
             }
         )
         path = str(tmp_path / "traj.parquet")
@@ -345,6 +364,7 @@ class TestParquetIngestion:
             path, traj_col="traj_id", mjd_col="mjd", ra_col="ra_deg",
             dec_col="dec_deg", obs_col="site",
         )
+        np.testing.assert_array_equal(pq.catalog, mpc.catalog)
         assert len(pq) == len(mpc)
         np.testing.assert_allclose(pq.mjd_tt, mpc.mjd_tt, atol=0)
         np.testing.assert_allclose(pq.ra, mpc.ra, atol=1e-14)
