@@ -303,6 +303,15 @@ def main():
         # 41.8 ms @ 8192), so production batches this large are the
         # steady-state operating point (fink-fat-scale datasets are 1e5+)
         value = bench_iod_lsq(n_traj=8192)
+        try:
+            e2e = bench_e2e(n_traj=8192)
+            log(
+                f"END-TO-END (dataset->results incl. ALL host prep): "
+                f"{e2e:.0f} fits/sec/chip = {e2e / target_per_chip:.2f}x the "
+                f"12.5k/chip target"
+            )
+        except Exception as e:
+            log(f"e2e bench failed ({type(e).__name__}: {e})")
         result = {
             "metric": "full IOD+LSQ trajectory fits/sec/chip",
             "value": round(value, 2),

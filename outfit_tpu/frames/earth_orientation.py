@@ -176,8 +176,10 @@ def nutn80(tjm):
     tp = jnp.stack(
         [jnp.ones_like(t), t, t * t, t * t * t], axis=-1
     )  # (..., 4)
-    fund = tp @ _FUND_POLY.T * RADSEC  # (..., 5) radians
-    arg = fund @ _NUT_MULT.T  # (..., 106)
+    # broadcast-multiply + reduce: `@` with contraction dims 4/5 lowers to
+    # padded MXU dot_generals (~100x the VPU cost under f64 emulation)
+    fund = jnp.sum(tp[..., None, :] * _FUND_POLY, -1) * RADSEC  # (..., 5)
+    arg = jnp.sum(fund[..., None, :] * _NUT_MULT, -1)  # (..., 106)
     t_ = t[..., None]
     dpsi = jnp.sum((_NUT_A + _NUT_AT * t_) * jnp.sin(arg), axis=-1)
     deps = jnp.sum((_NUT_B + _NUT_BT * t_) * jnp.cos(arg), axis=-1)
@@ -203,7 +205,11 @@ def rnut80(tjm):
     dpsi, deps = nutn80(tjm)
     dpsi = dpsi * RADSEC
     epst = epsm + deps * RADSEC
-    return rotmt(-epst, 0) @ rotmt(-dpsi, 2) @ rotmt(epsm, 0)
+    from outfit_tpu.utils.linalg import matmul_small
+
+    return matmul_small(
+        matmul_small(rotmt(-epst, 0), rotmt(-dpsi, 2)), rotmt(epsm, 0)
+    )
 
 
 def equequ(tjm):
@@ -226,4 +232,8 @@ def prec(tjm):
     zeta = ((0.0000050 * t + 0.0000839) * t + 0.6406161) * t * RADEG
     z = ((0.0000051 * t + 0.0003041) * t + 0.6406161) * t * RADEG
     theta = ((-0.0000116 * t - 0.0001185) * t + 0.5567530) * t * RADEG
-    return rotmt(-z, 2) @ rotmt(theta, 1) @ rotmt(-zeta, 2)
+    from outfit_tpu.utils.linalg import matmul_small
+
+    return matmul_small(
+        matmul_small(rotmt(-z, 2), rotmt(theta, 1)), rotmt(-zeta, 2)
+    )

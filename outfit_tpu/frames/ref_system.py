@@ -126,8 +126,10 @@ def rotpn(src: RefSystem, dst: RefSystem):
     current = src
     rotation = None  # lazily-broadcast identity
 
+    from outfit_tpu.utils.linalg import matmul_small
+
     def _mul(acc, step):
-        return step if acc is None else step @ acc
+        return step if acc is None else matmul_small(step, acc)
 
     for _ in range(20):
         if not _epochs_statically_equal(current.epoch, dst.epoch):

@@ -130,10 +130,16 @@ class PaddedDatasetArrays:
     bias_dec: Optional[np.ndarray] = None
 
 
-def padded_dataset_arrays(dataset, helio: np.ndarray) -> PaddedDatasetArrays:
+def padded_dataset_arrays(
+    dataset, helio: Optional[np.ndarray] = None, with_values: bool = True
+) -> PaddedDatasetArrays:
     """Build the padded per-trajectory layout for every trajectory, in
     ``traj_ids`` order.  ``helio`` is the observer-cache heliocentric
-    position table aligned with dataset storage order."""
+    position table aligned with dataset storage order.
+
+    ``with_values=False`` returns only the LAYOUT (counts, epochs, valid,
+    glob_idx) — callers that gather observation values on device (the IOD
+    path) skip the value scatters and the helio device->host download."""
     n = len(dataset.mjd_tt)
     Tall = dataset.n_trajectories
     order = np.lexsort((dataset.mjd_tt, dataset.traj_index))
@@ -148,12 +154,27 @@ def padded_dataset_arrays(dataset, helio: np.ndarray) -> PaddedDatasetArrays:
         out[ti_sorted, pos] = src[order]
         return out
 
-    helio_pad = np.zeros((Tall, n_max, 3))
-    helio_pad[ti_sorted, pos] = helio[order]
+    helio_pad = None
+    if with_values:
+        helio_pad = np.zeros((Tall, n_max, 3))
+        helio_pad[ti_sorted, pos] = helio[order]
     valid = np.zeros((Tall, n_max), dtype=bool)
     valid[ti_sorted, pos] = True
     glob_idx = np.zeros((Tall, n_max), np.int64)
     glob_idx[ti_sorted, pos] = order
+    if not with_values:
+        return PaddedDatasetArrays(
+            counts=counts,
+            n_max=n_max,
+            mjd=_scatter(dataset.mjd_tt),
+            ra=None,
+            dec=None,
+            sra=None,
+            sdec=None,
+            helio=None,
+            valid=valid,
+            glob_idx=glob_idx,
+        )
     return PaddedDatasetArrays(
         counts=counts,
         n_max=n_max,
@@ -171,14 +192,84 @@ def padded_dataset_arrays(dataset, helio: np.ndarray) -> PaddedDatasetArrays:
 
 
 def _draw_noise(base_key, hashes, max_triplets, n_real):
-    return jax.vmap(
+    z = jax.vmap(
         lambda h: jax.random.normal(
             jax.random.fold_in(base_key, h), (max_triplets, n_real, 3, 2)
         )
     )(hashes)
+    return z.at[:, :, 0].set(0.0)  # realization 0 = exact triplet
 
 
 _draw_noise_jit = jax.jit(_draw_noise, static_argnames=("max_triplets", "n_real"))
+
+
+def _iod_kernel_gather(
+    base,  # (mjd, ra, dec, sra, sdec, helio) dataset-order device arrays
+    glob_idx_g,  # (Tb, n_max) int32 observation slot -> dataset index
+    valid_g,  # (Tb, n_max) bool
+    tr_g,  # (Sb, 3) int32 triplet global observation indices
+    tk_t_g,  # (Sb,) int32 trajectory row within the group
+    tk_glob_g,  # (Sb,) int32 kept-trajectory row into z_all
+    tk_k_g,  # (Sb,) int32 triplet rank within its trajectory
+    wlo_g,  # (Sb,) RMS-window epoch bounds (inf/-inf on padded rows)
+    whi_g,
+    z_all,  # (hb, max_triplets, n_real, 3, 2) Monte-Carlo draws
+    params: IODParams,
+):
+    """Device-side lane assembly + IOD kernel.
+
+    The host uploads INDICES (int32) and the dataset-order base arrays
+    once; triplet lanes, Monte-Carlo noise application, padded observation
+    tables, and RMS-window masks are all gathered/computed on device.  The
+    materialized-lane path uploaded ~20 MB per 8k-trajectory batch at
+    ~65 MB/s through the axon tunnel — the dominant end-to-end cost.
+    """
+    mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b = base
+    n_real = params.n_noise_realizations + 1
+
+    # padded per-trajectory observation tables (pad slots: 0 / sigma 1)
+    obs_mjd = jnp.where(valid_g, mjd_b[glob_idx_g], 0.0)
+    obs_ra = jnp.where(valid_g, ra_b[glob_idx_g], 0.0)
+    obs_dec = jnp.where(valid_g, dec_b[glob_idx_g], 0.0)
+    obs_sra = jnp.where(valid_g, sra_b[glob_idx_g], 1.0)
+    obs_sdec = jnp.where(valid_g, sdec_b[glob_idx_g], 1.0)
+    obs_helio = jnp.where(valid_g[..., None], helio_b[glob_idx_g], 0.0)
+
+    # (triplet x realization) lanes
+    S = tr_g.shape[0]
+    L = S * n_real
+    z = z_all[tk_glob_g, tk_k_g]  # (Sb, n_real, 3, 2)
+    ns = params.noise_scale
+    ra_tri = ra_b[tr_g]
+    dec_tri = dec_b[tr_g]
+    lane_ra = (
+        ra_tri[:, None, :] + z[..., 0] * sra_b[tr_g][:, None, :] * ns
+    ).reshape(L, 3)
+    lane_dec = (
+        dec_tri[:, None, :] + z[..., 1] * sdec_b[tr_g][:, None, :] * ns
+    ).reshape(L, 3)
+    lane_t = jnp.broadcast_to(
+        mjd_b[tr_g][:, None, :], (S, n_real, 3)
+    ).reshape(L, 3)
+    lane_pos = jnp.broadcast_to(
+        helio_b[tr_g][:, None, :, :], (S, n_real, 3, 3)
+    ).reshape(L, 3, 3)
+    lane_traj = jnp.repeat(tk_t_g, n_real, total_repeat_length=L)
+
+    # RMS-window mask: epoch-interval form of select_rms_interval
+    wmask_tri = (
+        (obs_mjd[tk_t_g] >= wlo_g[:, None])
+        & (obs_mjd[tk_t_g] <= whi_g[:, None])
+        & valid_g[tk_t_g]
+    )
+    window_mask = jnp.repeat(wmask_tri, n_real, axis=0, total_repeat_length=L)
+
+    tri = GaussTriplets(lane_ra, lane_dec, lane_t, lane_pos)
+    obs_arrays = (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
+    return _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
+
+
+_iod_kernel_gather_jit = jax.jit(_iod_kernel_gather, static_argnames=("params",))
 
 
 def _lane_select(rms, valid, corrected):
@@ -360,8 +451,6 @@ def fit_full_iod(
     if cache is None:
         cache = ObserverCache.build(dataset, ephem, ut1)
 
-    helio = np.asarray(cache.helio_pos_equ)
-
     results: Dict[str, FitResult] = {}
     n_real = params.n_noise_realizations + 1
     base_key = jax.random.PRNGKey(seed)
@@ -381,15 +470,12 @@ def fit_full_iod(
                 ),
             )
         return results
-    lay = padded_dataset_arrays(dataset, helio)
+    # layout only: observation VALUES are gathered on device from the
+    # dataset-order base arrays (no helio download, no value scatters)
+    lay = padded_dataset_arrays(dataset, with_values=False)
     counts_all = lay.counts
     n_max = lay.n_max
     epochs_pad = lay.mjd
-    obs_ra_all = lay.ra
-    obs_dec_all = lay.dec
-    obs_sra_all = lay.sra
-    obs_sdec_all = lay.sdec
-    obs_helio_all = lay.helio
     obs_valid_all = lay.valid
     glob_idx = lay.glob_idx
 
@@ -465,12 +551,12 @@ def fit_full_iod(
     )
     hb = _bucket(len(hashes_np))
     hashes = jnp.asarray(np.pad(hashes_np, (0, hb - len(hashes_np))))
-    z_all = np.asarray(
-        _draw_noise_jit(base_key, hashes, params.max_triplets, n_real)
-    )[: len(kept_tids)].copy()
-    z_all[:, :, 0, :, :] = 0.0  # realization 0 = exact triplet
+    # stays device-resident; lanes gather it inside _iod_kernel_gather
+    _z_dev = _draw_noise_jit(base_key, hashes, params.max_triplets, n_real)
 
-    # --- vectorized lane assembly: (trajectory x triplet x realization) ----
+    # --- lane INDEX assembly: (trajectory x triplet x realization) ---------
+    # only int32 indices + window bounds are computed host-side; the lane
+    # arrays themselves are gathered on device (_iod_kernel_gather)
     Tk = kept_rows.size
     K_t = ktrips_all[kept_rows]  # (Tk,) realized triplet counts
     S = int(K_t.sum())
@@ -480,22 +566,6 @@ def fit_full_iod(
     rows_k = kept_rows[tk_t]  # (S,) dataset trajectory row
     tr_flat = trips_all[rows_k, tk_k]  # (S, 3) local observation indices
     g_flat = glob_idx[rows_k[:, None], tr_flat]  # (S, 3) global indices
-    z_flat = z_all[tk_t, tk_k]  # (S, n_real, 3, 2)
-    ns = params.noise_scale
-    # (S, n_real, 3) lanes, flattened row-major (triplet-major per
-    # trajectory) — the same lane order as the scalar loop produced
-    ra_l = dataset.ra[g_flat][:, None, :] + z_flat[..., 0] * dataset.ra_error[g_flat][:, None, :] * ns
-    dec_l = dataset.dec[g_flat][:, None, :] + z_flat[..., 1] * dataset.dec_error[g_flat][:, None, :] * ns
-    L = S * n_real
-    lane_ra = ra_l.reshape(L, 3)
-    lane_dec = dec_l.reshape(L, 3)
-    lane_t = np.broadcast_to(
-        dataset.mjd_tt[g_flat][:, None, :], (S, n_real, 3)
-    ).reshape(L, 3)
-    lane_pos = np.broadcast_to(
-        helio[g_flat][:, None, :, :], (S, n_real, 3, 3)
-    ).reshape(L, 3, 3)
-    lane_traj_np = np.repeat(tk_t, n_real)
 
     # RMS window (select_rms_interval, trajectory.rs:294-350) batched over
     # flat triplets: with sorted epochs and dt >= 0 the searchsorted index
@@ -508,22 +578,39 @@ def fit_full_iod(
         dt = 10.0 * arc[rows_k]
     if params.dtmax >= 0.0:
         dt = np.maximum(dt, params.dtmax)
-    ep_k = epochs_pad[rows_k]  # (S, n_max)
-    wmask_tr = (
-        (ep_k >= (te1 - dt)[:, None])
-        & (ep_k <= (te3 + dt)[:, None])
-        & obs_valid_all[rows_k]
-    )
-    window_mask = np.repeat(wmask_tr, n_real, axis=0)  # (L, n_max)
+    wlo = te1 - dt
+    whi = te3 + dt
     T = Tk
 
+    # dataset-order base arrays, padded to a power-of-two length so dataset
+    # size never recompiles the gather kernel; helio is already device-
+    # resident (observer cache output)
+    n_obs_total = len(dataset.mjd_tt)
+    nb = _bucket(n_obs_total)
+    pad_n = nb - n_obs_total
+
+    def _base_pad(x, fill=0.0):
+        return jnp.asarray(np.concatenate([x, np.full(pad_n, fill)]))
+
+    base_dev = (
+        _base_pad(dataset.mjd_tt),
+        _base_pad(dataset.ra),
+        _base_pad(dataset.dec),
+        _base_pad(dataset.ra_error, 1.0),
+        _base_pad(dataset.dec_error, 1.0),
+        jnp.concatenate(
+            [cache.helio_pos_equ, jnp.zeros((pad_n, 3))], axis=0
+        ),
+    )
+    z_dev = _z_dev  # device-resident draws from above
+
     # --- trajectory-aligned device batches (IODParams.batch_size, mod.rs:
-    # 169-171) + shape bucketing: lanes and trajectories are padded to
+    # 169-171) + shape bucketing: triplets and trajectories are padded to
     # powers of two so different datasets (and different chunks) reuse the
-    # same compiled kernel.  Lanes are contiguous per trajectory and
+    # same compiled kernel.  Triplets are contiguous per trajectory and
     # trajectory-major, so every chunk is a SLICE (no isin scans).
-    lane_counts = (K_t * n_real).astype(np.int64)
-    lane_off = np.concatenate([[0], np.cumsum(lane_counts)])  # (Tk+1,)
+    lane_off = np.concatenate([[0], np.cumsum(K_t * n_real)])  # (Tk+1,)
+    tri_off = np.concatenate([[0], np.cumsum(K_t)])
     if params.batch_size > 0:
         bounds = [0]
         while bounds[-1] < Tk:
@@ -551,67 +638,57 @@ def fit_full_iod(
     pending = []  # dispatch everything first: chunk N+1's host prep and
     # transfers overlap chunk N's device execution (async dispatch)
     for t0g, t1g in spans:
-        sl = slice(int(lane_off[t0g]), int(lane_off[t1g]))
-        g_traj = lane_traj_np[sl] - t0g
+        sl = slice(int(tri_off[t0g]), int(tri_off[t1g]))
         Tg = t1g - t0g
+        Sg = sl.stop - sl.start
 
-        # pad lanes to a bucket with inert rows (window all-False -> inf
+        # pad triplets to a bucket with inert rows (window all-False -> inf
         # score -> excluded from the segment argmin); padded trajectory
-        # rows have no valid observations
-        Lg = sl.stop - sl.start
-        Lb = _bucket(Lg)
-        if mesh is not None and Lb % mesh.devices.size:
+        # rows have no valid observations.  Bucketing at triplet
+        # granularity keeps the lane axis (Sb * n_real) compile-stable and
+        # mesh-divisible for any n_real.
+        Sb = _bucket(Sg)
+        if mesh is not None and Sb % mesh.devices.size:
             from outfit_tpu.parallel import pad_to_multiple
 
-            Lb = pad_to_multiple(Lb, mesh.devices.size)
-        Tb = _bucket(Tg + (1 if Lb > Lg else 0))
+            Sb = pad_to_multiple(Sb, mesh.devices.size)
+        Tb = _bucket(Tg + (1 if Sb > Sg else 0))
+        pad_s = Sb - Sg
 
-        def lane_pad(x):
-            return np.concatenate(
-                [x[sl], np.repeat(x[sl][:1], Lb - Lg, axis=0)]
-            )
+        def tri_pad(x, fill):
+            return np.concatenate([x[sl], np.full((pad_s,) + x.shape[1:], fill, x.dtype)])
 
-        g_window = np.concatenate(
-            [window_mask[sl], np.zeros((Lb - Lg, n_max), bool)]
-        )
-        g_lane_traj = np.concatenate([g_traj, np.full(Lb - Lg, Tg, np.int64)])
+        g_tr = tri_pad(g_flat, 0).astype(np.int32)
+        g_tk_t = tri_pad(tk_t - t0g, Tg).astype(np.int32)
+        g_tk_glob = tri_pad(tk_t, 0).astype(np.int32)
+        g_tk_k = tri_pad(tk_k, 0).astype(np.int32)
+        g_wlo = tri_pad(wlo, np.inf)
+        g_whi = tri_pad(whi, -np.inf)
 
         g_rows = kept_rows[t0g:t1g]
-
-        def traj_pad(x):
-            shape = (Tb - Tg,) + x.shape[1:]
-            return np.concatenate([x[g_rows], np.zeros(shape, x.dtype)])
-
-        tri = GaussTriplets(
-            jnp.asarray(lane_pad(lane_ra)),
-            jnp.asarray(lane_pad(lane_dec)),
-            jnp.asarray(lane_pad(lane_t)),
-            jnp.asarray(lane_pad(lane_pos)),
+        pad_t = Tb - Tg
+        g_glob_idx = np.concatenate(
+            [glob_idx[g_rows], np.zeros((pad_t, n_max), np.int64)]
+        ).astype(np.int32)
+        g_valid = np.concatenate(
+            [obs_valid_all[g_rows], np.zeros((pad_t, n_max), bool)]
         )
-        g_obs = tuple(
-            jnp.asarray(traj_pad(x))
-            for x in (
-                epochs_pad,
-                obs_ra_all,
-                obs_dec_all,
-                obs_sra_all,
-                obs_sdec_all,
-                obs_helio_all,
-            )
-        )
-        g_lane_traj = jnp.asarray(g_lane_traj)
-        g_window = jnp.asarray(g_window)
+
+        args = [
+            jnp.asarray(a)
+            for a in (g_glob_idx, g_valid, g_tr, g_tk_t, g_tk_glob, g_tk_k, g_wlo, g_whi)
+        ]
+        g_base, g_z = base_dev, z_dev
         if mesh is not None:
-            # lanes sharded over the data axis; per-trajectory observation
-            # tables replicated (small, and the lane->trajectory gather
-            # stays shard-local)
+            # triplet-axis inputs sharded over the data mesh; dataset-order
+            # base arrays, draws, and per-trajectory tables replicated
             from outfit_tpu.parallel import replicate, shard_batch
 
-            tri = shard_batch(mesh, tri)
-            g_lane_traj = shard_batch(mesh, g_lane_traj)
-            g_window = shard_batch(mesh, g_window)
-            g_obs = replicate(mesh, g_obs)
-        out = _iod_kernel_jit(tri, g_obs, g_lane_traj, g_window, params)
+            args[2:] = [shard_batch(mesh, a) for a in args[2:]]
+            args[:2] = [replicate(mesh, a) for a in args[:2]]
+            g_base = replicate(mesh, base_dev)
+            g_z = replicate(mesh, z_dev)
+        out = _iod_kernel_gather_jit(g_base, *args, g_z, params=params)
         pending.append((t0g, t1g, Tg, out))
 
     for t0g, t1g, Tg, out in pending:
@@ -624,6 +701,7 @@ def fit_full_iod(
         corrected[t0g:t1g] = g_corr[:Tg]
 
     # kernel outputs are per-trajectory (the segment argmin runs on device)
+    lane_counts = K_t * n_real
     for t_row, tid in enumerate(kept_tids):
         if not np.isfinite(best_rms[t_row]):
             results[tid] = FitResult(

@@ -130,12 +130,17 @@ class LsqResult:
         return np.sqrt(np.maximum(np.diag(cov), 0.0))
 
 
-def _get_runner(cfg: DifferentialCorrectionConfig, ephem):
+def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool):
     """Compile-cached correction runner; the ephemeris tables are closed
     over (needed for the N-body propagator, and JPLEphem is not a pytree).
     The cache lives ON the ephem object so compiled executables are released
     with it (a module dict keyed by id(ephem) would leak and can collide
-    after id reuse)."""
+    after id reuse).
+
+    The runner GATHERS the padded per-trajectory observation tables on
+    device from the dataset-order base arrays (host-side scatters + the
+    materialized uploads were the dominant end-to-end cost through the
+    axon tunnel)."""
     store = getattr(ephem, "_lsq_runner_jit", None)
     if store is None:
         store = {}
@@ -143,16 +148,29 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem):
             ephem._lsq_runner_jit = store
         except AttributeError:
             pass
-    if cfg not in store:
+    key = (cfg, with_bias)
+    if key not in store:
 
-        def _run(el, ep, obs):
+        def _run(el, ep, base, glob_idx, valid):
+            mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b, bra_b, bdec_b = base
+            obs = ObsArrays(
+                jnp.where(valid, mjd_b[glob_idx], 0.0),
+                jnp.where(valid, ra_b[glob_idx], 0.0),
+                jnp.where(valid, dec_b[glob_idx], 0.0),
+                jnp.where(valid, sra_b[glob_idx], 1.0),
+                jnp.where(valid, sdec_b[glob_idx], 1.0),
+                jnp.where(valid[..., None], helio_b[glob_idx], 0.0),
+                valid,
+                bias_ra=None if bra_b is None else jnp.where(valid, bra_b[glob_idx], 0.0),
+                bias_dec=None if bdec_b is None else jnp.where(valid, bdec_b[glob_idx], 0.0),
+            )
             out = run_differential_correction(el, ep, obs, cfg, ephem=ephem)
             # 1-sigma extraction inside the jit: an eager follow-up op costs
             # a full tunnel round-trip (~25 ms) per call
             return out, uncertainties_from_covariance(out.covariance)
 
-        store[cfg] = jax.jit(_run)
-    return store[cfg]
+        store[key] = jax.jit(_run)
+    return store[key]
 
 
 def fit_lsq(
@@ -208,31 +226,17 @@ def fit_lsq(
     if not rows:
         return results
 
-    helio = np.asarray(cache.helio_pos_equ)
-    from outfit_tpu.iod.api import padded_dataset_arrays
+    from outfit_tpu.iod.api import _bucket, padded_dataset_arrays
 
-    # vectorized padded layout for the whole dataset (one lexsort +
-    # scatters; the old per-trajectory fill loop dominated host prep at
-    # survey scale), then gather the rows that have IOD seeds
-    lay = padded_dataset_arrays(dataset, helio)
+    # LAYOUT only (one lexsort): observation values are gathered on device
+    # from the dataset-order base arrays inside the jitted runner
+    lay = padded_dataset_arrays(dataset, with_values=False)
     n_max = lay.n_max
     T = len(rows)
     tid_to_row = {tid: i for i, tid in enumerate(dataset.traj_ids)}
     rsel = np.fromiter(
         (tid_to_row[tid] for tid, _ in rows), np.int64, count=T
     )
-    arr = {
-        "mjd": lay.mjd[rsel],
-        "ra": lay.ra[rsel],
-        "dec": lay.dec[rsel],
-        "sra": lay.sra[rsel],
-        "sdec": lay.sdec[rsel],
-    }
-    if lay.bias_ra is not None:
-        arr["bra"] = lay.bias_ra[rsel]
-        arr["bdec"] = lay.bias_dec[rsel]
-    hp = lay.helio[rsel]
-    valid = lay.valid[rsel]
     el0 = np.stack([iod.equinoctial for _, iod in rows])
     ep0 = np.fromiter((iod.epoch for _, iod in rows), np.float64, count=T)
 
@@ -243,43 +247,56 @@ def fit_lsq(
     # the axon tunnel; measured as the entire e2e cost).  With a mesh, the
     # bucket is additionally a mesh multiple so the batch shards evenly.
     # Padded rows are dropped on unpack.
-    from outfit_tpu.iod.api import _bucket
-    from outfit_tpu.parallel import pad_to_multiple, shard_batch
+    from outfit_tpu.parallel import pad_to_multiple, replicate, shard_batch
 
     Tb = _bucket(T)
     if mesh is not None:
         Tb = pad_to_multiple(Tb, mesh.devices.size)
     pad = Tb - T
+    g_glob = np.concatenate(
+        [lay.glob_idx[rsel], np.zeros((pad, n_max), np.int64)]
+    ).astype(np.int32)
+    g_valid = np.concatenate([lay.valid[rsel], np.zeros((pad, n_max), bool)])
     if pad:
-        for k in ("mjd", "ra", "dec", "bra", "bdec"):
-            if k in arr:
-                arr[k] = np.concatenate([arr[k], np.zeros((pad, n_max))])
-        for k in ("sra", "sdec"):
-            arr[k] = np.concatenate([arr[k], np.ones((pad, n_max))])
-        hp = np.concatenate([hp, np.zeros((pad, n_max, 3))])
-        valid = np.concatenate([valid, np.zeros((pad, n_max), bool)])
         el0 = np.concatenate([el0, np.tile([2.0, 0, 0, 0, 0, 0.0], (pad, 1))])
         ep0 = np.concatenate([ep0, np.full(pad, 57000.0)])
 
-    obs = ObsArrays(
-        jnp.asarray(arr["mjd"]),
-        jnp.asarray(arr["ra"]),
-        jnp.asarray(arr["dec"]),
-        jnp.asarray(arr["sra"]),
-        jnp.asarray(arr["sdec"]),
-        jnp.asarray(hp),
-        jnp.asarray(valid),
-        bias_ra=jnp.asarray(arr["bra"]) if "bra" in arr else None,
-        bias_dec=jnp.asarray(arr["bdec"]) if "bdec" in arr else None,
+    # dataset-order base arrays, padded to a power-of-two length (dataset
+    # size never recompiles); helio stays device-resident (cache output)
+    n_obs_total = len(dataset.mjd_tt)
+    nb = _bucket(n_obs_total)
+    pad_n = nb - n_obs_total
+
+    def _base_pad(x, fill=0.0):
+        return jnp.asarray(np.concatenate([x, np.full(pad_n, fill)]))
+
+    with_bias = dataset.bias_ra is not None
+    base = (
+        _base_pad(dataset.mjd_tt),
+        _base_pad(dataset.ra),
+        _base_pad(dataset.dec),
+        _base_pad(dataset.ra_error, 1.0),
+        _base_pad(dataset.dec_error, 1.0),
+        jnp.concatenate([cache.helio_pos_equ, jnp.zeros((pad_n, 3))], axis=0),
+        _base_pad(dataset.bias_ra) if with_bias else None,
+        _base_pad(dataset.bias_dec) if with_bias else None,
     )
+
     el = jnp.asarray(el0)
     ep = jnp.asarray(ep0)
+    glob = jnp.asarray(g_glob)
+    valid_dev = jnp.asarray(g_valid)
     if mesh is not None:
-        obs = shard_batch(mesh, obs)
         el = shard_batch(mesh, el)
         ep = shard_batch(mesh, ep)
+        glob = shard_batch(mesh, glob)
+        valid_dev = shard_batch(mesh, valid_dev)
+        base = replicate(mesh, base)
 
-    out, sig_dev = _get_runner(config, ephem)(el, ep, obs)
+    out, sig_dev = _get_runner(config, ephem, with_bias)(
+        el, ep, base, glob, valid_dev
+    )
+    valid = g_valid
 
     status = np.asarray(out.status)
     elements = np.asarray(out.elements)

@@ -65,7 +65,9 @@ def pvobs(mjd_tt, observer_fixed_pos, observer_fixed_vel, gast_rad):
         RefSystem.equt(RefEpoch.of_date(jnp.asarray(mjd_tt))),
         RefSystem.eclm(RefEpoch.j2000()),
     )
-    m = rot_frame @ rot_earth
+    from outfit_tpu.utils.linalg import matmul_small
+
+    m = matmul_small(rot_frame, rot_earth)
     dx = jnp.sum(m * observer_fixed_pos[..., None, :], -1)
     dv = jnp.sum(m * observer_fixed_vel[..., None, :], -1)
     return dx, dv

@@ -100,3 +100,12 @@ def matvec_small(m, v):
 def rotate3(rot, v):
     """Apply a (3, 3) rotation (or batch thereof) to (..., 3) vectors."""
     return jnp.sum(jnp.asarray(rot, jnp.asarray(v).dtype) * v[..., None, :], -1)
+
+
+def matmul_small(a, b):
+    """(..., i, k) @ (..., k, j) -> (..., i, j) via multiply + reduce.
+
+    For tiny inner dims (3x3 rotation chains): `@` lowers to an MXU
+    dot_general that pads the contraction to the tile size — ~100x the VPU
+    cost under f64 emulation (see module note)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
