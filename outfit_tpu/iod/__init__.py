@@ -13,4 +13,9 @@ and reduces with argmin — the shape that vmaps, jits, and shards.
 """
 
 from outfit_tpu.iod.params import IODParams  # noqa: F401
-from outfit_tpu.iod.api import fit_full_iod, FitResult  # noqa: F401
+from outfit_tpu.iod.api import (  # noqa: F401
+    FitResult,
+    fit_full_iod,
+    fit_full_iod_parallel,
+    fit_iod,
+)

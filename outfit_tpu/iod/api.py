@@ -46,7 +46,10 @@ from outfit_tpu.iod.gauss import (
 )
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.scoring import rms_orbit_error
-from outfit_tpu.iod.triplets import generate_triplet_indices_batch
+from outfit_tpu.iod.triplets import (
+    generate_triplet_indices_batch,
+    generate_triplet_indices_device,
+)
 from outfit_tpu.observations.error_model import ErrorModel
 from outfit_tpu.observer.cache import ObserverCache
 from outfit_tpu.time.scales import Ut1Provider
@@ -189,6 +192,56 @@ def padded_dataset_arrays(
         bias_ra=None if dataset.bias_ra is None else _scatter(dataset.bias_ra),
         bias_dec=None if dataset.bias_dec is None else _scatter(dataset.bias_dec),
     )
+
+
+def device_base_arrays(dataset, cache):
+    """Device copies of the dataset-order base observation arrays, padded
+    to a power-of-two length (dataset size never recompiles the gather
+    kernels).  Returns ``(mjd, ra, dec, sra, sdec, helio, bias_ra,
+    bias_dec)``; bias entries are None when the dataset carries no bias.
+
+    Memoized ON the dataset (keyed by the constituent array identities, so
+    apply_error_model / batch-RMS / set_bias — which all rebind the arrays
+    — invalidate it): fit_full_iod and fit_lsq share one upload.
+    """
+    key = (
+        len(dataset.mjd_tt),
+        id(dataset.mjd_tt),
+        id(dataset.ra),
+        id(dataset.dec),
+        id(dataset.ra_error),
+        id(dataset.dec_error),
+        id(cache.helio_pos_equ),
+        id(dataset.bias_ra),
+        id(dataset.bias_dec),
+    )
+    hit = getattr(dataset, "_device_base_cache", None)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    nb = _bucket(len(dataset.mjd_tt))
+    pad_n = nb - len(dataset.mjd_tt)
+
+    def _pad(x, fill=0.0):
+        return jnp.asarray(np.concatenate([x, np.full(pad_n, fill)]))
+
+    with_bias = dataset.bias_ra is not None
+    base = (
+        _pad(dataset.mjd_tt),
+        _pad(dataset.ra),
+        _pad(dataset.dec),
+        _pad(dataset.ra_error, 1.0),
+        _pad(dataset.dec_error, 1.0),
+        jnp.concatenate(
+            [cache.helio_pos_equ, jnp.zeros((pad_n, 3))], axis=0
+        ),
+        _pad(dataset.bias_ra) if with_bias else None,
+        _pad(dataset.bias_dec) if with_bias else None,
+    )
+    try:
+        dataset._device_base_cache = (key, base)
+    except Exception:
+        pass
+    return base
 
 
 def _draw_noise(base_key, hashes, max_triplets, n_real):
@@ -479,15 +532,31 @@ def fit_full_iod(
     obs_valid_all = lay.valid
     glob_idx = lay.glob_idx
 
-    trips_all, ktrips_all = generate_triplet_indices_batch(
-        epochs_pad,
-        counts_all,
+    # triplet enumeration on DEVICE (top_k == the scalar best-K order;
+    # property-tested) — the numpy enumerator cost ~130 ms at 8k
+    # trajectories, the largest single host-prep item.  The trajectory
+    # axis is bucketed so dataset size never recompiles.
+    Tb_all = _bucket(Tall)
+    ep_dev = jnp.asarray(
+        np.concatenate([epochs_pad, np.zeros((Tb_all - Tall, n_max))])
+    )
+    cnt_dev = jnp.asarray(
+        np.concatenate(
+            [counts_all, np.zeros(Tb_all - Tall, np.int64)]
+        ).astype(np.int32)
+    )
+    trips_dev, ktrips_dev = generate_triplet_indices_device(
+        ep_dev,
+        cnt_dev,
         params.dt_min,
         params.dt_max_triplet,
         params.optimal_interval_time,
         params.max_obs_for_triplets,
         params.max_triplets,
     )
+    trips_all, ktrips_all = jax.device_get((trips_dev, ktrips_dev))
+    trips_all = trips_all[:Tall].astype(np.int64)
+    ktrips_all = ktrips_all[:Tall].astype(np.int64)
 
     # trajectories observed from an unresolvable station are errors, not
     # silently-geocentric fits (photom fails loudly; observatories.py)
@@ -582,26 +651,8 @@ def fit_full_iod(
     whi = te3 + dt
     T = Tk
 
-    # dataset-order base arrays, padded to a power-of-two length so dataset
-    # size never recompiles the gather kernel; helio is already device-
-    # resident (observer cache output)
-    n_obs_total = len(dataset.mjd_tt)
-    nb = _bucket(n_obs_total)
-    pad_n = nb - n_obs_total
-
-    def _base_pad(x, fill=0.0):
-        return jnp.asarray(np.concatenate([x, np.full(pad_n, fill)]))
-
-    base_dev = (
-        _base_pad(dataset.mjd_tt),
-        _base_pad(dataset.ra),
-        _base_pad(dataset.dec),
-        _base_pad(dataset.ra_error, 1.0),
-        _base_pad(dataset.dec_error, 1.0),
-        jnp.concatenate(
-            [cache.helio_pos_equ, jnp.zeros((pad_n, 3))], axis=0
-        ),
-    )
+    # dataset-order base arrays (shared with fit_lsq: one upload)
+    base_dev = device_base_arrays(dataset, cache)[:6]
     z_dev = _z_dev  # device-resident draws from above
 
     # --- trajectory-aligned device batches (IODParams.batch_size, mod.rs:
@@ -691,8 +742,11 @@ def fit_full_iod(
         out = _iod_kernel_gather_jit(g_base, *args, g_z, params=params)
         pending.append((t0g, t1g, Tg, out))
 
-    for t0g, t1g, Tg, out in pending:
-        g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = (np.asarray(o) for o in out)
+    # ONE bulk transfer for every chunk's outputs (each individual
+    # np.asarray costs a full tunnel round-trip)
+    fetched = jax.device_get([out for _, _, _, out in pending])
+    for (t0g, t1g, Tg, _), out in zip(pending, fetched):
+        g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = out
         best_rms[t0g:t1g] = g_rms[:Tg]
         kind[t0g:t1g] = g_kind[:Tg]
         el[t0g:t1g] = g_el[:Tg]
@@ -720,6 +774,16 @@ def fit_full_iod(
             equinoctial=eqv[t_row],
         )
     return results
+
+
+def fit_full_iod_parallel(*args, **kwargs) -> Dict[str, FitResult]:
+    """Alias of :func:`fit_full_iod` (parity:
+    ``fit_full_iod_parallel``, obs_dataset_api.rs:174-207).  The batched
+    device kernel IS the parallel path — with more than one device the
+    default ``mesh="auto"`` shards the batch over all of them, and
+    per-trajectory deterministic seeding makes results schedule-independent
+    (the reference's bitwise sequential==parallel contract)."""
+    return fit_full_iod(*args, **kwargs)
 
 
 def fit_iod(

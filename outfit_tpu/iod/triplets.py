@@ -171,6 +171,111 @@ def generate_triplet_indices_batch(
     return trips, ktrips
 
 
+def generate_triplet_indices_device(
+    epochs_pad,
+    counts,
+    dt_min: float,
+    dt_max: float,
+    optimal_interval: float,
+    max_obs: int,
+    max_triplets: int,
+):
+    """Device-side :func:`generate_triplet_indices_batch` (jitted).
+
+    Same best-K set and order: ``jax.lax.top_k`` breaks ties by lower
+    index, which equals the stable ascending-(w, a, j, k) order because
+    the combination list is enumerated in (a, j, k) lexicographic order.
+    Inputs must be device/bucketed arrays (``epochs_pad`` (T, n_max),
+    ``counts`` (T,) int32); returns (trips (T, K, 3) int32, ktrips (T,)).
+    """
+    import jax
+
+    return _enum_device_jit(
+        epochs_pad,
+        counts,
+        dt_min=float(dt_min),
+        dt_max=float(dt_max),
+        dtw=float(optimal_interval),
+        max_obs=int(max_obs),
+        max_triplets=int(max_triplets),
+    )
+
+
+def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs, max_triplets):
+    import jax
+    import jax.numpy as jnp
+
+    T, n_max = epochs_pad.shape
+    m_cap = min(n_max, 3 if max_obs <= 3 else max_obs)
+    if m_cap < 3:
+        return (
+            jnp.zeros((T, max_triplets, 3), jnp.int32),
+            jnp.zeros((T,), jnp.int32),
+        )
+    a, j, k = np.meshgrid(
+        np.arange(m_cap), np.arange(m_cap), np.arange(m_cap),
+        indexing="ij", sparse=True,
+    )
+    ai, ji, ki = np.nonzero((a < j) & (j < k))  # static, lex (a, j, k) order
+
+    counts = counts.astype(jnp.int32)
+    m_eff = jnp.where(counts <= max_obs, counts, 3 if max_obs <= 3 else max_obs)
+    m_eff = jnp.minimum(m_eff, counts)
+    i = jnp.arange(m_cap, dtype=jnp.int32)
+    nm1 = jnp.maximum(counts - 1, 0)[:, None]
+    down = i[None, :] * nm1 // jnp.maximum(m_eff - 1, 1)[:, None]
+    keep = jnp.where(counts[:, None] <= max_obs, jnp.minimum(i, nm1), down)
+    if max_obs <= 3:
+        special = jnp.stack(
+            [jnp.zeros_like(counts), counts // 2, nm1[:, 0]], axis=1
+        )
+        keep = jnp.where(counts[:, None] > max_obs, special[:, :m_cap], keep)
+    keep = jnp.minimum(keep, nm1)
+
+    td = jnp.take_along_axis(epochs_pad, jnp.minimum(keep, n_max - 1), axis=1)
+    t1 = td[:, ai]
+    t2 = td[:, ji]
+    t3 = td[:, ki]
+    span = t3 - t1
+
+    def s_gap(dt):
+        r = dt / dtw
+        return jnp.where(r <= 1.0, 1.0 / jnp.maximum(r, 1e-300), 1.0 + r)
+
+    feas = (
+        (jnp.asarray(ki, jnp.int32)[None, :] < m_eff[:, None])
+        & (span >= dt_min)
+        & (span <= dt_max)
+    )
+    w = jnp.where(feas, s_gap(t2 - t1) + s_gap(t3 - t2), jnp.inf)
+    k_eff = min(max_triplets, w.shape[1])
+    _, sel = jax.lax.top_k(-w, k_eff)  # ascending w, ties lex order
+    ktrips = jnp.minimum(jnp.sum(feas, axis=1), max_triplets).astype(jnp.int32)
+    trips = jnp.stack(
+        [
+            jnp.take_along_axis(keep, jnp.asarray(idx, jnp.int32)[sel], axis=1)
+            for idx in (ai, ji, ki)
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    if k_eff < max_triplets:
+        trips = jnp.pad(trips, ((0, 0), (0, max_triplets - k_eff), (0, 0)))
+    return trips, ktrips
+
+
+import functools as _functools  # noqa: E402
+
+try:  # jit lazily so numpy-only consumers don't pull in jax
+    import jax as _jax
+
+    _enum_device_jit = _functools.partial(
+        _jax.jit,
+        static_argnames=("dt_min", "dt_max", "dtw", "max_obs", "max_triplets"),
+    )(_enum_device)
+except Exception:  # pragma: no cover
+    _enum_device_jit = _enum_device
+
+
 def select_rms_interval(
     epochs: np.ndarray, idx1: int, idx3: int, extf: float, dtmax: float
 ) -> Tuple[int, int]:

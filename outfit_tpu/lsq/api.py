@@ -261,26 +261,11 @@ def fit_lsq(
         el0 = np.concatenate([el0, np.tile([2.0, 0, 0, 0, 0, 0.0], (pad, 1))])
         ep0 = np.concatenate([ep0, np.full(pad, 57000.0)])
 
-    # dataset-order base arrays, padded to a power-of-two length (dataset
-    # size never recompiles); helio stays device-resident (cache output)
-    n_obs_total = len(dataset.mjd_tt)
-    nb = _bucket(n_obs_total)
-    pad_n = nb - n_obs_total
-
-    def _base_pad(x, fill=0.0):
-        return jnp.asarray(np.concatenate([x, np.full(pad_n, fill)]))
+    # dataset-order base arrays (shared with fit_full_iod: one upload)
+    from outfit_tpu.iod.api import device_base_arrays
 
     with_bias = dataset.bias_ra is not None
-    base = (
-        _base_pad(dataset.mjd_tt),
-        _base_pad(dataset.ra),
-        _base_pad(dataset.dec),
-        _base_pad(dataset.ra_error, 1.0),
-        _base_pad(dataset.dec_error, 1.0),
-        jnp.concatenate([cache.helio_pos_equ, jnp.zeros((pad_n, 3))], axis=0),
-        _base_pad(dataset.bias_ra) if with_bias else None,
-        _base_pad(dataset.bias_dec) if with_bias else None,
-    )
+    base = device_base_arrays(dataset, cache)
 
     el = jnp.asarray(el0)
     ep = jnp.asarray(ep0)
@@ -298,14 +283,19 @@ def fit_lsq(
     )
     valid = g_valid
 
-    status = np.asarray(out.status)
-    elements = np.asarray(out.elements)
-    rms = np.asarray(out.normalised_rms)
-    cov = np.asarray(out.covariance)
-    sel = np.asarray(out.selection)
-    m = np.asarray(out.num_measurements)
-    its = np.asarray(out.total_newton_iterations)
-    sigmas = np.asarray(sig_dev)
+    # ONE bulk transfer (each individual np.asarray costs a tunnel RTT)
+    status, elements, rms, cov, sel, m, its, sigmas = jax.device_get(
+        (
+            out.status,
+            out.elements,
+            out.normalised_rms,
+            out.covariance,
+            out.selection,
+            out.num_measurements,
+            out.total_newton_iterations,
+            sig_dev,
+        )
+    )
 
     for t, (tid, iod) in enumerate(rows):
         if status[t] == STATUS_OK and np.isfinite(elements[t]).all():

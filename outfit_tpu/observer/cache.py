@@ -37,6 +37,94 @@ def _build_jit_for(ephem, cache_velocity: bool):
     return store
 
 
+#: Chebyshev-Lobatto coefficients per frame-table granule
+_N_COEFF = 14
+
+
+def _bucket_len(n: int, floor: int = 4) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _frame_table(t0, gran, n_gran):
+    """Chebyshev coefficients of the slow frame chain on [t0, t0+G*gran].
+
+    Channels: the 9 components of rotpn(Equt(of-date) -> Eclm(J2000))
+    plus the equation of the equinoxes.  Returns (G, 10, C).
+    """
+    from outfit_tpu.frames import RefEpoch, RefSystem, equequ, rotpn
+
+    C = _N_COEFF
+    k = np.arange(C)
+    nodes01 = 0.5 * (1.0 - np.cos(np.pi * k / (C - 1)))  # ascending in t
+    tk = t0 + gran * (jnp.arange(n_gran)[:, None] + jnp.asarray(nodes01)[None, :])
+    m_slow = rotpn(
+        RefSystem.equt(RefEpoch.of_date(tk)), RefSystem.eclm(RefEpoch.j2000())
+    )  # (G, C, 3, 3)
+    eqq = equequ(tk)  # (G, C)
+    chan = jnp.concatenate(
+        [m_slow.reshape(n_gran, C, 9), eqq[..., None]], axis=-1
+    )  # (G, C, 10)
+
+    # first-kind Chebyshev-Lobatto fit (static transform; see
+    # chebyshev.fit_body_table) — samples flipped to align with
+    # x_m = cos(pi m / (C-1))
+    T = np.cos(np.pi * np.outer(np.arange(C), k) / (C - 1))
+    w = np.ones(C)
+    w[0] = w[-1] = 0.5
+    scale = np.full(C, 2.0 / (C - 1))
+    scale[0] = scale[-1] = 1.0 / (C - 1)
+    Tw = jnp.asarray(T * w * scale[:, None])  # (j, m)
+    samples = chan[:, ::-1, :]  # (G, m, 10)
+    # (G, 10, j) = sum_m Tw[j, m] * samples[g, m, c]  (VPU contraction)
+    coeffs = jnp.sum(
+        Tw[None, :, None, :] * jnp.swapaxes(samples, 1, 2)[:, None, :, :],
+        axis=-1,
+    )  # (G, j, 10) -> transpose to (G, 10, j)
+    return jnp.swapaxes(coeffs, 1, 2)
+
+
+def _frame_interp(coeffs, mjd, t0, gran):
+    """Evaluate the frame table at ``mjd``: (M_slow (..., 3, 3), equequ)."""
+    n_gran, _, C = coeffs.shape
+    x = (mjd - t0) / gran
+    idx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_gran - 1)
+    tau = 2.0 * (x - idx) - 1.0
+    t_prev = jnp.ones_like(tau)
+    t_cur = tau
+    ts = [t_prev, t_cur]
+    for _ in range(2, C):
+        t_next = 2.0 * tau * t_cur - t_prev
+        ts.append(t_next)
+        t_prev, t_cur = t_cur, t_next
+    tb = jnp.stack(ts[:C], axis=-1)  # (..., C)
+    ch = coeffs[idx]  # (..., 10, C)
+    vals = jnp.sum(ch * tb[..., None, :], axis=-1)  # (..., 10)
+    m_slow = vals[..., :9].reshape(vals.shape[:-1] + (3, 3))
+    return m_slow, vals[..., 9]
+
+
+def _cache_compute(mjd, tut, fp, fv, t0, gran, ephem, cache_velocity, n_gran):
+    from outfit_tpu.frames.ref_system import rotmt
+    from outfit_tpu.time import gmst
+    from outfit_tpu.utils.linalg import matmul_small
+
+    coeffs = _frame_table(t0, gran, n_gran)
+    m_slow, eqq = _frame_interp(coeffs, mjd, t0, gran)
+    g = gmst(tut) + eqq
+    rot_earth = rotmt(-g, 2)  # body-fixed -> true equator of date
+    m = matmul_small(m_slow, rot_earth)
+    geo_pos = jnp.sum(m * fp[..., None, :], -1)
+    geo_vel = jnp.sum(m * fv[..., None, :], -1)
+    if not cache_velocity:
+        geo_vel = jnp.zeros_like(geo_vel)
+    hp = helio_position(ephem, mjd, geo_pos)
+    hv = helio_velocity(ephem, mjd, geo_vel)
+    return geo_pos, geo_vel, hp, hv
+
+
 class ObserverCache(NamedTuple):
     """Dense per-observation observer states.
 
@@ -82,29 +170,48 @@ class ObserverCache(NamedTuple):
         pad = nb - n
         mjd_np = np.concatenate([dataset.mjd_tt, np.full(pad, dataset.mjd_tt[0])])
         tut = ut1.tt_mjd_to_ut1(mjd_np)
-        fp = np.concatenate([fixed_pos[oi], np.zeros((pad, 3))])
-        fv = np.concatenate([fixed_vel[oi], np.zeros((pad, 3))])
+        # upload the small per-OBSERVER tables + int32 indices; the
+        # per-observation gather happens on device (uploading materialized
+        # (n, 3) arrays cost ~6 MB through the ~65 MB/s tunnel)
+        n_ob = _bucket_len(len(dataset.observers))
+        fp_tab = np.zeros((n_ob, 3))
+        fp_tab[: len(dataset.observers)] = fixed_pos
+        fv_tab = np.zeros((n_ob, 3))
+        fv_tab[: len(dataset.observers)] = fixed_vel
+        oi_pad = np.concatenate([oi, np.zeros(pad, np.int64)]).astype(np.int32)
+
+        # frame-table granule count: the slow frame chain (106-term
+        # nutation + precession, shortest period 13.7 d) is evaluated at
+        # Chebyshev-Lobatto nodes on <= 8-day granules and interpolated per
+        # observation — ~1e-13 matrix accuracy at ~1/150th of the
+        # transcendental work (the direct chain was the dominant cache cost
+        # under TPU f64 emulation).  G is bucketed so span never recompiles.
+        span = float(dataset.mjd_tt.max() - dataset.mjd_tt.min())
+        n_gran = 8
+        while n_gran * 8.0 < span and n_gran < 4096:
+            n_gran *= 2
+        gran = max(span / n_gran, 1e-3) * (1.0 + 1e-9)
+        t0 = float(dataset.mjd_tt.min())
 
         store = _build_jit_for(ephem, cache_velocity)
-        key = bool(cache_velocity)
+        key = (bool(cache_velocity), n_gran)
         fn = store.get(key)
         if fn is None:
-            def _compute(mjd, tut, fp, fv):
-                from outfit_tpu.frames import equequ
-                from outfit_tpu.time import gmst
-
-                g = gmst(tut) + equequ(mjd)
-                geo_pos, geo_vel = pvobs(mjd, fp, fv, g)
-                if not cache_velocity:
-                    geo_vel = jnp.zeros_like(geo_vel)
-                hp = helio_position(ephem, mjd, geo_pos)
-                hv = helio_velocity(ephem, mjd, geo_vel)
-                return geo_pos, geo_vel, hp, hv
-
-            fn = store[key] = jax.jit(_compute)
+            fn = store[key] = jax.jit(
+                lambda mjd, tut, fp_tab, fv_tab, oi, t0, gran: _cache_compute(
+                    mjd, tut, fp_tab[oi], fv_tab[oi], t0, gran, ephem,
+                    cache_velocity, n_gran
+                )
+            )
 
         geo_pos, geo_vel, hp, hv = fn(
-            jnp.asarray(mjd_np), jnp.asarray(tut), jnp.asarray(fp), jnp.asarray(fv)
+            jnp.asarray(mjd_np),
+            jnp.asarray(tut),
+            jnp.asarray(fp_tab),
+            jnp.asarray(fv_tab),
+            jnp.asarray(oi_pad),
+            jnp.float64(t0),
+            jnp.float64(gran),
         )
         s = slice(0, n)
         return cls(

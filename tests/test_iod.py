@@ -560,3 +560,45 @@ class TestTripletVectorization:
                 )
                 got = [tuple(map(int, row)) for row in trips[t, : ktrips[t]]]
                 assert got == want, f"trial {trial} traj {t}: {got} != {want}"
+
+    def test_device_matches_numpy_batch(self):
+        """The jitted device enumerator (lax.top_k) must equal the numpy
+        batch enumerator element for element — top_k's lower-index tie
+        break equals the stable (w, a, j, k) order."""
+        import jax.numpy as jnp
+
+        from outfit_tpu.iod.triplets import (
+            generate_triplet_indices_batch,
+            generate_triplet_indices_device,
+        )
+
+        rng = np.random.default_rng(23)
+        for trial in range(6):
+            T = int(rng.integers(1, 20))
+            counts = rng.integers(0, 24, T)
+            n_max = max(int(counts.max()), 1)
+            epochs_pad = np.zeros((T, n_max))
+            for t in range(T):
+                epochs_pad[t, : counts[t]] = np.sort(
+                    rng.uniform(0, rng.uniform(1, 150), counts[t])
+                )
+            dt_min = float(rng.uniform(0.0, 0.5))
+            dt_max = float(rng.uniform(5.0, 200.0))
+            dtw = float(rng.uniform(5.0, 30.0))
+            max_obs = int(rng.integers(3, 26))
+            kmax = int(rng.integers(1, 10))
+            want_t, want_k = generate_triplet_indices_batch(
+                epochs_pad, counts, dt_min, dt_max, dtw, max_obs, kmax
+            )
+            got_t, got_k = generate_triplet_indices_device(
+                jnp.asarray(epochs_pad),
+                jnp.asarray(counts.astype(np.int32)),
+                dt_min, dt_max, dtw, max_obs, kmax,
+            )
+            np.testing.assert_array_equal(np.asarray(got_k), want_k)
+            for t in range(T):
+                np.testing.assert_array_equal(
+                    np.asarray(got_t)[t, : want_k[t]],
+                    want_t[t, : want_k[t]],
+                    err_msg=f"trial {trial} traj {t}",
+                )

@@ -184,6 +184,38 @@ class TestObservatories:
             ds.trajectory_obs_indices("NOPE")
 
 
+class TestFrameTable:
+    def test_interpolated_cache_matches_direct_chain(self, eph):
+        """ObserverCache's Chebyshev frame table must reproduce the direct
+        GMST/nutation/rotpn chain at the cache-consistency tolerance
+        (1e-12 AU; test_cache_consistency.rs:13)."""
+        from outfit_tpu.frames import equequ
+        from outfit_tpu.observer.geometry import (
+            earth_fixed_position,
+            earth_fixed_velocity,
+            helio_position,
+            pvobs,
+        )
+        from outfit_tpu.time import gmst
+
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        ut1 = Ut1Provider()
+        c = ObserverCache.build(ds, eph, ut1)
+        fp = np.stack(
+            [np.asarray(earth_fixed_position(o)) for o in ds.observers]
+        )[ds.observer_index]
+        fv = np.stack(
+            [np.asarray(earth_fixed_velocity(o)) for o in ds.observers]
+        )[ds.observer_index]
+        tut = ut1.tt_mjd_to_ut1(ds.mjd_tt)
+        g = gmst(jnp.asarray(tut)) + equequ(jnp.asarray(ds.mjd_tt))
+        gp, gv = pvobs(jnp.asarray(ds.mjd_tt), jnp.asarray(fp), jnp.asarray(fv), g)
+        hp = helio_position(eph, jnp.asarray(ds.mjd_tt), gp)
+        assert float(jnp.abs(c.geo_pos_ecl - gp).max()) < 1e-12
+        assert float(jnp.abs(c.geo_vel_ecl - gv).max()) < 5e-12
+        assert float(jnp.abs(c.helio_pos_equ - hp).max()) < 1e-12
+
+
 class TestObserverCache:
     def test_geometry_magnitudes(self, eph):
         ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
