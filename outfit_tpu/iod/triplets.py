@@ -179,6 +179,7 @@ def generate_triplet_indices_device(
     optimal_interval: float,
     max_obs: int,
     max_triplets: int,
+    m_cap: int = None,
 ):
     """Device-side :func:`generate_triplet_indices_batch` (jitted).
 
@@ -198,15 +199,22 @@ def generate_triplet_indices_device(
         dtw=float(optimal_interval),
         max_obs=int(max_obs),
         max_triplets=int(max_triplets),
+        m_cap=None if m_cap is None else int(m_cap),
     )
 
 
-def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs, max_triplets):
+def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs,
+                 max_triplets, m_cap=None):
+    """``m_cap`` (static) tightens the combination space to the dataset's
+    bucketed max observation count — the combination count is C(m_cap, 3),
+    so a dataset with <=24 obs/trajectory in 32-wide padding runs 2.4x
+    fewer weight evaluations."""
     import jax
     import jax.numpy as jnp
 
     T, n_max = epochs_pad.shape
-    m_cap = min(n_max, 3 if max_obs <= 3 else max_obs)
+    cap = n_max if m_cap is None else min(m_cap, n_max)
+    m_cap = min(cap, 3 if max_obs <= 3 else max_obs)
     if m_cap < 3:
         return (
             jnp.zeros((T, max_triplets, 3), jnp.int32),
@@ -270,7 +278,7 @@ try:  # jit lazily so numpy-only consumers don't pull in jax
 
     _enum_device_jit = _functools.partial(
         _jax.jit,
-        static_argnames=("dt_min", "dt_max", "dtw", "max_obs", "max_triplets"),
+        static_argnames=("dt_min", "dt_max", "dtw", "max_obs", "max_triplets", "m_cap"),
     )(_enum_device)
 except Exception:  # pragma: no cover
     _enum_device_jit = _enum_device

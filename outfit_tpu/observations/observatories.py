@@ -72,19 +72,44 @@ def parallax_from_geodetic(lon_deg_east, lat_deg, height_m):
 
 #: geodetic data (lon E deg, lat deg, height m) for embedded sites
 _GEODETIC = {
+    "000": (0.0, 51.4772, 46.0),  # Greenwich
+    "005": (2.2308, 48.8053, 162.0),  # Meudon
+    "007": (2.3367, 48.8364, 67.0),  # Paris
+    "012": (4.3585, 50.7980, 105.0),  # Uccle
+    "020": (7.3004, 43.7229, 372.0),  # Nice
+    "084": (30.3258, 59.7719, 75.0),  # Pulkovo
+    "098": (11.5693, 45.8433, 1370.0),  # Asiago, Cima Ekar
     "204": (8.7704, 45.8683, 1226.0),  # Schiaparelli
     "291": (248.3997, 31.9614, 2083.0),  # LPL/Spacewatch II, Kitt Peak
+    "413": (149.0661, -31.2733, 1145.0),  # Siding Spring Observatory
+    "474": (170.4650, -43.9870, 1029.0),  # Mount John, Tekapo
     "500": (0.0, 0.0, -6356752.0),  # geocenter sentinel (handled specially)
+    "511": (5.7157, 43.9319, 650.0),  # Haute-Provence
+    "566": (203.7440, 20.7072, 3021.0),  # Haleakala-NEAT/GEODSS
     "568": (204.5278, 19.8261, 4213.0),  # Mauna Kea
+    "586": (0.1425, 42.9365, 2861.0),  # Pic du Midi
+    "608": (203.7436, 20.7082, 3043.0),  # Haleakala-AMOS
+    "644": (243.1404, 33.3562, 1706.0),  # Palomar Mountain/NEAT
+    "675": (243.1406, 33.3564, 1706.0),  # Palomar Mountain
+    "688": (248.4633, 35.0969, 2163.0),  # Lowell, Anderson Mesa
+    "699": (248.4645, 35.0967, 2163.0),  # LONEOS, Anderson Mesa
+    "704": (253.3414, 33.8175, 1510.0),  # Lincoln Lab ETS (LINEAR)
     "691": (248.3993, 31.9631, 2083.0),  # Spacewatch, Kitt Peak
     "695": (248.4050, 31.9599, 2083.0),  # Kitt Peak
     "703": (249.2678, 32.4165, 2510.0),  # Catalina Sky Survey
     "705": (254.1797, 32.7803, 2788.0),  # Apache Point
+    "711": (255.9785, 30.6717, 2075.0),  # McDonald Observatory
+    "807": (289.1940, -30.1650, 2215.0),  # Cerro Tololo
+    "809": (289.2660, -29.2570, 2347.0),  # ESO La Silla
+    "950": (342.1184, 28.7606, 2327.0),  # La Palma
     "D29": (118.4658, 32.7461, 181.0),  # Purple Mountain, XuYi
+    "E12": (149.0642, -31.2754, 1165.0),  # Siding Spring Survey
     "F51": (203.7441, 20.7075, 3055.0),  # Pan-STARRS 1, Haleakala
     "F52": (203.7443, 20.7075, 3055.0),  # Pan-STARRS 2
     "G96": (249.2113, 32.4428, 2791.0),  # Mt. Lemmon Survey
+    "I11": (289.2635, -30.2408, 2722.0),  # Gemini South
     "I41": (243.1405, 33.3560, 1712.0),  # Palomar ZTF
+    "J04": (343.4899, 28.2995, 2393.0),  # ESA OGS, Tenerife
     "K19": (17.5850, -28.9575, 1798.0),  # (best-effort placeholder site)
     "M22": (20.8107, -32.3783, 1760.0),  # ATLAS South Africa, Sutherland
     "O18": (289.1950, -30.4727, 1525.0),  # (best-effort: El Sauce region)
