@@ -724,6 +724,18 @@ def _fit_full_iod_dispatch(
     kept_rows = np.nonzero(ktrips_all > 0)[0]
     if kept_rows.size == 0:
         return {"results": results, "pending": None}
+
+    # --- width grouping: order kept trajectories by bucketed observation
+    # count so every device chunk is width-homogeneous.  Ragged datasets
+    # (n_obs ~ U[8,23]) otherwise mix hard narrow arcs into every chunk:
+    # the batch-wide while loops run at the stragglers' iteration counts
+    # AND every trajectory pays the global padded obs width (measured
+    # 2.65x beyond the width cost alone on TPU).  Per-tid noise keys make
+    # the reorder value-transparent (composition-invariance tested).
+    cw = np.maximum(counts_all[kept_rows], 1)
+    width_b = np.maximum(8, 2 ** np.ceil(np.log2(cw)).astype(np.int64))
+    if np.unique(width_b).size > 1:
+        kept_rows = kept_rows[np.argsort(width_b, kind="stable")]
     kept_tids = [dataset.traj_ids[t] for t in kept_rows]
 
     # one batched draw for every trajectory's Monte-Carlo noise: per-tid key,
@@ -789,22 +801,38 @@ def _fit_full_iod_dispatch(
     # trajectory-major, so every chunk is a SLICE (no isin scans).
     lane_off = np.concatenate([[0], np.cumsum(K_t * n_real)])  # (Tk+1,)
     tri_off = np.concatenate([[0], np.cumsum(K_t)])
-    if params.batch_size > 0:
-        bounds = [0]
-        while bounds[-1] < Tk:
-            s = bounds[-1]
-            e = (
-                int(
-                    np.searchsorted(
-                        lane_off, lane_off[s] + params.batch_size, side="right"
+    # width-group boundaries (kept rows are width-sorted above): chunks
+    # never straddle two obs-width buckets, so each chunk compiles and runs
+    # at ITS width, not the dataset maximum
+    cw_sorted = np.maximum(counts_all[kept_rows], 1)
+    wb_sorted = np.maximum(8, 2 ** np.ceil(np.log2(cw_sorted)).astype(np.int64))
+    wcuts = [0] + list(np.nonzero(np.diff(wb_sorted))[0] + 1) + [Tk]
+    multi_width = len(wcuts) > 2
+    # multi-width chunks are a FIXED trajectory count: per-width group sizes
+    # jitter with dataset composition, and bucketing each group separately
+    # recompiles whenever a group crosses a power-of-two boundary (measured
+    # ~100 s/shape through the axon tunnel, every fresh dataset).  A fixed
+    # (chunk_t, width) shape per width bucket is composition-stable; the
+    # padded rows are inert lanes.
+    chunk_t = min(2048, _bucket(Tk)) if multi_width else Tk
+    spans = []
+    for ws, we in zip(wcuts[:-1], wcuts[1:]):
+        s = ws
+        while s < we:
+            e = min(we, s + chunk_t) if multi_width else we
+            if params.batch_size > 0:
+                eb = (
+                    int(
+                        np.searchsorted(
+                            lane_off, lane_off[s] + params.batch_size,
+                            side="right",
+                        )
                     )
+                    - 1
                 )
-                - 1
-            )
-            bounds.append(max(e, s + 1))
-        spans = list(zip(bounds[:-1], bounds[1:]))
-    else:
-        spans = [(0, Tk)]
+                e = min(e, max(eb, s + 1))
+            spans.append((s, e))
+            s = e
 
     best_rms = np.full(T, np.inf)
     kind = np.zeros(T, np.int32)
@@ -819,18 +847,27 @@ def _fit_full_iod_dispatch(
     for t0g, t1g in spans:
         if dense:
             Tg = t1g - t0g
-            Tb = _bucket(Tg)
+            # multi-width: fixed chunk shape (composition-stable compiles);
+            # single-width: bucket as before
+            Tb = chunk_t if multi_width else _bucket(Tg)
             if mesh is not None and Tb % mesh.devices.size:
                 from outfit_tpu.parallel import pad_to_multiple
 
                 Tb = pad_to_multiple(Tb, mesh.devices.size)
             pad_t = Tb - Tg
             g_rows = kept_rows[t0g:t1g]
+            # chunk-local obs width: kept rows are width-sorted, so the
+            # whole chunk shares one bucket (left-packed layout makes the
+            # column slice lossless for counts <= w_g)
+            w_g = int(min(n_max, wb_sorted[t0g]))
+            m_cap_g = int(
+                min(w_g, -(-int(cw_sorted[t0g:t1g].max(initial=3)) // 8) * 8)
+            )
             g_glob_idx = np.concatenate(
-                [glob_idx[g_rows], np.zeros((pad_t, n_max), np.int64)]
+                [glob_idx[g_rows, :w_g], np.zeros((pad_t, w_g), np.int64)]
             ).astype(np.int32)
             g_valid = np.concatenate(
-                [obs_valid_all[g_rows], np.zeros((pad_t, n_max), bool)]
+                [obs_valid_all[g_rows, :w_g], np.zeros((pad_t, w_g), bool)]
             )
             g_counts = np.concatenate(
                 [counts_all[g_rows], np.zeros(pad_t, np.int64)]
@@ -848,7 +885,8 @@ def _fit_full_iod_dispatch(
                 g_base = replicate(mesh, base_dev)
                 g_z = replicate(mesh, z_dev)
             out = _iod_kernel_dense_jit(
-                g_base, *args, jnp.int32(t0g), g_z, params=params, m_cap=m_cap
+                g_base, *args, jnp.int32(t0g), g_z, params=params,
+                m_cap=m_cap_g,
             )
             pending.append((t0g, t1g, Tg, out))
             chunk_tables.append((args[0], args[1]))
@@ -882,11 +920,12 @@ def _fit_full_iod_dispatch(
 
         g_rows = kept_rows[t0g:t1g]
         pad_t = Tb - Tg
+        w_g = int(min(n_max, wb_sorted[t0g]))
         g_glob_idx = np.concatenate(
-            [glob_idx[g_rows], np.zeros((pad_t, n_max), np.int64)]
+            [glob_idx[g_rows, :w_g], np.zeros((pad_t, w_g), np.int64)]
         ).astype(np.int32)
         g_valid = np.concatenate(
-            [obs_valid_all[g_rows], np.zeros((pad_t, n_max), bool)]
+            [obs_valid_all[g_rows, :w_g], np.zeros((pad_t, w_g), bool)]
         )
 
         args = [

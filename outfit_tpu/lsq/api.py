@@ -234,18 +234,22 @@ def fit_lsq(
         st = _fit_full_iod_dispatch(
             dataset, ephem, iod_params, seed, ut1, None, cache, mesh
         )
-        if st["pending"] is not None and len(st["pending"]) == 1:
-            t0g, t1g, Tg, iod_out = st["pending"][0]
-            glob_dev, valid_dev = st["chunk_tables"][0]
+        if st["pending"] is not None:
+            # dispatch the seeded correction per IOD chunk (chunks are
+            # width-homogeneous, so each runs at its own obs width), then
+            # ONE bulk transfer for every stage of every chunk
             with_bias = dataset.bias_ra is not None
             base = device_base_arrays(dataset, cache)
             runner = _get_runner(config, ephem, with_bias, seeded=True)
-            lsq_out, sig_dev, _ok_dev = runner(
-                iod_out[0], iod_out[3], iod_out[4], base, glob_dev, valid_dev
-            )
-            iod_fetched, lsq_fetched = jax.device_get(
-                (
-                    iod_out,
+            lsq_pend = []
+            for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
+                st["pending"], st["chunk_tables"]
+            ):
+                lsq_out, sig_dev, _ok_dev = runner(
+                    iod_out[0], iod_out[3], iod_out[4], base, glob_dev,
+                    valid_dev,
+                )
+                lsq_pend.append(
                     (
                         lsq_out.status,
                         lsq_out.elements,
@@ -254,11 +258,28 @@ def fit_lsq(
                         lsq_out.selection,
                         lsq_out.total_newton_iterations,
                         sig_dev,
-                    ),
+                    )
                 )
+            iod_fetched, lsq_fetched = jax.device_get(
+                ([o for *_, o in st["pending"]], lsq_pend)
             )
-            status, elements, rms, cov, sel, its, sigmas = lsq_fetched
-            initial_orbits = _finalize_iod(st, [iod_fetched])
+            # chunk obs widths differ: reduce selection to active counts
+            # per chunk, then concatenate the width-independent outputs in
+            # kept order (chunks tile kept_tids contiguously)
+            live = [
+                tuple(a[:Tg] for a in chunk)
+                for chunk, (_, _, Tg, _) in zip(lsq_fetched, st["pending"])
+            ]
+            status = np.concatenate([c[0] for c in live])
+            elements = np.concatenate([c[1] for c in live])
+            rms = np.concatenate([c[2] for c in live])
+            cov = np.concatenate([c[3] for c in live])
+            its = np.concatenate([c[5] for c in live])
+            sigmas = np.concatenate([c[6] for c in live])
+            n_active_vec = np.concatenate(
+                [(c[4] == SEL_ACTIVE).sum(axis=1) for c in live]
+            )
+            initial_orbits = _finalize_iod(st, iod_fetched)
             results = {}
             kept_tids = st["kept_tids"]
             kept_set = set(kept_tids)
@@ -274,7 +295,6 @@ def fit_lsq(
                 st["kept_rows"]
             ]
             ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
-            n_active_vec = (sel == SEL_ACTIVE).sum(axis=1)
             for t, tid in enumerate(kept_tids):
                 iod = initial_orbits[tid]
                 if not iod.ok or iod.equinoctial is None:
@@ -314,11 +334,7 @@ def fit_lsq(
                         iod=iod,
                     )
             return results
-        if st["pending"] is None:
-            initial_orbits = st["results"]
-        else:
-            fetched = jax.device_get([o for *_, o in st["pending"]])
-            initial_orbits = _finalize_iod(st, fetched)
+        initial_orbits = st["results"]
 
     results: Dict[str, LsqResult] = {}
     rows = []

@@ -139,6 +139,42 @@ class TestClosure:
         assert res["SYNTH"].ok and res["B"].ok
         assert float(res["B"].keplerian.semi_major_axis) == pytest.approx(1.7, abs=1e-8)
 
+    def test_mixed_width_batch_matches_solo_fits(self, eph):
+        """Width-grouped dispatch regression: a batch mixing obs counts that
+        land in different padded-width buckets (8 / 16 / 32) must reproduce
+        each trajectory's solo fit (composition contract + the left-packed
+        column slice being lossless)."""
+        keps = {
+            "W8": ((57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3), _EPOCHS[:8]),
+            "W16": ((57000.0, 1.7, 0.25, 0.3, 2.2, 0.4, 1.5), _EPOCHS + 0.37),
+            "W32": (
+                (57000.0, 2.9, 0.1, 0.5, 0.3, 1.9, 2.4),
+                57000.0 + np.linspace(0.0, 42.0, 20),
+            ),
+        }
+        iod_p = IODParams(n_noise_realizations=2, max_triplets=3)
+        solo = {}
+        for tid, (kt, ep) in keps.items():
+            d = _synth_dataset(
+                eph, KeplerianElements(*map(jnp.float64, kt)), ep,
+                noise=13, tid=tid,
+            )
+            solo[tid] = fit_lsq(d, eph, iod_p, seed=9)[tid]
+        ds = None
+        for tid, (kt, ep) in keps.items():
+            ds = _synth_dataset(
+                eph, KeplerianElements(*map(jnp.float64, kt)), ep,
+                noise=13, tid=tid, ds=ds,
+            )
+        mixed = fit_lsq(ds, eph, iod_p, seed=9)
+        for tid in keps:
+            assert mixed[tid].ok == solo[tid].ok
+            np.testing.assert_allclose(
+                mixed[tid].equinoctial, solo[tid].equinoctial,
+                rtol=0, atol=1e-13,
+            )
+            assert mixed[tid].n_active_obs == solo[tid].n_active_obs
+
 
 class TestOutlierRejection:
     def test_outlier_is_rejected(self, eph):
