@@ -319,6 +319,44 @@ def _enable_compile_cache():
         pass
 
 
+def bench_e2e_stream(n_traj: int, n_datasets: int = 6):
+    """Pipelined service throughput: a stream of datasets through
+    fit_lsq_stream (host prep of dataset N+1 overlaps device execution of
+    dataset N).  The steady-state operating mode of a fitting service."""
+    from outfit_tpu.ephem import JPLEphem
+    from outfit_tpu.iod.params import IODParams
+    from outfit_tpu.lsq import fit_lsq_stream
+    from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+
+    eph = JPLEphem.analytic(53500.0, 61500.0)
+    params = IODParams(
+        n_noise_realizations=3, precision="mixed", newton_max_it=20,
+        max_triplets=2,
+    )
+    cfg = DifferentialCorrectionConfig(
+        divergence_grace_iterations=2, precision="mixed",
+        max_newton_iterations=4, prewarm_max_iterations=16,
+    )
+    # warm (compile) outside the timed region
+    ds0 = synthetic_dataset(n_traj, 12, eph, seed=99)
+    next(fit_lsq_stream([ds0], eph, params, cfg, seed=7))
+
+    datasets = [
+        synthetic_dataset(n_traj, 12, eph, seed=400 + i)
+        for i in range(n_datasets)
+    ]
+    t0 = time.time()
+    n_done = 0
+    for ds, res in fit_lsq_stream(iter(datasets), eph, params, cfg, seed=7):
+        n_done += len(res)
+    dt = time.time() - t0
+    log(
+        f"stream: {n_done} fits over {n_datasets} datasets in {dt:.2f}s "
+        f"({n_done/dt:.0f} fits/sec/chip pipelined)"
+    )
+    return n_done / dt
+
+
 def main():
     import jax
 

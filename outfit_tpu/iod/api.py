@@ -240,7 +240,7 @@ def device_base_arrays(dataset, cache):
         id(dataset.dec),
         id(dataset.ra_error),
         id(dataset.dec_error),
-        id(cache.helio_pos_equ),
+        id(cache.helio_pos_pad),
         id(dataset.bias_ra),
         id(dataset.bias_dec),
     )
@@ -260,7 +260,12 @@ def device_base_arrays(dataset, cache):
         _pad(dataset.dec),
         _pad(dataset.ra_error, 1.0),
         _pad(dataset.dec_error, 1.0),
-        jnp.concatenate(
+        # the cache's padded device array IS bucket-length nb already (both
+        # use the power-of-two bucket of the observation count): no eager
+        # slice/concat ops, which each cost a tunnel round-trip
+        cache.helio_pos_pad
+        if cache.helio_pos_pad.shape[0] == nb
+        else jnp.concatenate(
             [cache.helio_pos_equ, jnp.zeros((pad_n, 3))], axis=0
         ),
         _pad(dataset.bias_ra) if with_bias else None,
@@ -448,7 +453,10 @@ def _iod_kernel_dense(
 
     tri = GaussTriplets(lane_ra, lane_dec, lane_t, lane_pos)
     obs_arrays = (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
-    return _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
+    out = _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
+    # the realized triplet count rides along so the sync-free dispatch mode
+    # can classify NoFeasibleTriplets rows without an early enumeration fetch
+    return out + (ktrips,)
 
 
 _iod_kernel_dense_jit = jax.jit(
@@ -645,37 +653,6 @@ def _fit_full_iod_dispatch(
     obs_valid_all = lay.valid
     glob_idx = lay.glob_idx
 
-    # triplet enumeration on DEVICE (top_k == the scalar best-K order;
-    # property-tested) — the numpy enumerator cost ~130 ms at 8k
-    # trajectories, the largest single host-prep item.  The trajectory
-    # axis is bucketed so dataset size never recompiles.
-    Tb_all = _bucket(Tall)
-    # combination-space cap: bucketed max observation count (multiples of 8
-    # so per-dataset count jitter does not recompile); C(m_cap, 3) drives
-    # the enumeration cost
-    m_cap = int(min(n_max, -(-int(counts_all.max(initial=3)) // 8) * 8))
-    ep_dev = jnp.asarray(
-        np.concatenate([epochs_pad, np.zeros((Tb_all - Tall, n_max))])
-    )
-    cnt_dev = jnp.asarray(
-        np.concatenate(
-            [counts_all, np.zeros(Tb_all - Tall, np.int64)]
-        ).astype(np.int32)
-    )
-    trips_dev, ktrips_dev = generate_triplet_indices_device(
-        ep_dev,
-        cnt_dev,
-        params.dt_min,
-        params.dt_max_triplet,
-        params.optimal_interval_time,
-        params.max_obs_for_triplets,
-        params.max_triplets,
-        m_cap=m_cap,
-    )
-    trips_all, ktrips_all = jax.device_get((trips_dev, ktrips_dev))
-    trips_all = trips_all[:Tall].astype(np.int64)
-    ktrips_all = ktrips_all[:Tall].astype(np.int64)
-
     # trajectories observed from an unresolvable station are errors, not
     # silently-geocentric fits (photom fails loudly; observatories.py)
     unk = np.fromiter(
@@ -699,7 +676,6 @@ def _fit_full_iod_dispatch(
             results[tid] = FitResult(
                 tid, ok=False, error=f"UnknownObservatory({', '.join(codes)})"
             )
-        ktrips_all = np.where(bad_traj, 0, ktrips_all)
 
     arc = np.where(
         counts_all > 0,
@@ -707,21 +683,87 @@ def _fit_full_iod_dispatch(
         - epochs_pad[:, 0],
         0.0,
     )
-    for t in np.nonzero((ktrips_all == 0) & ~bad_traj)[0]:
-        tid = dataset.traj_ids[t]
-        results[tid] = FitResult(
-            tid,
-            ok=False,
-            error=str(
-                NoFeasibleTriplets(
-                    arc[t],
-                    int(counts_all[t]),
-                    params.dt_min,
-                    params.dt_max_triplet,
-                )
-            ),
+
+    # --- SYNC-FREE feasibility screen --------------------------------------
+    # A host-side necessary condition for a feasible triplet (>= 3 obs and a
+    # wide-enough arc).  When most trajectories pass (the survey steady
+    # state), we skip the early device enumeration entirely: the dense
+    # kernel re-enumerates on device and returns each row's realized triplet
+    # count with the results, so host prep contains NO device sync at all.
+    # This is what lets fit_lsq_stream overlap datasets — the TPU queue is
+    # FIFO, so a mid-prep device_get for dataset N+1 would serialize behind
+    # dataset N's kernels and kill the pipeline.
+    # False positives (feasible by the screen, zero triplets on device) run
+    # as inert lanes and are classified NoFeasibleTriplets at finalize.
+    maybe = (counts_all >= 3) & (arc >= params.dt_min) & ~bad_traj
+    sync_free = bool(maybe.any()) and float(maybe.mean()) >= 0.5
+
+    if sync_free:
+        trips_all = None
+        ktrips_all = None
+        for t in np.nonzero(~maybe & ~bad_traj)[0]:
+            tid = dataset.traj_ids[t]
+            results[tid] = FitResult(
+                tid,
+                ok=False,
+                error=str(
+                    NoFeasibleTriplets(
+                        arc[t],
+                        int(counts_all[t]),
+                        params.dt_min,
+                        params.dt_max_triplet,
+                    )
+                ),
+            )
+        kept_rows = np.nonzero(maybe)[0]
+    else:
+        # triplet enumeration on DEVICE (top_k == the scalar best-K order;
+        # property-tested) — the numpy enumerator cost ~130 ms at 8k
+        # trajectories.  The trajectory axis is bucketed so dataset size
+        # never recompiles.
+        Tb_all = _bucket(Tall)
+        # combination-space cap: bucketed max observation count (multiples
+        # of 8 so per-dataset count jitter does not recompile); C(m_cap, 3)
+        # drives the enumeration cost
+        m_cap = int(min(n_max, -(-int(counts_all.max(initial=3)) // 8) * 8))
+        ep_dev = jnp.asarray(
+            np.concatenate([epochs_pad, np.zeros((Tb_all - Tall, n_max))])
         )
-    kept_rows = np.nonzero(ktrips_all > 0)[0]
+        cnt_dev = jnp.asarray(
+            np.concatenate(
+                [counts_all, np.zeros(Tb_all - Tall, np.int64)]
+            ).astype(np.int32)
+        )
+        trips_dev, ktrips_dev = generate_triplet_indices_device(
+            ep_dev,
+            cnt_dev,
+            params.dt_min,
+            params.dt_max_triplet,
+            params.optimal_interval_time,
+            params.max_obs_for_triplets,
+            params.max_triplets,
+            m_cap=m_cap,
+        )
+        trips_all, ktrips_all = jax.device_get((trips_dev, ktrips_dev))
+        trips_all = trips_all[:Tall].astype(np.int64)
+        ktrips_all = ktrips_all[:Tall].astype(np.int64)
+        ktrips_all = np.where(bad_traj, 0, ktrips_all)
+
+        for t in np.nonzero((ktrips_all == 0) & ~bad_traj)[0]:
+            tid = dataset.traj_ids[t]
+            results[tid] = FitResult(
+                tid,
+                ok=False,
+                error=str(
+                    NoFeasibleTriplets(
+                        arc[t],
+                        int(counts_all[t]),
+                        params.dt_min,
+                        params.dt_max_triplet,
+                    )
+                ),
+            )
+        kept_rows = np.nonzero(ktrips_all > 0)[0]
     if kept_rows.size == 0:
         return {"results": results, "pending": None}
 
@@ -755,16 +797,25 @@ def _fit_full_iod_dispatch(
 
     # --- lane INDEX assembly: (trajectory x triplet x realization) ---------
     Tk = kept_rows.size
-    K_t = ktrips_all[kept_rows]  # (Tk,) realized triplet counts
-    S = int(K_t.sum())
     T = Tk
+    if sync_free:
+        # realized counts are unknown host-side; chunking uses the
+        # max_triplets upper bound (finalize reads the true counts from the
+        # kernel output)
+        K_t = np.full(Tk, params.max_triplets, np.int64)
+        S = int(K_t.sum())
+        dense = True
+    else:
+        K_t = ktrips_all[kept_rows]  # (Tk,) realized triplet counts
+        S = int(K_t.sum())
 
-    # DENSE fast path: when most trajectories realize close to max_triplets
-    # feasible triplets (the survey steady state), run enumeration + lane
-    # assembly + the kernel as ONE fused device dispatch per chunk — zero
-    # intermediate host round-trips.  Otherwise a dense (T x K) lane grid
-    # would waste compute on dead lanes; use the ragged index path.
-    dense = S >= 0.5 * Tk * params.max_triplets
+        # DENSE fast path: when most trajectories realize close to
+        # max_triplets feasible triplets (the survey steady state), run
+        # enumeration + lane assembly + the kernel as ONE fused device
+        # dispatch per chunk — zero intermediate host round-trips.
+        # Otherwise a dense (T x K) lane grid would waste compute on dead
+        # lanes; use the ragged index path.
+        dense = S >= 0.5 * Tk * params.max_triplets
 
     if not dense:
         # only int32 indices + window bounds are computed host-side; the
@@ -956,6 +1007,13 @@ def _fit_full_iod_dispatch(
         "T": T,
         "cache": cache,
         "out_arrays": (best_rms, kind, el, eqv, epoch, corrected),
+        # sync-free mode: realized triplet counts arrive with the kernel
+        # outputs; finalize classifies zero-triplet rows from these
+        "sync_free": sync_free,
+        "n_real": n_real,
+        "arc_kept": arc[kept_rows],
+        "counts_kept": counts_all[kept_rows],
+        "params": params,
     }
 
 
@@ -964,20 +1022,46 @@ def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
     per-trajectory result dict."""
     results = state["results"]
     kept_tids = state["kept_tids"]
-    lane_counts = state["lane_counts"]
+    lane_counts = np.asarray(state["lane_counts"], np.int64).copy()
     best_rms, kind, el, eqv, epoch, corrected = state["out_arrays"]
+    ktrips_fetched = (
+        np.zeros(len(kept_tids), np.int64) if state.get("sync_free") else None
+    )
     for (t0g, t1g, Tg, _), out in zip(state["pending"], fetched):
-        g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = out
+        g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = out[:6]
         best_rms[t0g:t1g] = g_rms[:Tg]
         kind[t0g:t1g] = g_kind[:Tg]
         el[t0g:t1g] = g_el[:Tg]
         eqv[t0g:t1g] = g_eqv[:Tg]
         epoch[t0g:t1g] = g_epoch[:Tg]
         corrected[t0g:t1g] = g_corr[:Tg]
+        if ktrips_fetched is not None and len(out) > 6:
+            ktrips_fetched[t0g:t1g] = out[6][:Tg]
+    if ktrips_fetched is not None:
+        lane_counts = ktrips_fetched * state["n_real"]
 
     # kernel outputs are per-trajectory (the segment argmin runs on device)
+    p = state.get("params")
+    arc_kept = state.get("arc_kept")
+    counts_kept = state.get("counts_kept")
     for t_row, tid in enumerate(kept_tids):
         if not np.isfinite(best_rms[t_row]):
+            # sync-free rows that realized zero triplets on device were
+            # never enumerable — same NoFeasibleTriplets error the early
+            # host screen emits for rows it can rule out itself
+            if ktrips_fetched is not None and ktrips_fetched[t_row] == 0:
+                results[tid] = FitResult(
+                    tid, ok=False,
+                    error=str(
+                        NoFeasibleTriplets(
+                            float(arc_kept[t_row]),
+                            int(counts_kept[t_row]),
+                            p.dt_min,
+                            p.dt_max_triplet,
+                        )
+                    ),
+                )
+                continue
             results[tid] = FitResult(
                 tid, ok=False,
                 error=str(NoViableOrbit(int(lane_counts[t_row]))),

@@ -8,4 +8,11 @@ trajectory of a dataset simultaneously).
 """
 
 from outfit_tpu.lsq.config import DifferentialCorrectionConfig, OutlierRejectionConfig  # noqa: F401
-from outfit_tpu.lsq.api import fit_lsq, LsqResult  # noqa: F401
+from outfit_tpu.lsq.api import (  # noqa: F401
+    LsqResult,
+    PendingLsq,
+    fit_lsq,
+    fit_lsq_dispatch,
+    fit_lsq_finalize,
+    fit_lsq_stream,
+)

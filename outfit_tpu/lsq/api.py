@@ -165,9 +165,12 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool, seede
                 bias_dec=None if bdec_b is None else jnp.where(valid, bdec_b[glob_idx], 0.0),
             )
             out = run_differential_correction(el, ep, obs, cfg, ephem=ephem)
-            # 1-sigma extraction inside the jit: an eager follow-up op costs
-            # a full tunnel round-trip (~25 ms) per call
-            return out, uncertainties_from_covariance(out.covariance)
+            # 1-sigma extraction AND the active-observation count inside the
+            # jit: an eager follow-up op costs a full tunnel round-trip
+            # (~25 ms) per call, and downloading the (T, n_obs) selection
+            # matrix just to count actives wastes transfer bandwidth
+            n_active = ((out.selection == SEL_ACTIVE) & valid).sum(axis=-1)
+            return out, uncertainties_from_covariance(out.covariance), n_active
 
         if not seeded:
             store[key] = jax.jit(_run)
@@ -181,14 +184,28 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool, seede
                 benign = jnp.asarray([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
                 el = jnp.where(ok[:, None], jnp.where(jnp.isfinite(iod_eqv), iod_eqv, 0.0), benign)
                 ep = jnp.where(ok, jnp.where(jnp.isfinite(iod_epoch), iod_epoch, 57000.0), 57000.0)
-                out, sig = _run(el, ep, base, glob_idx, valid)
-                return out, sig, ok
+                out, sig, n_active = _run(el, ep, base, glob_idx, valid)
+                return out, sig, n_active, ok
 
             store[key] = jax.jit(_run_seeded)
     return store[key]
 
 
-def fit_lsq(
+@dataclass
+class PendingLsq:
+    """In-flight fused IOD+LSQ work: device kernels dispatched, results not
+    yet fetched.  Produced by :func:`fit_lsq_dispatch`; resolved by
+    :func:`fit_lsq_finalize`.  Lets a caller (or :func:`fit_lsq_stream`)
+    overlap the next dataset's host prep with this one's device execution.
+    """
+
+    dataset: object
+    st: Optional[dict] = None  # IOD dispatch state (None when resolved)
+    lsq_pend: Optional[list] = None
+    results: Optional[Dict[str, LsqResult]] = None  # resolved host-side
+
+
+def fit_lsq_dispatch(
     dataset,
     ephem,
     iod_params: IODParams = IODParams(),
@@ -196,16 +213,11 @@ def fit_lsq(
     seed: int = 0,
     ut1: Optional[Ut1Provider] = None,
     error_model: Optional[ErrorModel] = None,
-    initial_orbits: Optional[Dict[str, FitResult]] = None,
     mesh="auto",
     cache: Optional[ObserverCache] = None,
-) -> Dict[str, LsqResult]:
-    """IOD + differential correction for every trajectory of the dataset.
-
-    ``mesh="auto"`` (default) shards the trajectory batch over a 1-D data
-    mesh of all local devices when more than one is present (and forwards
-    the mesh to the IOD seeding stage); ``mesh=None`` forces single-device.
-    """
+) -> PendingLsq:
+    """Run all host prep and dispatch the fused IOD+LSQ device work WITHOUT
+    fetching results (async).  Pair with :func:`fit_lsq_finalize`."""
     from outfit_tpu.parallel import resolve_mesh
 
     mesh = resolve_mesh(mesh)
@@ -218,123 +230,147 @@ def fit_lsq(
     if cache is None:
         cache = ObserverCache.build(dataset, ephem, ut1)
 
-    if initial_orbits is None:
-        # FUSED IOD->LSQ: seed the correction directly from the IOD
-        # kernel's device outputs — one bulk transfer for both stages
-        # (each extra sync point costs a ~25 ms relay round-trip plus the
-        # seed download/upload).  Falls back to the two-step path when the
-        # IOD ran in multiple chunks.
-        from outfit_tpu.iod.api import (
-            _finalize_iod,
-            _fit_full_iod_dispatch,
-            device_base_arrays,
-            padded_dataset_arrays,
-        )
+    # FUSED IOD->LSQ: seed the correction directly from the IOD
+    # kernel's device outputs — one bulk transfer for both stages
+    # (each extra sync point costs a ~25 ms relay round-trip plus the
+    # seed download/upload).
+    from outfit_tpu.iod.api import (
+        _fit_full_iod_dispatch,
+        device_base_arrays,
+    )
 
-        st = _fit_full_iod_dispatch(
-            dataset, ephem, iod_params, seed, ut1, None, cache, mesh
+    st = _fit_full_iod_dispatch(
+        dataset, ephem, iod_params, seed, ut1, None, cache, mesh
+    )
+    if st["pending"] is None:
+        # everything resolved host-side (no viable trajectories): run the
+        # sequential path to build error results
+        return PendingLsq(
+            dataset,
+            results=_fit_lsq_seeded(dataset, ephem, config, st["results"], mesh),
         )
-        if st["pending"] is not None:
-            # dispatch the seeded correction per IOD chunk (chunks are
-            # width-homogeneous, so each runs at its own obs width), then
-            # ONE bulk transfer for every stage of every chunk
-            with_bias = dataset.bias_ra is not None
-            base = device_base_arrays(dataset, cache)
-            runner = _get_runner(config, ephem, with_bias, seeded=True)
-            lsq_pend = []
-            for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
-                st["pending"], st["chunk_tables"]
-            ):
-                lsq_out, sig_dev, _ok_dev = runner(
-                    iod_out[0], iod_out[3], iod_out[4], base, glob_dev,
-                    valid_dev,
-                )
-                lsq_pend.append(
-                    (
-                        lsq_out.status,
-                        lsq_out.elements,
-                        lsq_out.normalised_rms,
-                        lsq_out.covariance,
-                        lsq_out.selection,
-                        lsq_out.total_newton_iterations,
-                        sig_dev,
-                    )
-                )
-            iod_fetched, lsq_fetched = jax.device_get(
-                ([o for *_, o in st["pending"]], lsq_pend)
+    # dispatch the seeded correction per IOD chunk (chunks are
+    # width-homogeneous, so each runs at its own obs width), then
+    # ONE bulk transfer for every stage of every chunk
+    with_bias = dataset.bias_ra is not None
+    base = device_base_arrays(dataset, cache)
+    runner = _get_runner(config, ephem, with_bias, seeded=True)
+    lsq_pend = []
+    for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
+        st["pending"], st["chunk_tables"]
+    ):
+        lsq_out, sig_dev, nact_dev, _ok_dev = runner(
+            iod_out[0], iod_out[3], iod_out[4], base, glob_dev,
+            valid_dev,
+        )
+        lsq_pend.append(
+            (
+                lsq_out.status,
+                lsq_out.elements,
+                lsq_out.normalised_rms,
+                lsq_out.covariance,
+                nact_dev,
+                lsq_out.total_newton_iterations,
+                sig_dev,
             )
-            # chunk obs widths differ: reduce selection to active counts
-            # per chunk, then concatenate the width-independent outputs in
-            # kept order (chunks tile kept_tids contiguously)
-            live = [
-                tuple(a[:Tg] for a in chunk)
-                for chunk, (_, _, Tg, _) in zip(lsq_fetched, st["pending"])
-            ]
-            status = np.concatenate([c[0] for c in live])
-            elements = np.concatenate([c[1] for c in live])
-            rms = np.concatenate([c[2] for c in live])
-            cov = np.concatenate([c[3] for c in live])
-            its = np.concatenate([c[5] for c in live])
-            sigmas = np.concatenate([c[6] for c in live])
-            n_active_vec = np.concatenate(
-                [(c[4] == SEL_ACTIVE).sum(axis=1) for c in live]
+        )
+    return PendingLsq(dataset, st=st, lsq_pend=lsq_pend)
+
+
+def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
+    """Fetch a dispatched fused fit's device outputs (one bulk transfer)
+    and build the per-trajectory result map."""
+    if pending.results is not None:
+        return pending.results
+    from outfit_tpu.iod.api import _finalize_iod, padded_dataset_arrays
+
+    dataset, st, lsq_pend = pending.dataset, pending.st, pending.lsq_pend
+    iod_fetched, lsq_fetched = jax.device_get(
+        ([o for *_, o in st["pending"]], lsq_pend)
+    )
+    return _build_fused_results(dataset, st, iod_fetched, lsq_fetched)
+
+
+def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
+    from outfit_tpu.iod.api import _finalize_iod, padded_dataset_arrays
+
+    # chunk obs widths differ: reduce selection to active counts
+    # per chunk, then concatenate the width-independent outputs in
+    # kept order (chunks tile kept_tids contiguously)
+    live = [
+        tuple(a[:Tg] for a in chunk)
+        for chunk, (_, _, Tg, _) in zip(lsq_fetched, st["pending"])
+    ]
+    status = np.concatenate([c[0] for c in live])
+    elements = np.concatenate([c[1] for c in live])
+    rms = np.concatenate([c[2] for c in live])
+    cov = np.concatenate([c[3] for c in live])
+    its = np.concatenate([c[5] for c in live])
+    sigmas = np.concatenate([c[6] for c in live])
+    n_active_vec = np.concatenate([c[4] for c in live])
+    initial_orbits = _finalize_iod(st, iod_fetched)
+    results = {}
+    kept_tids = st["kept_tids"]
+    kept_set = set(kept_tids)
+    for tid in dataset.iter_traj_id():
+        if tid in kept_set:
+            continue
+        iod = initial_orbits.get(tid)
+        err = iod.error if iod is not None else "no IOD seed"
+        results[tid] = LsqResult(
+            tid, ok=False, error=f"IOD failed: {err}", iod=iod
+        )
+    counts_kept = padded_dataset_arrays(dataset, with_values=False).counts[
+        st["kept_rows"]
+    ]
+    ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
+    for t, tid in enumerate(kept_tids):
+        iod = initial_orbits[tid]
+        if not iod.ok or iod.equinoctial is None:
+            results[tid] = LsqResult(
+                tid, ok=False,
+                error=f"IOD failed: {iod.error}", iod=iod,
             )
-            initial_orbits = _finalize_iod(st, iod_fetched)
-            results = {}
-            kept_tids = st["kept_tids"]
-            kept_set = set(kept_tids)
-            for tid in dataset.iter_traj_id():
-                if tid in kept_set:
-                    continue
-                iod = initial_orbits.get(tid)
-                err = iod.error if iod is not None else "no IOD seed"
-                results[tid] = LsqResult(
-                    tid, ok=False, error=f"IOD failed: {err}", iod=iod
-                )
-            counts_kept = padded_dataset_arrays(dataset, with_values=False).counts[
-                st["kept_rows"]
-            ]
-            ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
-            for t, tid in enumerate(kept_tids):
-                iod = initial_orbits[tid]
-                if not iod.ok or iod.equinoctial is None:
-                    results[tid] = LsqResult(
-                        tid, ok=False,
-                        error=f"IOD failed: {iod.error}", iod=iod,
-                    )
-                    continue
-                if not np.isfinite(iod.equinoctial).all():
-                    results[tid] = LsqResult(
-                        tid, ok=False, error="IOD seed not finite", iod=iod
-                    )
-                    continue
-                if ok_vec[t]:
-                    results[tid] = LsqResult(
-                        tid,
-                        ok=True,
-                        normalised_rms=float(rms[t]),
-                        epoch=float(iod.epoch),
-                        equinoctial=elements[t],
-                        covariance=cov[t],
-                        uncertainties=sigmas[t],
-                        n_active_obs=int(n_active_vec[t]),
-                        total_newton_iterations=int(its[t]),
-                        iod=iod,
-                    )
-                else:
-                    results[tid] = LsqResult(
-                        tid,
-                        ok=True,
-                        error=_status_name(int(status[t])),
-                        fell_back_to_iod=True,
-                        normalised_rms=float(iod.rms),
-                        epoch=float(iod.epoch),
-                        equinoctial=np.array(iod.equinoctial),
-                        n_active_obs=int(counts_kept[t]),
-                        iod=iod,
-                    )
-            return results
-        initial_orbits = st["results"]
+            continue
+        if not np.isfinite(iod.equinoctial).all():
+            results[tid] = LsqResult(
+                tid, ok=False, error="IOD seed not finite", iod=iod
+            )
+            continue
+        if ok_vec[t]:
+            results[tid] = LsqResult(
+                tid,
+                ok=True,
+                normalised_rms=float(rms[t]),
+                epoch=float(iod.epoch),
+                equinoctial=elements[t],
+                covariance=cov[t],
+                uncertainties=sigmas[t],
+                n_active_obs=int(n_active_vec[t]),
+                total_newton_iterations=int(its[t]),
+                iod=iod,
+            )
+        else:
+            results[tid] = LsqResult(
+                tid,
+                ok=True,
+                error=_status_name(int(status[t])),
+                fell_back_to_iod=True,
+                normalised_rms=float(iod.rms),
+                epoch=float(iod.epoch),
+                equinoctial=np.array(iod.equinoctial),
+                n_active_obs=int(counts_kept[t]),
+                iod=iod,
+            )
+    return results
+
+
+def _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache=None):
+    """Two-step path: differential correction from an explicit per-trajectory
+    seed map (the ``initial_orbits=`` resume path, diff_cor
+    obs_dataset_api.rs:68-71,211-213)."""
+    if cache is None:
+        cache = ObserverCache.build(dataset, ephem)
 
     results: Dict[str, LsqResult] = {}
     rows = []
@@ -406,20 +442,19 @@ def fit_lsq(
         valid_dev = shard_batch(mesh, valid_dev)
         base = replicate(mesh, base)
 
-    out, sig_dev = _get_runner(config, ephem, with_bias)(
+    out, sig_dev, nact_dev = _get_runner(config, ephem, with_bias)(
         el, ep, base, glob, valid_dev
     )
     valid = g_valid
 
     # ONE bulk transfer (each individual np.asarray costs a tunnel RTT)
-    status, elements, rms, cov, sel, m, its, sigmas = jax.device_get(
+    status, elements, rms, cov, n_active_vec, its, sigmas = jax.device_get(
         (
             out.status,
             out.elements,
             out.normalised_rms,
             out.covariance,
-            out.selection,
-            out.num_measurements,
+            nact_dev,
             out.total_newton_iterations,
             sig_dev,
         )
@@ -428,7 +463,6 @@ def fit_lsq(
     # vectorized per-trajectory summaries (per-row numpy ops cost ~3 us
     # each; at survey scale the loop body must be pure construction)
     ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
-    n_active_vec = ((sel == SEL_ACTIVE) & valid).sum(axis=1)
     n_valid_vec = valid.sum(axis=1)
     for t, (tid, iod) in enumerate(rows):
         if ok_vec[t]:
@@ -458,3 +492,85 @@ def fit_lsq(
                 iod=iod,
             )
     return results
+
+
+def fit_lsq(
+    dataset,
+    ephem,
+    iod_params: IODParams = IODParams(),
+    config: DifferentialCorrectionConfig = DifferentialCorrectionConfig(),
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    initial_orbits: Optional[Dict[str, FitResult]] = None,
+    mesh="auto",
+    cache: Optional[ObserverCache] = None,
+) -> Dict[str, LsqResult]:
+    """IOD + differential correction for every trajectory of the dataset.
+
+    ``mesh="auto"`` (default) shards the trajectory batch over a 1-D data
+    mesh of all local devices when more than one is present (and forwards
+    the mesh to the IOD seeding stage); ``mesh=None`` forces single-device.
+
+    ``initial_orbits`` resumes the correction from previously computed IOD
+    results instead of re-running IOD (parity: diff_cor
+    obs_dataset_api.rs:68-71).
+    """
+    if initial_orbits is not None:
+        from outfit_tpu.parallel import resolve_mesh
+
+        mesh = resolve_mesh(mesh)
+        if error_model is not None:
+            dataset.apply_error_model(error_model)
+            dataset.apply_batch_rms_correction(iod_params.gap_max)
+        if np.isnan(dataset.ra_error).any():
+            dataset.apply_error_model(ErrorModel.fcct14())
+            dataset.apply_batch_rms_correction(iod_params.gap_max)
+        if cache is None:
+            cache = ObserverCache.build(dataset, ephem, ut1)
+        return _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache)
+    return fit_lsq_finalize(
+        fit_lsq_dispatch(
+            dataset, ephem, iod_params, config, seed, ut1, error_model,
+            mesh, cache,
+        )
+    )
+
+
+def fit_lsq_stream(
+    datasets,
+    ephem,
+    iod_params: IODParams = IODParams(),
+    config: DifferentialCorrectionConfig = DifferentialCorrectionConfig(),
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    mesh="auto",
+    depth: int = 2,
+):
+    """Pipelined fused fits over a stream of datasets.
+
+    Keeps up to ``depth`` datasets in flight: while the device executes
+    dataset N's kernels, the host preps and dispatches dataset N+1 (JAX
+    dispatch is asynchronous), then fetches N's results.  In steady state
+    the slower of {host prep + transfers, device compute} sets throughput
+    instead of their sum — the TPU-native analogue of the reference's
+    overlap of rayon workers across trajectories
+    (obs_dataset_api.rs:174-207 processes independent work concurrently).
+
+    Yields ``(dataset, results)`` pairs in input order.
+    """
+    from collections import deque
+
+    inflight = deque()
+    for ds in datasets:
+        pend = fit_lsq_dispatch(
+            ds, ephem, iod_params, config, seed, ut1, error_model, mesh
+        )
+        inflight.append(pend)
+        while len(inflight) >= max(depth, 1) + 1:
+            done = inflight.popleft()
+            yield done.dataset, fit_lsq_finalize(done)
+    while inflight:
+        done = inflight.popleft()
+        yield done.dataset, fit_lsq_finalize(done)

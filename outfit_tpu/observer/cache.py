@@ -130,13 +130,36 @@ class ObserverCache(NamedTuple):
 
     geocentric states in ecliptic J2000; heliocentric in equatorial J2000
     (matching the reference's frames, observer_centric_cache.rs:45-91).
+
+    The device arrays are stored PADDED to the power-of-two bucket of the
+    observation count (``n`` real rows): slicing them eagerly at build time
+    costs one tunnel round-trip (~25 ms) per array through the axon relay,
+    and the fitting pipelines gather by index from the padded base arrays
+    anyway (``device_base_arrays``).  The unpadded views are properties.
     """
 
-    mjd_tt: jnp.ndarray  # (n,)
-    geo_pos_ecl: jnp.ndarray  # (n, 3) AU
-    geo_vel_ecl: jnp.ndarray  # (n, 3) AU/day
-    helio_pos_equ: jnp.ndarray  # (n, 3) AU
-    helio_vel_equ: jnp.ndarray  # (n, 3) AU/day
+    n: int  # real observation count
+    mjd_tt: np.ndarray  # (n,) host-resident epochs
+    geo_pos_pad: jnp.ndarray  # (nb, 3) AU, padded
+    geo_vel_pad: jnp.ndarray  # (nb, 3) AU/day, padded
+    helio_pos_pad: jnp.ndarray  # (nb, 3) AU, padded
+    helio_vel_pad: jnp.ndarray  # (nb, 3) AU/day, padded
+
+    @property
+    def geo_pos_ecl(self):
+        return self.geo_pos_pad[: self.n]
+
+    @property
+    def geo_vel_ecl(self):
+        return self.geo_vel_pad[: self.n]
+
+    @property
+    def helio_pos_equ(self):
+        return self.helio_pos_pad[: self.n]
+
+    @property
+    def helio_vel_equ(self):
+        return self.helio_vel_pad[: self.n]
 
     @classmethod
     def build(cls, dataset, ephem, ut1: Ut1Provider = None, cache_velocity: bool = True):
@@ -153,7 +176,7 @@ class ObserverCache(NamedTuple):
             ut1 = Ut1Provider()
         if len(dataset.observers) == 0:  # empty dataset
             z = jnp.zeros((0, 3))
-            return cls(jnp.zeros(0), z, z, z, z)
+            return cls(0, jnp.zeros(0), z, z, z, z)
         # per-observer fixed vectors, gathered per observation
         fixed_pos = np.stack(
             [np.asarray(earth_fixed_position(o)) for o in dataset.observers]
@@ -198,22 +221,18 @@ class ObserverCache(NamedTuple):
         fn = store.get(key)
         if fn is None:
             fn = store[key] = jax.jit(
-                lambda mjd, tut, fp_tab, fv_tab, oi, t0, gran: _cache_compute(
-                    mjd, tut, fp_tab[oi], fv_tab[oi], t0, gran, ephem,
-                    cache_velocity, n_gran
+                lambda times, ftabs, oi, t0, gran: _cache_compute(
+                    times[0], times[1], ftabs[0][oi], ftabs[1][oi], t0, gran,
+                    ephem, cache_velocity, n_gran
                 )
             )
 
+        # batched uploads: each jnp.asarray is a separate tunnel transfer
         geo_pos, geo_vel, hp, hv = fn(
-            jnp.asarray(mjd_np),
-            jnp.asarray(tut),
-            jnp.asarray(fp_tab),
-            jnp.asarray(fv_tab),
+            jnp.asarray(np.stack([mjd_np, tut])),
+            jnp.asarray(np.stack([fp_tab, fv_tab])),
             jnp.asarray(oi_pad),
             jnp.float64(t0),
             jnp.float64(gran),
         )
-        s = slice(0, n)
-        return cls(
-            jnp.asarray(dataset.mjd_tt), geo_pos[s], geo_vel[s], hp[s], hv[s]
-        )
+        return cls(n, np.asarray(dataset.mjd_tt), geo_pos, geo_vel, hp, hv)

@@ -417,3 +417,35 @@ def test_diff_cor_reference_oracle_8467_33803(eph):
         [3.2073734821020743, 0.053597752212361474, -0.023229330026225303],
         atol=3e-3,  # ~0.4 of its formal sigma_a = 7.6e-3
     )
+
+
+class TestStreamPipeline:
+    """fit_lsq_stream must produce exactly fit_lsq's results per dataset
+    (the pipelining is a scheduling change only)."""
+
+    def test_stream_equals_sequential(self, eph):
+        from outfit_tpu.lsq import fit_lsq_stream
+
+        datasets = [
+            ObsDataset.from_mpc_80_col(f"{DATA}/{n}.obs")
+            for n in ("2015AB", "8467", "33803")
+        ]
+        cfg = DifferentialCorrectionConfig()
+        streamed = list(
+            fit_lsq_stream(iter(datasets), eph, _IOD, cfg, seed=42, depth=2)
+        )
+        assert [id(d) for d, _ in streamed] == [id(d) for d in datasets]
+        for ds, res in streamed:
+            # fresh copies: fit_lsq mutates error-model fields in place
+            ref = fit_lsq(ds, eph, _IOD, cfg, seed=42)
+            assert set(res) == set(ref)
+            for tid in res:
+                a, b = res[tid], ref[tid]
+                assert a.ok == b.ok and a.fell_back_to_iod == b.fell_back_to_iod
+                if a.ok and not a.fell_back_to_iod:
+                    np.testing.assert_allclose(
+                        a.equinoctial, b.equinoctial, rtol=0, atol=0
+                    )
+                    np.testing.assert_allclose(
+                        a.normalised_rms, b.normalised_rms, rtol=0, atol=0
+                    )
