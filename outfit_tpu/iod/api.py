@@ -776,8 +776,29 @@ def _fit_full_iod_dispatch(
     # the reorder value-transparent (composition-invariance tested).
     cw = np.maximum(counts_all[kept_rows], 1)
     width_b = np.maximum(8, 2 ** np.ceil(np.log2(cw)).astype(np.int64))
+    # width-bucket coalescing: per-chunk device cost is ~linear in PADDED
+    # rows plus a dispatch/latency floor, while the per-row obs-width cost
+    # is modest post-VPU-rewrite — measured on the U[8,23] ragged workload,
+    # one global-width chunk beats 2-6 width-split chunks by ~1.5x
+    # (devwait 290 vs 455 ms).  Merge adjacent width buckets within 4x
+    # (or 8x for groups too small to earn a chunk); only genuinely large
+    # width spreads (e.g. 16-obs survey arcs mixed with 256-obs arcs)
+    # still split.  Masks keep results identical either way.
+    if width_b.size:
+        uw = list(np.unique(width_b))
+        for i in range(len(uw) - 1):
+            w, wn = uw[i], uw[i + 1]
+            grp = width_b == w
+            n = int(grp.sum())
+            if n and (
+                wn <= 4 * w
+                or (n < max(256, width_b.size // 8) and wn <= 8 * w)
+            ):
+                width_b[grp] = wn
     if np.unique(width_b).size > 1:
-        kept_rows = kept_rows[np.argsort(width_b, kind="stable")]
+        order = np.argsort(width_b, kind="stable")
+        kept_rows = kept_rows[order]
+        width_b = width_b[order]
     kept_tids = [dataset.traj_ids[t] for t in kept_rows]
 
     # one batched draw for every trajectory's Monte-Carlo noise: per-tid key,
@@ -856,7 +877,7 @@ def _fit_full_iod_dispatch(
     # never straddle two obs-width buckets, so each chunk compiles and runs
     # at ITS width, not the dataset maximum
     cw_sorted = np.maximum(counts_all[kept_rows], 1)
-    wb_sorted = np.maximum(8, 2 ** np.ceil(np.log2(cw_sorted)).astype(np.int64))
+    wb_sorted = width_b  # promoted + sorted above (aligned with kept_rows)
     wcuts = [0] + list(np.nonzero(np.diff(wb_sorted))[0] + 1) + [Tk]
     multi_width = len(wcuts) > 2
     # multi-width chunks are a FIXED trajectory count: per-width group sizes
@@ -864,8 +885,12 @@ def _fit_full_iod_dispatch(
     # recompiles whenever a group crosses a power-of-two boundary (measured
     # ~100 s/shape through the axon tunnel, every fresh dataset).  A fixed
     # (chunk_t, width) shape per width bucket is composition-stable; the
-    # padded rows are inert lanes.
-    chunk_t = min(2048, _bucket(Tk)) if multi_width else Tk
+    # padded rows are inert lanes.  4096 because device cost per chunk is
+    # ~flat in the row count (latency-bound while loops): the floor is one
+    # chunk per width bucket, and a larger chunk_t both reaches it for
+    # survey-scale groups and keeps the chunk COUNT composition-stable
+    # (ragged devwait 415 ms at chunk_t=2048/6 chunks; 161 ms at 3 chunks).
+    chunk_t = min(8192, _bucket(Tk)) if multi_width else Tk
     spans = []
     for ws, we in zip(wcuts[:-1], wcuts[1:]):
         s = ws
@@ -1027,7 +1052,9 @@ def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
     ktrips_fetched = (
         np.zeros(len(kept_tids), np.int64) if state.get("sync_free") else None
     )
-    for (t0g, t1g, Tg, _), out in zip(state["pending"], fetched):
+    for (t0g, t1g, Tg, _), out in zip(
+        state.get("pending_fetch", state["pending"]), fetched
+    ):
         g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = out[:6]
         best_rms[t0g:t1g] = g_rms[:Tg]
         kind[t0g:t1g] = g_kind[:Tg]

@@ -130,7 +130,13 @@ class LsqResult:
         return np.sqrt(np.maximum(np.diag(cov), 0.0))
 
 
-def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool, seeded: bool = False):
+def _get_runner(
+    cfg: DifferentialCorrectionConfig,
+    ephem,
+    with_bias: bool,
+    seeded=False,
+    seeded_shape=None,
+):
     """Compile-cached correction runner; the ephemeris tables are closed
     over (needed for the N-body propagator, and JPLEphem is not a pytree).
     The cache lives ON the ephem object so compiled executables are released
@@ -148,7 +154,7 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool, seede
             ephem._lsq_runner_jit = store
         except AttributeError:
             pass
-    key = (cfg, with_bias, seeded)
+    key = (cfg, with_bias, seeded, seeded_shape)
     if key not in store:
 
         def _run(el, ep, base, glob_idx, valid):
@@ -172,21 +178,46 @@ def _get_runner(cfg: DifferentialCorrectionConfig, ephem, with_bias: bool, seede
             n_active = ((out.selection == SEL_ACTIVE) & valid).sum(axis=-1)
             return out, uncertainties_from_covariance(out.covariance), n_active
 
+        # FUSED stage handoff: seeds arrive as the IOD kernel's device
+        # outputs; rows without a usable seed run inert (benign
+        # elements, caller drops them) — same criteria as the host-side
+        # rows filter (iod.ok & finite equinoctial)
+        def _run_seeded(iod_rms, iod_eqv, iod_epoch, base, glob_idx, valid):
+            ok = jnp.isfinite(iod_rms) & jnp.isfinite(iod_eqv).all(-1)
+            benign = jnp.asarray([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+            el = jnp.where(ok[:, None], jnp.where(jnp.isfinite(iod_eqv), iod_eqv, 0.0), benign)
+            ep = jnp.where(ok, jnp.where(jnp.isfinite(iod_epoch), iod_epoch, 57000.0), 57000.0)
+            out, sig, n_active = _run(el, ep, base, glob_idx, valid)
+            return out, sig, n_active, ok
+
         if not seeded:
             store[key] = jax.jit(_run)
-        else:
-            # FUSED stage handoff: seeds arrive as the IOD kernel's device
-            # outputs; rows without a usable seed run inert (benign
-            # elements, caller drops them) — same criteria as the host-side
-            # rows filter (iod.ok & finite equinoctial)
-            def _run_seeded(iod_rms, iod_eqv, iod_epoch, base, glob_idx, valid):
-                ok = jnp.isfinite(iod_rms) & jnp.isfinite(iod_eqv).all(-1)
-                benign = jnp.asarray([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
-                el = jnp.where(ok[:, None], jnp.where(jnp.isfinite(iod_eqv), iod_eqv, 0.0), benign)
-                ep = jnp.where(ok, jnp.where(jnp.isfinite(iod_epoch), iod_epoch, 57000.0), 57000.0)
-                out, sig, n_active = _run(el, ep, base, glob_idx, valid)
-                return out, sig, n_active, ok
+        elif seeded == "merged":
+            # MERGED stage handoff across width-grouped IOD chunks: the
+            # correction while-loops are latency-bound (wall time ~flat in
+            # batch size), so running one correction per chunk multiplies
+            # the LSQ cost by the chunk count.  Concatenate every chunk's
+            # FULL padded outputs inside one jit (exact per-chunk row
+            # counts vary per dataset and would recompile; padded chunk
+            # shapes do not), COMPACT the real rows with a gather
+            # (``sel_rows`` maps compact row -> merged offset: half the
+            # correction rows and half the fetch payload on a typical
+            # ragged batch), run ONE correction at the dataset's widest
+            # obs bucket, and hand the compacted IOD outputs back so the
+            # host fetches no padded rows.
+            def _run_merged(seeds, sel_rows, base, glob_idx, valid):
+                n_out = len(seeds[0])
+                merged = [
+                    jnp.concatenate([s[i] for s in seeds])[sel_rows]
+                    for i in range(n_out)
+                ]
+                out, sig, n_active, ok = _run_seeded(
+                    merged[0], merged[3], merged[4], base, glob_idx, valid
+                )
+                return out, sig, n_active, ok, tuple(merged)
 
+            store[key] = jax.jit(_run_merged)
+        else:
             store[key] = jax.jit(_run_seeded)
     return store[key]
 
@@ -249,11 +280,66 @@ def fit_lsq_dispatch(
             dataset,
             results=_fit_lsq_seeded(dataset, ephem, config, st["results"], mesh),
         )
+    with_bias = dataset.bias_ra is not None
+    base = device_base_arrays(dataset, cache)
+
+    if len(st["pending"]) > 1 and mesh is None:
+        # MERGED correction across width-grouped IOD chunks: one
+        # latency-bound while-loop for all kept trajectories (running the
+        # correction per chunk multiplies the ~flat LSQ wall time by the
+        # chunk count — the ragged-workload killer).  Single-device only;
+        # the mesh path keeps per-chunk dispatch so shardings stay even.
+        from outfit_tpu.iod.api import _bucket, padded_dataset_arrays
+
+        lay = padded_dataset_arrays(dataset, with_values=False)
+        kept_rows = st["kept_rows"]
+        Tk = len(kept_rows)
+        counts_kept = np.maximum(lay.counts[kept_rows], 1)
+        w_m = int(
+            min(
+                lay.n_max,
+                max(8, 2 ** int(np.ceil(np.log2(counts_kept.max(initial=1))))),
+            )
+        )
+        # compact row t (kept order) lives at merged offset off_c + (t-t0g)
+        # of the full padded-chunk concatenation
+        chunk_lens = [int(o[0].shape[0]) for (_, _, _, o) in st["pending"]]
+        offs = np.concatenate([[0], np.cumsum(chunk_lens)[:-1]]).astype(np.int64)
+        Tb_k = _bucket(Tk)
+        sel_rows = np.zeros(Tb_k, np.int32)
+        for off, (t0g, t1g, Tg, _) in zip(offs, st["pending"]):
+            sel_rows[t0g:t1g] = off + np.arange(Tg)
+        glob_m = np.zeros((Tb_k, w_m), np.int32)
+        glob_m[:Tk] = lay.glob_idx[kept_rows, :w_m]
+        valid_m = np.zeros((Tb_k, w_m), bool)
+        valid_m[:Tk] = lay.valid[kept_rows, :w_m]
+
+        runner = _get_runner(config, ephem, with_bias, seeded="merged")
+        seeds = [o for (_, _, _, o) in st["pending"]]
+        lsq_out, sig_dev, nact_dev, _ok_dev, iod_merged = runner(
+            seeds, jnp.asarray(sel_rows), base,
+            jnp.asarray(glob_m), jnp.asarray(valid_m),
+        )
+        st["lsq_merged"] = [(0, Tk)]
+        # finalize fetches the compacted IOD outputs (one pseudo-chunk
+        # covering every kept row) instead of the per-chunk padded ones
+        st["pending_fetch"] = [(0, Tk, Tk, iod_merged)]
+        lsq_pend = [
+            (
+                lsq_out.status,
+                lsq_out.elements,
+                lsq_out.normalised_rms,
+                lsq_out.covariance,
+                nact_dev,
+                lsq_out.total_newton_iterations,
+                sig_dev,
+            )
+        ]
+        return PendingLsq(dataset, st=st, lsq_pend=lsq_pend)
+
     # dispatch the seeded correction per IOD chunk (chunks are
     # width-homogeneous, so each runs at its own obs width), then
     # ONE bulk transfer for every stage of every chunk
-    with_bias = dataset.bias_ra is not None
-    base = device_base_arrays(dataset, cache)
     runner = _get_runner(config, ephem, with_bias, seeded=True)
     lsq_pend = []
     for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
@@ -286,7 +372,10 @@ def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
 
     dataset, st, lsq_pend = pending.dataset, pending.st, pending.lsq_pend
     iod_fetched, lsq_fetched = jax.device_get(
-        ([o for *_, o in st["pending"]], lsq_pend)
+        (
+            [o for *_, o in st.get("pending_fetch", st["pending"])],
+            lsq_pend,
+        )
     )
     return _build_fused_results(dataset, st, iod_fetched, lsq_fetched)
 
@@ -296,11 +385,19 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
 
     # chunk obs widths differ: reduce selection to active counts
     # per chunk, then concatenate the width-independent outputs in
-    # kept order (chunks tile kept_tids contiguously)
-    live = [
-        tuple(a[:Tg] for a in chunk)
-        for chunk, (_, _, Tg, _) in zip(lsq_fetched, st["pending"])
-    ]
+    # kept order (chunks tile kept_tids contiguously).  In merged-LSQ mode
+    # there is ONE correction output covering every kept row already.
+    if st.get("lsq_merged"):
+        merged = lsq_fetched[0]
+        live = [
+            tuple(a[off : off + Tg] for a in merged)
+            for off, Tg in st["lsq_merged"]
+        ]
+    else:
+        live = [
+            tuple(a[:Tg] for a in chunk)
+            for chunk, (_, _, Tg, _) in zip(lsq_fetched, st["pending"])
+        ]
     status = np.concatenate([c[0] for c in live])
     elements = np.concatenate([c[1] for c in live])
     rms = np.concatenate([c[2] for c in live])

@@ -143,7 +143,13 @@ class TestClosure:
         """Width-grouped dispatch regression: a batch mixing obs counts that
         land in different padded-width buckets (8 / 16 / 32) must reproduce
         each trajectory's solo fit (composition contract + the left-packed
-        column slice being lossless)."""
+        column slice being lossless).
+
+        Tolerance 1e-11: width-bucket coalescing may run a trajectory at a
+        wider padded obs width than its solo fit, and the masked reductions
+        over the obs axis then accumulate in a different shape (~1e-12
+        noise on converged elements).  Both runs land in the same
+        chi-squared minimum; the convergence contract is 1e-4."""
         keps = {
             "W8": ((57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3), _EPOCHS[:8]),
             "W16": ((57000.0, 1.7, 0.25, 0.3, 2.2, 0.4, 1.5), _EPOCHS + 0.37),
@@ -171,7 +177,7 @@ class TestClosure:
             assert mixed[tid].ok == solo[tid].ok
             np.testing.assert_allclose(
                 mixed[tid].equinoctial, solo[tid].equinoctial,
-                rtol=0, atol=1e-13,
+                rtol=0, atol=1e-11,
             )
             assert mixed[tid].n_active_obs == solo[tid].n_active_obs
 
