@@ -319,8 +319,10 @@ def _enable_compile_cache():
         pass
 
 
-def bench_e2e_stream(n_traj: int, n_datasets: int = 12):
-    """12 x 8192 = ~1e5 trajectories end to end (the VERDICT r1 scale ask)."""
+def bench_e2e_stream(n_traj: int = 16384, n_datasets: int = 6):
+    """6 x 16384 = ~1e5 trajectories end to end (the VERDICT r1 scale ask).
+    16384-trajectory batches amortize the relay round-trips slightly better
+    than 8192 and the while-loop knee has moved past them post-rewrites."""
     return _bench_e2e_stream(n_traj, n_datasets)
 
 
@@ -391,7 +393,7 @@ def main():
         # mode (fit_lsq_stream overlaps host prep with device execution).
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
-        value = bench_e2e_stream(n_traj=8192)
+        value = bench_e2e_stream(n_traj=16384)
         value = max(value, e2e)  # pipelining must not be forced at a loss
         result = {
             "metric": "full IOD+LSQ fits/sec/chip, dataset->results incl. "
