@@ -49,6 +49,18 @@ _STATUS_ERRORS = {
 }
 
 
+#: lower-triangle index pair for symmetric 6x6 covariance relay packing
+_TRIL_I, _TRIL_J = np.tril_indices(6)
+
+
+def _unpack_cov(tri: np.ndarray) -> np.ndarray:
+    """(T, 21) lower triangle -> full symmetric (T, 6, 6)."""
+    c = np.zeros(tri.shape[:-1] + (6, 6))
+    c[..., _TRIL_I, _TRIL_J] = tri
+    c[..., _TRIL_J, _TRIL_I] = tri
+    return c
+
+
 def _status_name(code):
     e = _STATUS_ERRORS.get(code)
     if e is None and code in _STATUS_ERRORS:
@@ -174,9 +186,12 @@ def _get_runner(
             # 1-sigma extraction AND the active-observation count inside the
             # jit: an eager follow-up op costs a full tunnel round-trip
             # (~25 ms) per call, and downloading the (T, n_obs) selection
-            # matrix just to count actives wastes transfer bandwidth
+            # matrix just to count actives wastes transfer bandwidth.
+            # The covariance crosses the relay as its lower triangle
+            # ((T, 21) instead of (T, 36) f64 — it is symmetric).
             n_active = ((out.selection == SEL_ACTIVE) & valid).sum(axis=-1)
-            return out, uncertainties_from_covariance(out.covariance), n_active
+            cov_tri = out.covariance[:, _TRIL_I, _TRIL_J]
+            return out, uncertainties_from_covariance(out.covariance), n_active, cov_tri
 
         # FUSED stage handoff: seeds arrive as the IOD kernel's device
         # outputs; rows without a usable seed run inert (benign
@@ -187,8 +202,8 @@ def _get_runner(
             benign = jnp.asarray([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
             el = jnp.where(ok[:, None], jnp.where(jnp.isfinite(iod_eqv), iod_eqv, 0.0), benign)
             ep = jnp.where(ok, jnp.where(jnp.isfinite(iod_epoch), iod_epoch, 57000.0), 57000.0)
-            out, sig, n_active = _run(el, ep, base, glob_idx, valid)
-            return out, sig, n_active, ok
+            out, sig, n_active, cov_tri = _run(el, ep, base, glob_idx, valid)
+            return out, sig, n_active, cov_tri, ok
 
         if not seeded:
             store[key] = jax.jit(_run)
@@ -211,10 +226,10 @@ def _get_runner(
                     jnp.concatenate([s[i] for s in seeds])[sel_rows]
                     for i in range(n_out)
                 ]
-                out, sig, n_active, ok = _run_seeded(
+                out, sig, n_active, cov_tri, ok = _run_seeded(
                     merged[0], merged[3], merged[4], base, glob_idx, valid
                 )
-                return out, sig, n_active, ok, tuple(merged)
+                return out, sig, n_active, cov_tri, ok, tuple(merged)
 
             store[key] = jax.jit(_run_merged)
         else:
@@ -316,7 +331,7 @@ def fit_lsq_dispatch(
 
         runner = _get_runner(config, ephem, with_bias, seeded="merged")
         seeds = [o for (_, _, _, o) in st["pending"]]
-        lsq_out, sig_dev, nact_dev, _ok_dev, iod_merged = runner(
+        lsq_out, sig_dev, nact_dev, cov_tri_dev, _ok_dev, iod_merged = runner(
             seeds, jnp.asarray(sel_rows), base,
             jnp.asarray(glob_m), jnp.asarray(valid_m),
         )
@@ -329,7 +344,7 @@ def fit_lsq_dispatch(
                 lsq_out.status,
                 lsq_out.elements,
                 lsq_out.normalised_rms,
-                lsq_out.covariance,
+                cov_tri_dev,
                 nact_dev,
                 lsq_out.total_newton_iterations,
                 sig_dev,
@@ -345,7 +360,7 @@ def fit_lsq_dispatch(
     for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
         st["pending"], st["chunk_tables"]
     ):
-        lsq_out, sig_dev, nact_dev, _ok_dev = runner(
+        lsq_out, sig_dev, nact_dev, cov_tri_dev, _ok_dev = runner(
             iod_out[0], iod_out[3], iod_out[4], base, glob_dev,
             valid_dev,
         )
@@ -354,7 +369,7 @@ def fit_lsq_dispatch(
                 lsq_out.status,
                 lsq_out.elements,
                 lsq_out.normalised_rms,
-                lsq_out.covariance,
+                cov_tri_dev,
                 nact_dev,
                 lsq_out.total_newton_iterations,
                 sig_dev,
@@ -401,7 +416,7 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
     status = np.concatenate([c[0] for c in live])
     elements = np.concatenate([c[1] for c in live])
     rms = np.concatenate([c[2] for c in live])
-    cov = np.concatenate([c[3] for c in live])
+    cov = _unpack_cov(np.concatenate([c[3] for c in live]))
     its = np.concatenate([c[5] for c in live])
     sigmas = np.concatenate([c[6] for c in live])
     n_active_vec = np.concatenate([c[4] for c in live])
@@ -539,23 +554,24 @@ def _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache=None):
         valid_dev = shard_batch(mesh, valid_dev)
         base = replicate(mesh, base)
 
-    out, sig_dev, nact_dev = _get_runner(config, ephem, with_bias)(
+    out, sig_dev, nact_dev, cov_tri_dev = _get_runner(config, ephem, with_bias)(
         el, ep, base, glob, valid_dev
     )
     valid = g_valid
 
     # ONE bulk transfer (each individual np.asarray costs a tunnel RTT)
-    status, elements, rms, cov, n_active_vec, its, sigmas = jax.device_get(
+    status, elements, rms, cov_tri, n_active_vec, its, sigmas = jax.device_get(
         (
             out.status,
             out.elements,
             out.normalised_rms,
-            out.covariance,
+            cov_tri_dev,
             nact_dev,
             out.total_newton_iterations,
             sig_dev,
         )
     )
+    cov = _unpack_cov(cov_tri)
 
     # vectorized per-trajectory summaries (per-row numpy ops cost ~3 us
     # each; at survey scale the loop body must be pure construction)
