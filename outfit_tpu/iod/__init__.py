@@ -17,5 +17,6 @@ from outfit_tpu.iod.api import (  # noqa: F401
     FitResult,
     fit_full_iod,
     fit_full_iod_parallel,
+    fit_full_iod_stream,
     fit_iod,
 )

@@ -1144,6 +1144,45 @@ def fit_full_iod(
     return _finalize_iod(state, fetched)
 
 
+def fit_full_iod_stream(
+    datasets,
+    ephem,
+    params: IODParams = IODParams(),
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    mesh="auto",
+    depth: int = 2,
+):
+    """Pipelined IOD over a stream of datasets (host prep of dataset N+1
+    overlaps device execution of dataset N; see ``fit_lsq_stream``).
+    Yields ``(dataset, results)`` pairs in input order."""
+    from collections import deque
+
+    from outfit_tpu.parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh)
+
+    def _finalize(ds, state):
+        if state["pending"] is None:
+            return ds, state["results"]
+        fetched = jax.device_get(
+            [out for _, _, _, out in state.get("pending_fetch", state["pending"])]
+        )
+        return ds, _finalize_iod(state, fetched)
+
+    inflight = deque()
+    for ds in datasets:
+        st = _fit_full_iod_dispatch(
+            ds, ephem, params, seed, ut1, error_model, None, mesh
+        )
+        inflight.append((ds, st))
+        while len(inflight) > max(depth, 1):
+            yield _finalize(*inflight.popleft())
+    while inflight:
+        yield _finalize(*inflight.popleft())
+
+
 def fit_full_iod_parallel(*args, **kwargs) -> Dict[str, FitResult]:
     """Alias of :func:`fit_full_iod` (parity:
     ``fit_full_iod_parallel``, obs_dataset_api.rs:174-207).  The batched

@@ -602,3 +602,28 @@ class TestTripletVectorization:
                     want_t[t, : want_k[t]],
                     err_msg=f"trial {trial} traj {t}",
                 )
+
+
+class TestIodStream:
+    def test_stream_equals_sequential(self):
+        """fit_full_iod_stream is a scheduling change only: per-dataset
+        results must equal fit_full_iod exactly."""
+        from outfit_tpu.iod import fit_full_iod_stream
+
+        eph = JPLEphem.analytic(53500.0, 61500.0)
+        datasets = [
+            ObsDataset.from_mpc_80_col(f"{DATA}/{n}.obs")
+            for n in ("2015AB", "8467", "33803")
+        ]
+        p = IODParams(n_noise_realizations=2)
+        streamed = list(fit_full_iod_stream(iter(datasets), eph, p, seed=5))
+        assert [id(d) for d, _ in streamed] == [id(d) for d in datasets]
+        for ds, res in streamed:
+            ref = fit_full_iod(ds, eph, p, seed=5)
+            assert set(res) == set(ref)
+            for tid in res:
+                a, b = res[tid], ref[tid]
+                assert a.ok == b.ok and a.error == b.error
+                if a.ok:
+                    assert a.rms == b.rms and a.kind == b.kind
+                    np.testing.assert_array_equal(a.equinoctial, b.equinoctial)
