@@ -133,6 +133,24 @@ class PaddedDatasetArrays:
     bias_dec: Optional[np.ndarray] = None
 
 
+def _storage_order(dataset) -> np.ndarray:
+    """Stable (trajectory, epoch) sort order of the dataset's storage rows.
+
+    Fast path: ingestion (MPC files, dataframes, synthetic builders) usually
+    stores observations already grouped by trajectory and time-sorted within
+    — an O(n) check that is ~50x cheaper than the 2-key lexsort at survey
+    scale (the lexsort was the single largest host-prep line item)."""
+    mjd, ti = dataset.mjd_tt, dataset.traj_index
+    n = len(mjd)
+    if n == 0:
+        return np.arange(0)
+    grouped = ti[1:] >= ti[:-1]
+    if grouped.all():
+        if ((mjd[1:] >= mjd[:-1]) | (ti[1:] != ti[:-1])).all():
+            return np.arange(n)
+    return np.lexsort((mjd, ti))
+
+
 def padded_dataset_arrays(
     dataset, helio: Optional[np.ndarray] = None, with_values: bool = True
 ) -> PaddedDatasetArrays:
@@ -159,7 +177,7 @@ def padded_dataset_arrays(
         return lay
     n = len(dataset.mjd_tt)
     Tall = dataset.n_trajectories
-    order = np.lexsort((dataset.mjd_tt, dataset.traj_index))
+    order = _storage_order(dataset)
     ti_sorted = dataset.traj_index[order]
     counts = np.bincount(ti_sorted, minlength=Tall)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -197,7 +215,7 @@ def _padded_layout_impl(dataset) -> PaddedDatasetArrays:
     """Layout-only build: one lexsort + the index/validity scatters."""
     n = len(dataset.mjd_tt)
     Tall = dataset.n_trajectories
-    order = np.lexsort((dataset.mjd_tt, dataset.traj_index))
+    order = _storage_order(dataset)
     ti_sorted = dataset.traj_index[order]
     counts = np.bincount(ti_sorted, minlength=Tall)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -1071,12 +1089,23 @@ def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
     p = state.get("params")
     arc_kept = state.get("arc_kept")
     counts_kept = state.get("counts_kept")
+    # bulk scalar conversion: per-row float()/int() numpy casts cost ~5 us
+    # per trajectory at survey scale — tolist() amortizes them 3-4x
+    finite_l = np.isfinite(best_rms).tolist()
+    rms_l = best_rms.tolist()
+    corr_l = corrected.tolist()
+    epoch_l = epoch.tolist()
+    kind_l = kind.tolist()
+    el_rows = list(el)
+    eqv_rows = list(eqv)
+    ktrips_l = None if ktrips_fetched is None else ktrips_fetched.tolist()
+    lane_l = lane_counts.tolist()
     for t_row, tid in enumerate(kept_tids):
-        if not np.isfinite(best_rms[t_row]):
+        if not finite_l[t_row]:
             # sync-free rows that realized zero triplets on device were
             # never enumerable — same NoFeasibleTriplets error the early
             # host screen emits for rows it can rule out itself
-            if ktrips_fetched is not None and ktrips_fetched[t_row] == 0:
+            if ktrips_l is not None and ktrips_l[t_row] == 0:
                 results[tid] = FitResult(
                     tid, ok=False,
                     error=str(
@@ -1091,18 +1120,18 @@ def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
                 continue
             results[tid] = FitResult(
                 tid, ok=False,
-                error=str(NoViableOrbit(int(lane_counts[t_row]))),
+                error=str(NoViableOrbit(lane_l[t_row])),
             )
             continue
         results[tid] = FitResult(
             tid,
             ok=True,
-            rms=float(best_rms[t_row]),
-            corrected=bool(corrected[t_row]),
-            epoch=float(epoch[t_row]),
-            kind=int(kind[t_row]),
-            elements=el[t_row],
-            equinoctial=eqv[t_row],
+            rms=rms_l[t_row],
+            corrected=bool(corr_l[t_row]),
+            epoch=epoch_l[t_row],
+            kind=kind_l[t_row],
+            elements=el_rows[t_row],
+            equinoctial=eqv_rows[t_row],
         )
     return results
 
@@ -1153,9 +1182,11 @@ def fit_full_iod_stream(
     error_model: Optional[ErrorModel] = None,
     mesh="auto",
     depth: int = 2,
+    prefetch: bool = True,
 ):
     """Pipelined IOD over a stream of datasets (host prep of dataset N+1
-    overlaps device execution of dataset N; see ``fit_lsq_stream``).
+    overlaps device execution of dataset N; see ``fit_lsq_stream``, which
+    also documents the ``prefetch`` finalize thread).
     Yields ``(dataset, results)`` pairs in input order."""
     from collections import deque
 
@@ -1163,7 +1194,7 @@ def fit_full_iod_stream(
 
     mesh = resolve_mesh(mesh)
 
-    def _finalize(ds, state):
+    def _fetch_and_build(ds, state):
         if state["pending"] is None:
             return ds, state["results"]
         fetched = jax.device_get(
@@ -1171,16 +1202,33 @@ def fit_full_iod_stream(
         )
         return ds, _finalize_iod(state, fetched)
 
+    ex = None
+    if prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(1, thread_name_prefix="iod-finalize")
+
     inflight = deque()
-    for ds in datasets:
-        st = _fit_full_iod_dispatch(
-            ds, ephem, params, seed, ut1, error_model, None, mesh
-        )
-        inflight.append((ds, st))
-        while len(inflight) > max(depth, 1):
-            yield _finalize(*inflight.popleft())
-    while inflight:
-        yield _finalize(*inflight.popleft())
+    try:
+        for ds in datasets:
+            st = _fit_full_iod_dispatch(
+                ds, ephem, params, seed, ut1, error_model, None, mesh
+            )
+            item = (
+                ex.submit(_fetch_and_build, ds, st)
+                if ex is not None
+                else (ds, st)
+            )
+            inflight.append(item)
+            while len(inflight) > max(depth, 1):
+                got = inflight.popleft()
+                yield got.result() if ex is not None else _fetch_and_build(*got)
+        while inflight:
+            got = inflight.popleft()
+            yield got.result() if ex is not None else _fetch_and_build(*got)
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=False, cancel_futures=True)
 
 
 def fit_full_iod_parallel(*args, **kwargs) -> Dict[str, FitResult]:

@@ -435,7 +435,17 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
     counts_kept = padded_dataset_arrays(dataset, with_values=False).counts[
         st["kept_rows"]
     ]
-    ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
+    # bulk scalar conversion (per-row numpy casts are the survey-scale
+    # finalize hotspot; see _finalize_iod)
+    ok_l = ((status == STATUS_OK) & np.isfinite(elements).all(axis=1)).tolist()
+    rms_l = rms.tolist()
+    el_rows = list(elements)
+    cov_rows = list(cov)
+    sig_rows = list(sigmas)
+    nact_l = n_active_vec.tolist()
+    its_l = its.tolist()
+    status_l = status.tolist()
+    counts_l = counts_kept.tolist()
     for t, tid in enumerate(kept_tids):
         iod = initial_orbits[tid]
         if not iod.ok or iod.equinoctial is None:
@@ -449,29 +459,29 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
                 tid, ok=False, error="IOD seed not finite", iod=iod
             )
             continue
-        if ok_vec[t]:
+        if ok_l[t]:
             results[tid] = LsqResult(
                 tid,
                 ok=True,
-                normalised_rms=float(rms[t]),
-                epoch=float(iod.epoch),
-                equinoctial=elements[t],
-                covariance=cov[t],
-                uncertainties=sigmas[t],
-                n_active_obs=int(n_active_vec[t]),
-                total_newton_iterations=int(its[t]),
+                normalised_rms=rms_l[t],
+                epoch=iod.epoch,
+                equinoctial=el_rows[t],
+                covariance=cov_rows[t],
+                uncertainties=sig_rows[t],
+                n_active_obs=nact_l[t],
+                total_newton_iterations=its_l[t],
                 iod=iod,
             )
         else:
             results[tid] = LsqResult(
                 tid,
                 ok=True,
-                error=_status_name(int(status[t])),
+                error=_status_name(status_l[t]),
                 fell_back_to_iod=True,
-                normalised_rms=float(iod.rms),
-                epoch=float(iod.epoch),
+                normalised_rms=iod.rms,
+                epoch=iod.epoch,
                 equinoctial=np.array(iod.equinoctial),
-                n_active_obs=int(counts_kept[t]),
+                n_active_obs=counts_l[t],
                 iod=iod,
             )
     return results
@@ -573,22 +583,30 @@ def _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache=None):
     )
     cov = _unpack_cov(cov_tri)
 
-    # vectorized per-trajectory summaries (per-row numpy ops cost ~3 us
-    # each; at survey scale the loop body must be pure construction)
-    ok_vec = (status == STATUS_OK) & np.isfinite(elements).all(axis=1)
-    n_valid_vec = valid.sum(axis=1)
+    # bulk scalar conversion (per-row numpy casts cost ~3 us each; at
+    # survey scale the loop body must be pure construction)
+    ok_l = ((status == STATUS_OK) & np.isfinite(elements).all(axis=1)).tolist()
+    nval_l = valid.sum(axis=1).tolist()
+    rms_l = rms.tolist()
+    ep_l = ep0.tolist()
+    el_rows = list(elements)
+    cov_rows = list(cov)
+    sig_rows = list(sigmas)
+    nact_l = n_active_vec.tolist()
+    its_l = its.tolist()
+    status_l = status.tolist()
     for t, (tid, iod) in enumerate(rows):
-        if ok_vec[t]:
+        if ok_l[t]:
             results[tid] = LsqResult(
                 tid,
                 ok=True,
-                normalised_rms=float(rms[t]),
-                epoch=float(ep0[t]),
-                equinoctial=elements[t],
-                covariance=cov[t],
-                uncertainties=sigmas[t],
-                n_active_obs=int(n_active_vec[t]),
-                total_newton_iterations=int(its[t]),
+                normalised_rms=rms_l[t],
+                epoch=ep_l[t],
+                equinoctial=el_rows[t],
+                covariance=cov_rows[t],
+                uncertainties=sig_rows[t],
+                n_active_obs=nact_l[t],
+                total_newton_iterations=its_l[t],
                 iod=iod,
             )
         else:
@@ -596,12 +614,12 @@ def _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache=None):
             results[tid] = LsqResult(
                 tid,
                 ok=True,
-                error=_status_name(int(status[t])),
+                error=_status_name(status_l[t]),
                 fell_back_to_iod=True,
                 normalised_rms=float(iod.rms),
                 epoch=float(iod.epoch),
                 equinoctial=np.array(iod.equinoctial),
-                n_active_obs=int(n_valid_vec[t]),
+                n_active_obs=nval_l[t],
                 iod=iod,
             )
     return results
@@ -660,6 +678,7 @@ def fit_lsq_stream(
     error_model: Optional[ErrorModel] = None,
     mesh="auto",
     depth: int = 2,
+    prefetch: bool = True,
 ):
     """Pipelined fused fits over a stream of datasets.
 
@@ -671,19 +690,41 @@ def fit_lsq_stream(
     overlap of rayon workers across trajectories
     (obs_dataset_api.rs:174-207 processes independent work concurrently).
 
+    ``prefetch=True`` (default) runs each finalize (device fetch + result
+    construction) on one background thread: device_get releases the GIL
+    while the transfer rides the interconnect, so it overlaps the next
+    dataset's host prep.  Results are identical either way — this is pure
+    scheduling.
+
     Yields ``(dataset, results)`` pairs in input order.
     """
     from collections import deque
 
+    ex = None
+    if prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(1, thread_name_prefix="lsq-finalize")
+
+    def _finalize(pend):
+        if ex is not None:
+            return pend.dataset, pend_futures.pop(id(pend)).result()
+        return pend.dataset, fit_lsq_finalize(pend)
+
+    pend_futures = {}
     inflight = deque()
-    for ds in datasets:
-        pend = fit_lsq_dispatch(
-            ds, ephem, iod_params, config, seed, ut1, error_model, mesh
-        )
-        inflight.append(pend)
-        while len(inflight) >= max(depth, 1) + 1:
-            done = inflight.popleft()
-            yield done.dataset, fit_lsq_finalize(done)
-    while inflight:
-        done = inflight.popleft()
-        yield done.dataset, fit_lsq_finalize(done)
+    try:
+        for ds in datasets:
+            pend = fit_lsq_dispatch(
+                ds, ephem, iod_params, config, seed, ut1, error_model, mesh
+            )
+            if ex is not None:
+                pend_futures[id(pend)] = ex.submit(fit_lsq_finalize, pend)
+            inflight.append(pend)
+            while len(inflight) >= max(depth, 1) + 1:
+                yield _finalize(inflight.popleft())
+        while inflight:
+            yield _finalize(inflight.popleft())
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=False, cancel_futures=True)
