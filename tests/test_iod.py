@@ -604,6 +604,85 @@ class TestTripletVectorization:
                 )
 
 
+class TestStorageOrder:
+    """The host-prep layout builders replace the (mjd, traj) lexsort with an
+    O(n) sortedness check when storage is already grouped+sorted — the two
+    branches must agree, and fits must be storage-order independent."""
+
+    def test_fast_path_and_lexsort_agree(self):
+        from outfit_tpu.iod.api import _storage_order
+
+        rng = np.random.default_rng(0)
+        # grouped + time-sorted: identity order
+        ti = np.repeat(np.arange(5), 4)
+        mjd = 60000.0 + np.concatenate([np.sort(rng.uniform(0, 30, 4)) for _ in range(5)])
+        np.testing.assert_array_equal(
+            _storage_order(_FakeDs(mjd, ti)), np.arange(20)
+        )
+        # grouped but time-unsorted within a trajectory
+        mjd2 = mjd.copy()
+        mjd2[1], mjd2[2] = mjd2[2], mjd2[1]
+        np.testing.assert_array_equal(
+            _storage_order(_FakeDs(mjd2, ti)), np.lexsort((mjd2, ti))
+        )
+        # interleaved (time-ordered survey stream)
+        perm = rng.permutation(20)
+        np.testing.assert_array_equal(
+            _storage_order(_FakeDs(mjd[perm], ti[perm])),
+            np.lexsort((mjd[perm], ti[perm])),
+        )
+        # empty
+        assert len(_storage_order(_FakeDs(np.empty(0), np.empty(0, np.int64)))) == 0
+
+    def test_interleaved_dataset_same_fit(self, eph):
+        """End-to-end: a survey-interleaved dataset (rows NOT grouped by
+        trajectory) must produce the identical fit as the grouped storage —
+        this drives the lexsort branch through padded_dataset_arrays."""
+        kep = KeplerianElements(
+            *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
+        )
+        kep_b = KeplerianElements(
+            *map(jnp.float64, (57000.0, 1.5, 0.3, 0.4, 2.0, 0.2, 1.0))
+        )
+        epochs = 57000.0 + np.linspace(0, 30, 8)
+        ds_a = _synthesize(eph, kep, epochs, noise=3)
+        ds_b = _synthesize(eph, kep_b, epochs + 0.05, noise=4)
+        grouped = ObsDataset()
+        inter = ObsDataset()
+        rows_a = [ds_a.get_observation(i) for i in range(len(ds_a))]
+        rows_b = [ds_b.get_observation(i) for i in range(len(ds_b))]
+        geo = Observer.geocenter()
+
+        def push(ds, tid, o):
+            ds.push_observation(
+                tid, o.mjd_tt, o.ra, o.dec, o.ra_error, o.dec_error, geo
+            )
+
+        for o in rows_a:
+            push(grouped, "A", o)
+        for o in rows_b:
+            push(grouped, "B", o)
+        for oa, ob in zip(rows_a, rows_b):  # time-interleaved storage
+            push(inter, "A", oa)
+            push(inter, "B", ob)
+        p = IODParams(n_noise_realizations=2)
+        r_g = fit_full_iod(grouped, eph, p, seed=5)
+        r_i = fit_full_iod(inter, eph, p, seed=5)
+        assert set(r_g) == set(r_i) == {"A", "B"}
+        for tid in ("A", "B"):
+            assert r_g[tid].ok and r_i[tid].ok
+            assert r_g[tid].rms == r_i[tid].rms
+            np.testing.assert_array_equal(
+                r_g[tid].equinoctial, r_i[tid].equinoctial
+            )
+
+
+class _FakeDs:
+    def __init__(self, mjd, ti):
+        self.mjd_tt = mjd
+        self.traj_index = ti
+
+
 class TestIodStream:
     def test_stream_equals_sequential(self):
         """fit_full_iod_stream is a scheduling change only: per-dataset
