@@ -329,6 +329,11 @@ class ObsDataset:
         self.dec_error = sig.copy()
         return self
 
+    # photom spells the same operation two ways (with_error_model on the
+    # builder, apply_model_errors on the dataset); keep both names callable
+    with_error_model = apply_error_model
+    apply_model_errors = apply_error_model
+
     def apply_batch_rms_correction(self, gap_max_days: float) -> "ObsDataset":
         """Parity: photom's apply_batch_rms_correction (sqrt-N batch
         inflation within (trajectory, station) groups)."""
@@ -351,6 +356,11 @@ class ObsDataset:
 
     def iter_traj_id(self):
         return iter(self.traj_ids)
+
+    # photom's par_iter_traj_id exists because the reference fans work out
+    # per-trajectory on rayon; here the batched device kernel IS the parallel
+    # path, so the parallel iterator degenerates to the sequential one
+    par_iter_traj_id = iter_traj_id
 
     def _traj_row(self, traj_id: str) -> int:
         try:
