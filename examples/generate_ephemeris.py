@@ -32,7 +32,7 @@ def main(argv):
     from outfit_tpu.observations import ObsDataset
     from outfit_tpu.observations.observatories import Observer
 
-    files = argv[1:] or ["/root/reference/tests/data/2015AB.obs"]
+    files = argv[1:] or ["tests/data/2015AB.obs"]
     ds = ObsDataset.from_mpc_80_col_files(files)
     eph = JPLEphem("analytic:builtin")
 

@@ -25,10 +25,10 @@ def main():
         "files",
         nargs="*",
         default=[
-            "/root/reference/tests/data/2015AB.obs",
-            "/root/reference/tests/data/8467.obs",
-            "/root/reference/tests/data/33803.obs",
-            "/root/reference/tests/data/K25D50B.obs",
+            "tests/data/2015AB.obs",
+            "tests/data/8467.obs",
+            "tests/data/33803.obs",
+            "tests/data/K25D50B.obs",
         ],
     )
     ap.add_argument("--lsq", action="store_true", help="run differential correction too")

@@ -2,6 +2,8 @@
 
 import math
 
+import os
+
 import numpy as np
 import pytest
 
@@ -17,7 +19,7 @@ from outfit_tpu.conversion import (
 from outfit_tpu.observations import ObsDataset
 from outfit_tpu.observations.ades import parse_ades_file
 
-DATA = "/root/reference/tests/data"
+DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
 class TestConversion:

@@ -5,6 +5,8 @@ synthesize an orbit, then exercise output-kind x mode combinations and check
 predicted vs observed positions within tight angular thresholds.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -28,7 +30,7 @@ from outfit_tpu.iod.scoring import apparent_radec
 from outfit_tpu.observations.dataset import ObsDataset
 from outfit_tpu.observations.observatories import Observer, get_observatory
 
-DATA = "/root/reference/tests/data"
+DATA = os.path.join(os.path.dirname(__file__), "data")
 from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
 
 

@@ -7,6 +7,8 @@ and (b) structural/physical checks on the real MPC fixtures (the recovered
 2015AB elements land within ~1e-3 of the reference's DE440-based oracle).
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -32,7 +34,7 @@ from outfit_tpu.observations import ErrorModel, ObsDataset
 from outfit_tpu.observations.observatories import Observer
 from outfit_tpu.observer import ObserverCache
 
-DATA = "/root/reference/tests/data"
+DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
 @pytest.fixture(scope="module")

@@ -6,6 +6,8 @@ closure tests (exact recovery of synthesized orbits — a *stronger* check
 than regression pinning) plus structural parity tests.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -24,7 +26,7 @@ from outfit_tpu.lsq import DifferentialCorrectionConfig, fit_lsq
 from outfit_tpu.observations import ErrorModel, ObsDataset
 from outfit_tpu.observations.observatories import Observer
 
-DATA = "/root/reference/tests/data"
+DATA = os.path.join(os.path.dirname(__file__), "data")
 _IOD = IODParams(n_noise_realizations=3)
 
 
@@ -341,7 +343,7 @@ def test_mixed_precision_with_nbody_propagator():
     from outfit_tpu.propagator.config import NBodyConfig, PropagatorKind
 
     ds = ObsDataset.from_mpc_80_col_files(
-        ["/root/reference/tests/data/2015AB.obs"]
+        [f"{DATA}/2015AB.obs"]
     )
     eph = JPLEphem("analytic:builtin")
     cfg = DifferentialCorrectionConfig(

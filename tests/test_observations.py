@@ -5,6 +5,8 @@ Fixtures are the reference's own MPC 80-col test files
 ``tests/test_cache_consistency.rs`` (1e-12).
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -23,7 +25,7 @@ from outfit_tpu.observer import ObserverCache
 from outfit_tpu.observer.geometry import gast
 from outfit_tpu.time.scales import Ut1Provider
 
-DATA = "/root/reference/tests/data"
+DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
 @pytest.fixture(scope="module")

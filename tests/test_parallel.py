@@ -7,6 +7,8 @@ the 8-virtual-device CPU mesh (conftest) must produce the same results as
 the unsharded single-device run.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,7 +81,7 @@ class TestUserApiSharded:
     the single-device results (the reference's fit_full_iod_parallel ==
     fit_full_iod contract, tests/test_gauss_iod.rs:170-189)."""
 
-    DATA = "/root/reference/tests/data"
+    DATA = os.path.join(os.path.dirname(__file__), "data")
 
     @pytest.fixture(scope="class")
     def ds_eph(self):

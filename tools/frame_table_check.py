@@ -31,7 +31,7 @@ def main():
     from outfit_tpu.time.scales import Ut1Provider
 
     eph = JPLEphem.analytic(53500.0, 61500.0)
-    ds = ObsDataset.from_mpc_80_col("/root/reference/tests/data/2015AB.obs")
+    ds = ObsDataset.from_mpc_80_col("tests/data/2015AB.obs")
     ut1 = Ut1Provider()
     c = ObserverCache.build(ds, eph, ut1)
     fp = np.stack([np.asarray(earth_fixed_position(o)) for o in ds.observers])[
