@@ -457,3 +457,74 @@ class TestStreamPipeline:
                     np.testing.assert_allclose(
                         a.normalised_rms, b.normalised_rms, rtol=0, atol=0
                     )
+
+
+class TestDegenerateInputs:
+    """No-panic contract on nonsense data (diff_cor.rs:525-568): the full
+    IOD->LSQ pipeline must return typed per-trajectory errors (or a fit),
+    never raise, for astrometry that corresponds to no physical orbit."""
+
+    def _run(self, eph, build):
+        ds = ObsDataset()
+        geo = Observer.geocenter()
+        build(ds, geo)
+        res = fit_lsq(
+            ds, eph, IODParams(n_noise_realizations=2),
+            DifferentialCorrectionConfig(), seed=3,
+        )
+        assert set(res) == set(ds.traj_ids)
+        for tid, r in res.items():
+            if not r.ok:
+                assert isinstance(r.error, str) and r.error, tid
+        return res
+
+    def test_all_zero_radec(self, eph):
+        def build(ds, geo):
+            for i, t in enumerate(np.linspace(0, 30, 8)):
+                ds.push_observation(
+                    "ZERO", 57000.0 + t, 0.0, 0.0, 1e-6, 1e-6, geo
+                )
+        self._run(eph, build)
+
+    def test_random_sky_scatter(self, eph):
+        rng = np.random.default_rng(11)
+
+        def build(ds, geo):
+            for t in np.linspace(0, 25, 9):
+                ds.push_observation(
+                    "RND", 57000.0 + t,
+                    float(rng.uniform(0, 2 * np.pi)),
+                    float(rng.uniform(-1.4, 1.4)),
+                    1e-6, 1e-6, geo,
+                )
+        self._run(eph, build)
+
+    def test_identical_epochs(self, eph):
+        def build(ds, geo):
+            for _ in range(6):
+                ds.push_observation(
+                    "SAME_T", 57000.0, 1.0, 0.2, 1e-6, 1e-6, geo
+                )
+        res = self._run(eph, build)
+        assert not res["SAME_T"].ok  # zero arc: no feasible triplet
+
+    def test_mixed_good_and_degenerate(self, eph):
+        """A garbage trajectory must not poison a good one in the same batch
+        (errors-as-data isolation)."""
+        kep = KeplerianElements(
+            *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
+        )
+        epochs = 57000.0 + np.linspace(0, 30, 8)
+
+        def build(ds, geo):
+            _synth_dataset(eph, kep, epochs, tid="GOOD", ds=ds)
+            rng = np.random.default_rng(5)
+            for t in np.linspace(0, 20, 7):
+                ds.push_observation(
+                    "BAD", 57000.0 + t,
+                    float(rng.uniform(0, 2 * np.pi)),
+                    float(rng.uniform(-1.4, 1.4)),
+                    1e-6, 1e-6, geo,
+                )
+        res = self._run(eph, build)
+        assert res["GOOD"].ok and res["GOOD"].normalised_rms < 2.0
