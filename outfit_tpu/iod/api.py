@@ -1248,17 +1248,25 @@ def fit_iod(
     seed: int = 0,
     ut1=None,
     traj_id: str = "TRAJ",
+    error_model=None,
 ) -> FitResult:
-    """Single-trajectory IOD from a list of Observation records.
+    """Single-trajectory IOD.
 
     Parity: ``FitIOD::fit_iod`` (obs_dataset_api.rs:41-127) — convenience
-    wrapper around the batched path for one trajectory.
+    wrapper around the batched path for one trajectory.  Accepts either a
+    list of Observation records, or an ObsDataset + ``traj_id`` (the
+    reference's ``dataset.fit_iod("K09R05F", ...)`` form).
     """
     from outfit_tpu.observations.dataset import ObsDataset
 
+    if isinstance(observations, ObsDataset):
+        src = observations
+        observations = src.materialize_trajectory(traj_id)
     ds = ObsDataset()
     for o in observations:
         ds.push_observation(
             traj_id, o.mjd_tt, o.ra, o.dec, o.ra_error, o.dec_error, o.observer
         )
-    return fit_full_iod(ds, ephem, params, seed=seed, ut1=ut1)[traj_id]
+    return fit_full_iod(
+        ds, ephem, params, seed=seed, ut1=ut1, error_model=error_model
+    )[traj_id]
