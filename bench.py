@@ -364,25 +364,69 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int):
     return n_done / dt
 
 
+def _backend_usable(timeout_s: int = 240):
+    """Probe the ambient JAX backend in a subprocess with a hard timeout.
+
+    The axon TPU tunnel can wedge at client init (jax.devices() blocks
+    forever) or fail with a libtpu version mismatch; either would turn the
+    bench into a silent hang.  A subprocess probe keeps this process's JAX
+    uninitialized so a CPU re-exec stays possible."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "jnp.ones(8).sum().block_until_ready();"
+        "print(jax.default_backend())"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return p.returncode == 0, (p.stdout + p.stderr).strip()[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"backend init exceeded {timeout_s}s"
+
+
 def main():
+    cpu_fallback = os.environ.get("OUTFIT_BENCH_CPU_FALLBACK") == "1"
+    if not cpu_fallback and os.environ.get("OUTFIT_BENCH_SKIP_PROBE") != "1":
+        ok, detail = _backend_usable(
+            int(os.environ.get("OUTFIT_BENCH_PROBE_TIMEOUT", "240"))
+        )
+        if not ok:
+            log(f"ambient backend unusable ({detail}); re-exec on CPU")
+            env = dict(os.environ)
+            env.update(
+                PALLAS_AXON_POOL_IPS="",
+                JAX_PLATFORMS="cpu",
+                OUTFIT_BENCH_CPU_FALLBACK="1",
+            )
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
     import jax
 
     _enable_compile_cache()
 
     log(f"devices: {jax.devices()}")
     target_per_chip = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on v5e-8
+    # CPU fallback: bounded workload (the full 16k-trajectory stream would
+    # run for tens of minutes on a host CPU) + an honest metric label
+    nt = 1024 if cpu_fallback else 8192
+    nt_stream = 1024 if cpu_fallback else 16384
+    tag = " (CPU FALLBACK - TPU backend unreachable)" if cpu_fallback else ""
 
     try:
         # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
         # latency-bound and nearly flat in batch size (34.5 ms @ 2048 ->
         # 41.8 ms @ 8192), so production batches this large are the
         # steady-state operating point (fink-fat-scale datasets are 1e5+)
-        kern = bench_iod_lsq(n_traj=8192)
+        kern = bench_iod_lsq(n_traj=nt)
         log(
             f"KERNELS ONLY (warm device dispatch): {kern:.0f} fits/sec/chip"
             f" = {kern / target_per_chip:.2f}x the 12.5k/chip target"
         )
-        e2e = bench_e2e(n_traj=8192)
+        e2e = bench_e2e(n_traj=nt)
         log(
             f"END-TO-END sequential (dataset->results incl. ALL host prep): "
             f"{e2e:.0f} fits/sec/chip = {e2e / target_per_chip:.2f}x the "
@@ -393,11 +437,11 @@ def main():
         # mode (fit_lsq_stream overlaps host prep with device execution).
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
-        value = bench_e2e_stream(n_traj=16384)
+        value = bench_e2e_stream(n_traj=nt_stream)
         value = max(value, e2e)  # pipelining must not be forced at a loss
         result = {
             "metric": "full IOD+LSQ fits/sec/chip, dataset->results incl. "
-                      "all host prep (pipelined service mode)",
+                      "all host prep (pipelined service mode)" + tag,
             "value": round(value, 2),
             "unit": "fits/sec/chip",
             "vs_baseline": round(value / target_per_chip, 4),
@@ -416,8 +460,10 @@ def main():
     # secondary below is informational and must not jeopardize the metric
     # if its fresh compile is slow on a cold cache
     print(json.dumps(result), flush=True)
-    if result["unit"] == "fits/sec/chip" and not os.environ.get(
-        "OUTFIT_BENCH_SKIP_RAGGED"
+    if (
+        result["unit"] == "fits/sec/chip"
+        and not cpu_fallback
+        and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED")
     ):
         try:
             # realistically-ragged secondary metric (VERDICT r1 weak #7):
