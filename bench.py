@@ -437,11 +437,14 @@ def main():
         # mode (fit_lsq_stream overlaps host prep with device execution).
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
-        value = bench_e2e_stream(n_traj=nt_stream)
-        value = max(value, e2e)  # pipelining must not be forced at a loss
+        stream = bench_e2e_stream(n_traj=nt_stream)
+        # pipelining must not be forced at a loss — but the label must say
+        # which mode actually produced the recorded number
+        value = max(stream, e2e)
+        mode = "pipelined service mode" if stream >= e2e else "sequential mode"
         result = {
             "metric": "full IOD+LSQ fits/sec/chip, dataset->results incl. "
-                      "all host prep (pipelined service mode)" + tag,
+                      f"all host prep ({mode})" + tag,
             "value": round(value, 2),
             "unit": "fits/sec/chip",
             "vs_baseline": round(value / target_per_chip, 4),

@@ -69,6 +69,11 @@ def compute_ephemeris(
             ]
         )
 
+    # unknown observatory codes carry geocenter placeholder coordinates (up
+    # to ~6400 km observer error) — per-entry error, never a silent geocenter
+    # (same contract as the fit pipelines' per-trajectory UnknownObservatory)
+    unknown = np.array([bool(getattr(o, "unknown", False)) for o, _ in pairs])
+
     epochs = np.array([t for _, t in pairs])
     fixed_pos = np.stack(
         [np.asarray(earth_fixed_position(o)) for o, _ in pairs]
@@ -97,7 +102,12 @@ def compute_ephemeris(
     ok = np.asarray(out.ok)
     entries = []
     for i, (o, t) in enumerate(pairs):
-        if ok[i]:
+        if unknown[i]:
+            # same text the fit pipelines emit (iod/api.py UnknownObservatory)
+            entries.append(
+                EphemerisEntry(t, o, error=f"UnknownObservatory({o.code})")
+            )
+        elif ok[i]:
             val = EphemerisValue(
                 ApparentPosition(*[float(np.asarray(f)[i]) for f in out.position]),
                 BodyGeometry(*[float(np.asarray(f)[i]) for f in out.geometry]),

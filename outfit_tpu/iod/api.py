@@ -46,10 +46,7 @@ from outfit_tpu.iod.gauss import (
 )
 from outfit_tpu.iod.params import IODParams
 from outfit_tpu.iod.scoring import rms_orbit_error
-from outfit_tpu.iod.triplets import (
-    generate_triplet_indices_batch,
-    generate_triplet_indices_device,
-)
+from outfit_tpu.iod.triplets import generate_triplet_indices_device
 from outfit_tpu.observations.error_model import ErrorModel
 from outfit_tpu.observer.cache import ObserverCache
 from outfit_tpu.time.scales import Ut1Provider
@@ -164,10 +161,17 @@ def padded_dataset_arrays(
     The layout variant is memoized on the dataset (fit_full_iod and
     fit_lsq share one lexsort per dataset)."""
     if not with_values:
-        key = (len(dataset.mjd_tt), id(dataset.mjd_tt), id(dataset.traj_index),
+        # identity key with retained references (see device_base_arrays)
+        key = (len(dataset.mjd_tt), dataset.mjd_tt, dataset.traj_index,
                dataset.n_trajectories)
         hit = getattr(dataset, "_layout_cache", None)
-        if hit is not None and hit[0] == key:
+        if (
+            hit is not None
+            and hit[0][0] == key[0]
+            and hit[0][3] == key[3]
+            and hit[0][1] is key[1]
+            and hit[0][2] is key[2]
+        ):
             return hit[1]
         lay = _padded_layout_impl(dataset)
         try:
@@ -251,19 +255,28 @@ def device_base_arrays(dataset, cache):
     apply_error_model / batch-RMS / set_bias — which all rebind the arrays
     — invalidate it): fit_full_iod and fit_lsq share one upload.
     """
+    # keyed by the constituent arrays THEMSELVES (identity, with references
+    # retained so a freed-and-reallocated array can never recycle an id into
+    # a false hit).  API mutators (apply_error_model / batch-RMS / set_bias /
+    # push_observation) all REBIND these arrays; direct in-place mutation of
+    # dataset columns requires dataset.invalidate_caches().
     key = (
         len(dataset.mjd_tt),
-        id(dataset.mjd_tt),
-        id(dataset.ra),
-        id(dataset.dec),
-        id(dataset.ra_error),
-        id(dataset.dec_error),
-        id(cache.helio_pos_pad),
-        id(dataset.bias_ra),
-        id(dataset.bias_dec),
+        dataset.mjd_tt,
+        dataset.ra,
+        dataset.dec,
+        dataset.ra_error,
+        dataset.dec_error,
+        cache.helio_pos_pad,
+        dataset.bias_ra,
+        dataset.bias_dec,
     )
     hit = getattr(dataset, "_device_base_cache", None)
-    if hit is not None and hit[0] == key:
+    if (
+        hit is not None
+        and hit[0][0] == key[0]
+        and all(a is b for a, b in zip(hit[0][1:], key[1:]))
+    ):
         return hit[1]
     nb = _bucket(len(dataset.mjd_tt))
     pad_n = nb - len(dataset.mjd_tt)
@@ -1260,13 +1273,16 @@ def fit_iod(
     from outfit_tpu.observations.dataset import ObsDataset
 
     if isinstance(observations, ObsDataset):
-        src = observations
-        observations = src.materialize_trajectory(traj_id)
-    ds = ObsDataset()
-    for o in observations:
-        ds.push_observation(
-            traj_id, o.mjd_tt, o.ra, o.dec, o.ra_error, o.dec_error, o.observer
-        )
+        # column subset (keeps catalog codes + bias so a catalog-aware
+        # error model resolves the same sigma tier as the batch path)
+        ds = observations.subset(observations.trajectory_obs_indices(traj_id))
+    else:
+        ds = ObsDataset()
+        for o in observations:
+            ds.push_observation(
+                traj_id, o.mjd_tt, o.ra, o.dec, o.ra_error, o.dec_error,
+                o.observer,
+            )
     return fit_full_iod(
         ds, ephem, params, seed=seed, ut1=ut1, error_model=error_model
     )[traj_id]

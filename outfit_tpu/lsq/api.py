@@ -40,12 +40,13 @@ from outfit_tpu.errors import (
     DifferentialCorrectionFailed,
 )
 
-# LSQ kernel status code -> result-error class (errors.py docstring)
-_STATUS_ERRORS = {
-    1: None,
-    2: BizarreOrbit(),
-    3: DifferentialCorrectionDiverged(),
-    4: DifferentialCorrectionFailed("inversion"),
+# LSQ kernel status code -> result-error string (the classes exist for
+# host-side raising; in-kernel failures are data and stringify here)
+_STATUS_NAMES = {
+    1: None,  # still-running sentinel: no error text
+    2: BizarreOrbit.__name__,
+    3: DifferentialCorrectionDiverged.__name__,
+    4: DifferentialCorrectionFailed.__name__ + "(inversion)",
 }
 
 
@@ -62,12 +63,7 @@ def _unpack_cov(tri: np.ndarray) -> np.ndarray:
 
 
 def _status_name(code):
-    e = _STATUS_ERRORS.get(code)
-    if e is None and code in _STATUS_ERRORS:
-        return None
-    if e is None:
-        return f"status={code}"
-    return f"{type(e).__name__}({e.args[0]})" if e.args else type(e).__name__
+    return _STATUS_NAMES.get(code, f"status={code}")
 
 
 @dataclass
@@ -147,7 +143,6 @@ def _get_runner(
     ephem,
     with_bias: bool,
     seeded=False,
-    seeded_shape=None,
 ):
     """Compile-cached correction runner; the ephemeris tables are closed
     over (needed for the N-body propagator, and JPLEphem is not a pytree).
@@ -166,7 +161,7 @@ def _get_runner(
             ephem._lsq_runner_jit = store
         except AttributeError:
             pass
-    key = (cfg, with_bias, seeded, seeded_shape)
+    key = (cfg, with_bias, seeded)
     if key not in store:
 
         def _run(el, ep, base, glob_idx, valid):
@@ -293,7 +288,9 @@ def fit_lsq_dispatch(
         # sequential path to build error results
         return PendingLsq(
             dataset,
-            results=_fit_lsq_seeded(dataset, ephem, config, st["results"], mesh),
+            results=_fit_lsq_seeded(
+                dataset, ephem, config, st["results"], mesh, cache=cache
+            ),
         )
     with_bias = dataset.bias_ra is not None
     base = device_base_arrays(dataset, cache)
@@ -383,8 +380,6 @@ def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
     and build the per-trajectory result map."""
     if pending.results is not None:
         return pending.results
-    from outfit_tpu.iod.api import _finalize_iod, padded_dataset_arrays
-
     dataset, st, lsq_pend = pending.dataset, pending.st, pending.lsq_pend
     iod_fetched, lsq_fetched = jax.device_get(
         (
@@ -487,12 +482,14 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
     return results
 
 
-def _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache=None):
+def _fit_lsq_seeded(
+    dataset, ephem, config, initial_orbits, mesh, cache=None, ut1=None
+):
     """Two-step path: differential correction from an explicit per-trajectory
     seed map (the ``initial_orbits=`` resume path, diff_cor
     obs_dataset_api.rs:68-71,211-213)."""
     if cache is None:
-        cache = ObserverCache.build(dataset, ephem)
+        cache = ObserverCache.build(dataset, ephem, ut1)
 
     results: Dict[str, LsqResult] = {}
     rows = []

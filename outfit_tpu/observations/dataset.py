@@ -401,6 +401,43 @@ class ObsDataset:
             (tid, groups.get(ti, empty)) for ti, tid in enumerate(self.traj_ids)
         ]
 
+    def invalidate_caches(self) -> "ObsDataset":
+        """Drop memoized device/layout tables.  The fit pipelines key their
+        per-dataset caches on the identity of the column arrays; the API
+        mutators rebind those arrays so the caches self-invalidate — but
+        direct in-place mutation (``ds.ra_error *= 2``) does not, and must
+        be followed by this call."""
+        for attr in ("_device_base_cache", "_layout_cache"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
+    def subset(self, indices) -> "ObsDataset":
+        """New dataset holding only the given observation rows (all columns,
+        including catalog codes and bias — unlike re-pushing Observation
+        views, which would drop the catalog tier of the error model)."""
+        idx = np.asarray(indices, dtype=np.int64)
+        kept_traj = sorted(set(int(t) for t in self.traj_index[idx]))
+        tmap = {t: i for i, t in enumerate(kept_traj)}
+        ds = ObsDataset(
+            mjd_tt=self.mjd_tt[idx].copy(),
+            ra=self.ra[idx].copy(),
+            dec=self.dec[idx].copy(),
+            ra_error=self.ra_error[idx].copy(),
+            dec_error=self.dec_error[idx].copy(),
+            traj_index=np.array([tmap[int(t)] for t in self.traj_index[idx]],
+                                dtype=np.int64),
+            observer_index=self.observer_index[idx].copy(),
+            traj_ids=[self.traj_ids[t] for t in kept_traj],
+            observers=list(self.observers),
+            mag=self.mag[idx].copy() if len(self.mag) == len(self) else self.mag,
+            catalog=(self.catalog[idx].copy()
+                     if len(self.catalog) == len(self) else self.catalog),
+            bias_ra=None if self.bias_ra is None else self.bias_ra[idx].copy(),
+            bias_dec=None if self.bias_dec is None else self.bias_dec[idx].copy(),
+        )
+        return ds
+
     def get_observation(self, i: int) -> Observation:
         return Observation(
             index=i,

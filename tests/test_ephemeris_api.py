@@ -214,3 +214,30 @@ def test_fit_predict_closure_2015ab_per_site():
             np.hypot(dra * np.cos(ds.dec[i]), p.dec - ds.dec[i]) * 206264.806
         )
     assert np.median(seps) < 2.0
+
+
+class TestUnknownObservatory:
+    """Unknown MPC codes carry geocenter placeholder coordinates; every
+    consumer must surface an error, never a silent geocentric prediction
+    (same contract as the fit pipelines' per-trajectory UnknownObservatory)."""
+
+    def test_unknown_observer_entries_error(self, eph, kep):
+        bad = get_observatory("ZZ9")
+        assert bad.unknown
+        req = (
+            EphemerisRequest()
+            .add(Observer.geocenter(), EphemerisMode.at([57010.0]))
+            .add(bad, EphemerisMode.at([57010.0, 57020.0]))
+        )
+        res = compute_ephemeris(kep, req, eph)
+        assert len(res.entries) == 3
+        good, b1, b2 = res.entries
+        assert good.ok and good.value is not None
+        for e in (b1, b2):
+            assert not e.ok and "UnknownObservatory" in e.error
+
+    def test_all_unknown_still_structured(self, eph, kep):
+        bad = get_observatory("ZZ8")
+        req = EphemerisRequest().add(bad, EphemerisMode.at([57010.0]))
+        res = compute_ephemeris(kep, req, eph)
+        assert res.error_count() == 1 and not res.entries[0].ok

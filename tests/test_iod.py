@@ -708,3 +708,32 @@ class TestIodStream:
                 if a.ok:
                     assert a.rms == b.rms and a.kind == b.kind
                     np.testing.assert_array_equal(a.equinoctial, b.equinoctial)
+
+
+class TestFitIodDatasetForm:
+    def test_matches_batch_path_with_catalog_tiers(self, eph):
+        """fit_iod(dataset, traj_id=...) must resolve the same catalog-aware
+        sigma tier as fit_full_iod (regression: re-pushing Observation views
+        dropped the catalog column, changing the weights)."""
+        from outfit_tpu.iod import fit_iod
+
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        assert len(np.unique(ds.catalog)) > 1  # fixture carries catalog codes
+        p = IODParams(n_noise_realizations=2)
+        em = ErrorModel.fcct14()
+        batch = fit_full_iod(ds, eph, p, seed=5, error_model=em)["K09R05F"]
+        ds2 = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        single = fit_iod(
+            ds2, eph, p, seed=5, traj_id="K09R05F", error_model=em
+        )
+        assert single.ok == batch.ok
+        assert single.rms == batch.rms
+        np.testing.assert_array_equal(single.equinoctial, batch.equinoctial)
+
+    def test_unknown_traj_id_raises(self, eph):
+        from outfit_tpu.iod import fit_iod
+        from outfit_tpu.errors import TrajectoryIdNotFound
+
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        with pytest.raises(TrajectoryIdNotFound):
+            fit_iod(ds, eph, IODParams(), traj_id="NOPE")

@@ -438,3 +438,34 @@ class TestParquetIngestion:
         # same data + same per-trajectory seed -> identical fit
         np.testing.assert_allclose(r_pq.equinoctial, r_mpc.equinoctial, rtol=1e-12)
         assert r_pq.rms == pytest.approx(r_mpc.rms, rel=1e-12)
+
+
+class TestSubsetAndCacheInvalidation:
+    def test_subset_keeps_all_columns(self):
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        ds.set_bias(np.arange(float(len(ds))), -np.arange(float(len(ds))))
+        idx = ds.trajectory_obs_indices("K09R05F")[2:5]
+        sub = ds.subset(idx)
+        assert len(sub) == 3 and sub.traj_ids == ["K09R05F"]
+        np.testing.assert_array_equal(sub.mjd_tt, ds.mjd_tt[idx])
+        np.testing.assert_array_equal(sub.catalog, ds.catalog[idx])
+        np.testing.assert_array_equal(sub.bias_ra, ds.bias_ra[idx])
+        # observer resolution is preserved per row
+        for k, i in enumerate(idx):
+            assert sub.get_observation(k).observer is ds.get_observation(int(i)).observer
+
+    def test_invalidate_caches_after_inplace_mutation(self):
+        """The fit pipelines memoize device/layout tables on column-array
+        identity; in-place mutation must be followed by invalidate_caches()
+        (API mutators rebind and self-invalidate)."""
+        from outfit_tpu.iod.api import padded_dataset_arrays
+
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        lay1 = padded_dataset_arrays(ds, with_values=False)
+        assert padded_dataset_arrays(ds, with_values=False) is lay1  # memo hit
+        ds.mjd_tt[0] += 0.0  # in-place touch: cache CANNOT see this
+        assert padded_dataset_arrays(ds, with_values=False) is lay1
+        ds.invalidate_caches()
+        lay2 = padded_dataset_arrays(ds, with_values=False)
+        assert lay2 is not lay1
+        np.testing.assert_array_equal(lay2.counts, lay1.counts)
