@@ -17,7 +17,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from outfit_tpu.constants import DPI, GAUSS_GRAV_SQUARED
+from outfit_tpu.constants import GAUSS_GRAV_SQUARED
+from outfit_tpu.kepler.angles import principal_angle as _wrap
 
 _EPS = float(jnp.finfo(jnp.float64).eps)
 
@@ -27,10 +28,6 @@ KIND_COMETARY = 1
 _EPS_EQ = 1e-15  # equatorial-orbit threshold on sin(i)
 _EPS_PARAB = 1e-12  # near-parabolic threshold on 1/a
 _EPS_E = 5e-15  # |e - 1| near-parabolic threshold
-
-
-def _wrap(x):
-    return x - jnp.floor(x / DPI) * DPI
 
 
 def eccentricity_control(position, velocity, peri_max, ecc_max):

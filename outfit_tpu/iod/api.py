@@ -82,8 +82,6 @@ class FitResult:
         e = self.elements
         if self.kind == KIND_KEPLERIAN:
             return KeplerianElements(self.epoch, e[0], e[1], e[2], e[3], e[4], e[5])
-        from outfit_tpu.elements.types import CometaryElements
-
         return CometaryElements(self.epoch, e[0], e[1], e[2], e[3], e[4], e[5])
 
     @property
@@ -160,56 +158,53 @@ def padded_dataset_arrays(
     path) skip the value scatters and the helio device->host download.
     The layout variant is memoized on the dataset (fit_full_iod and
     fit_lsq share one lexsort per dataset)."""
-    if not with_values:
-        # identity key with retained references (see device_base_arrays)
-        key = (len(dataset.mjd_tt), dataset.mjd_tt, dataset.traj_index,
-               dataset.n_trajectories)
-        hit = getattr(dataset, "_layout_cache", None)
-        if (
-            hit is not None
-            and hit[0][0] == key[0]
-            and hit[0][3] == key[3]
-            and hit[0][1] is key[1]
-            and hit[0][2] is key[2]
-        ):
-            return hit[1]
+    # layout is always resolved through the memo: the value path reuses the
+    # cached lexsort instead of re-deriving order/counts/starts (one layout
+    # computation per dataset, period)
+    key = (len(dataset.mjd_tt), dataset.mjd_tt, dataset.traj_index,
+           dataset.n_trajectories)
+    hit = getattr(dataset, "_layout_cache", None)
+    if (
+        hit is not None
+        and hit[0][0] == key[0]
+        and hit[0][3] == key[3]
+        and hit[0][1] is key[1]
+        and hit[0][2] is key[2]
+    ):
+        lay = hit[1]
+    else:
         lay = _padded_layout_impl(dataset)
         try:
             dataset._layout_cache = (key, lay)
         except Exception:
             pass
+    if not with_values:
         return lay
-    n = len(dataset.mjd_tt)
-    Tall = dataset.n_trajectories
-    order = _storage_order(dataset)
-    ti_sorted = dataset.traj_index[order]
-    counts = np.bincount(ti_sorted, minlength=Tall)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos = np.arange(n) - starts[ti_sorted]
-    n_max = _bucket(int(counts.max(initial=1)))
+
+    # value scatters derived from the layout: valid selects the populated
+    # (trajectory, slot) cells row-major, glob_idx maps each back to its
+    # dataset storage row
+    v = lay.valid
+    gi = lay.glob_idx[v]
 
     def _scatter(src, fill=0.0):
-        out = np.full((Tall, n_max), fill)
-        out[ti_sorted, pos] = src[order]
+        out = np.full(v.shape, fill)
+        out[v] = src[gi]
         return out
 
-    helio_pad = np.zeros((Tall, n_max, 3))
-    helio_pad[ti_sorted, pos] = helio[order]
-    valid = np.zeros((Tall, n_max), dtype=bool)
-    valid[ti_sorted, pos] = True
-    glob_idx = np.zeros((Tall, n_max), np.int64)
-    glob_idx[ti_sorted, pos] = order
+    helio_pad = np.zeros((*v.shape, 3))
+    helio_pad[v] = np.asarray(helio)[gi]
     return PaddedDatasetArrays(
-        counts=counts,
-        n_max=n_max,
-        mjd=_scatter(dataset.mjd_tt),
+        counts=lay.counts,
+        n_max=lay.n_max,
+        mjd=lay.mjd,
         ra=_scatter(dataset.ra),
         dec=_scatter(dataset.dec),
         sra=_scatter(dataset.ra_error, fill=1.0),
         sdec=_scatter(dataset.dec_error, fill=1.0),
         helio=helio_pad,
-        valid=valid,
-        glob_idx=glob_idx,
+        valid=v,
+        glob_idx=lay.glob_idx,
         bias_ra=None if dataset.bias_ra is None else _scatter(dataset.bias_ra),
         bias_dec=None if dataset.bias_dec is None else _scatter(dataset.bias_dec),
     )
@@ -342,49 +337,62 @@ def _iod_kernel_gather(
     materialized-lane path uploaded ~20 MB per 8k-trajectory batch at
     ~65 MB/s through the axon tunnel — the dominant end-to-end cost.
     """
-    mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b = base
-    n_real = params.n_noise_realizations + 1
+    obs_arrays = _gather_obs_tables(base, glob_idx_g, valid_g)
+    z = z_all[tk_glob_g, tk_k_g]  # (Sb, n_real, 3, 2)
+    tri, lane_traj, window_mask = _assemble_lanes(
+        base, tr_g, z, tk_t_g, obs_arrays[0], valid_g, wlo_g, whi_g, params
+    )
+    return _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
 
-    # padded per-trajectory observation tables (pad slots: 0 / sigma 1)
+
+def _gather_obs_tables(base, glob_idx_g, valid_g):
+    """Padded per-trajectory observation tables from the dataset-order base
+    arrays (pad slots: 0 / sigma 1).  Shared by the gather and dense kernel
+    entries so the two dispatch modes cannot drift apart."""
+    mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b = base
     obs_mjd = jnp.where(valid_g, mjd_b[glob_idx_g], 0.0)
     obs_ra = jnp.where(valid_g, ra_b[glob_idx_g], 0.0)
     obs_dec = jnp.where(valid_g, dec_b[glob_idx_g], 0.0)
     obs_sra = jnp.where(valid_g, sra_b[glob_idx_g], 1.0)
     obs_sdec = jnp.where(valid_g, sdec_b[glob_idx_g], 1.0)
     obs_helio = jnp.where(valid_g[..., None], helio_b[glob_idx_g], 0.0)
+    return (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
 
-    # (triplet x realization) lanes
-    S = tr_g.shape[0]
-    L = S * n_real
-    z = z_all[tk_glob_g, tk_k_g]  # (Sb, n_real, 3, 2)
+
+def _assemble_lanes(base, g3, z, tk_t, obs_mjd, valid_g, wlo_s, whi_s, params):
+    """(triplet x realization) lane arrays from per-triplet global index
+    rows.  ``g3``: (S, 3) dataset-order observation indices per triplet;
+    ``z``: (S, n_real, 3, 2) noise draws; ``tk_t``: (S,) padded-trajectory
+    row per triplet; ``wlo_s``/``whi_s``: (S,) RMS-window epoch bounds
+    (epoch-interval form of select_rms_interval).  Shared by the gather and
+    dense kernel entries.  Returns (tri, lane_traj, window_mask)."""
+    mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b = base
+    n_real = params.n_noise_realizations + 1
     ns = params.noise_scale
-    ra_tri = ra_b[tr_g]
-    dec_tri = dec_b[tr_g]
+    S = g3.shape[0]
+    L = S * n_real
     lane_ra = (
-        ra_tri[:, None, :] + z[..., 0] * sra_b[tr_g][:, None, :] * ns
+        ra_b[g3][:, None, :] + z[..., 0] * sra_b[g3][:, None, :] * ns
     ).reshape(L, 3)
     lane_dec = (
-        dec_tri[:, None, :] + z[..., 1] * sdec_b[tr_g][:, None, :] * ns
+        dec_b[g3][:, None, :] + z[..., 1] * sdec_b[g3][:, None, :] * ns
     ).reshape(L, 3)
     lane_t = jnp.broadcast_to(
-        mjd_b[tr_g][:, None, :], (S, n_real, 3)
+        mjd_b[g3][:, None, :], (S, n_real, 3)
     ).reshape(L, 3)
     lane_pos = jnp.broadcast_to(
-        helio_b[tr_g][:, None, :, :], (S, n_real, 3, 3)
+        helio_b[g3][:, None, :, :], (S, n_real, 3, 3)
     ).reshape(L, 3, 3)
-    lane_traj = jnp.repeat(tk_t_g, n_real, total_repeat_length=L)
+    lane_traj = jnp.repeat(tk_t, n_real, total_repeat_length=L)
 
-    # RMS-window mask: epoch-interval form of select_rms_interval
     wmask_tri = (
-        (obs_mjd[tk_t_g] >= wlo_g[:, None])
-        & (obs_mjd[tk_t_g] <= whi_g[:, None])
-        & valid_g[tk_t_g]
+        (obs_mjd[tk_t] >= wlo_s[:, None])
+        & (obs_mjd[tk_t] <= whi_s[:, None])
+        & valid_g[tk_t]
     )
     window_mask = jnp.repeat(wmask_tri, n_real, axis=0, total_repeat_length=L)
-
     tri = GaussTriplets(lane_ra, lane_dec, lane_t, lane_pos)
-    obs_arrays = (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
-    return _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
+    return tri, lane_traj, window_mask
 
 
 _iod_kernel_gather_jit = jax.jit(_iod_kernel_gather, static_argnames=("params",))
@@ -411,17 +419,11 @@ def _iod_kernel_dense(
     """
     from outfit_tpu.iod.triplets import _enum_device
 
-    mjd_b, ra_b, dec_b, sra_b, sdec_b, helio_b = base
-    n_real = params.n_noise_realizations + 1
     K = params.max_triplets
     Tb, n_max = glob_idx_g.shape
 
-    obs_mjd = jnp.where(valid_g, mjd_b[glob_idx_g], 0.0)
-    obs_ra = jnp.where(valid_g, ra_b[glob_idx_g], 0.0)
-    obs_dec = jnp.where(valid_g, dec_b[glob_idx_g], 0.0)
-    obs_sra = jnp.where(valid_g, sra_b[glob_idx_g], 1.0)
-    obs_sdec = jnp.where(valid_g, sdec_b[glob_idx_g], 1.0)
-    obs_helio = jnp.where(valid_g[..., None], helio_b[glob_idx_g], 0.0)
+    obs_arrays = _gather_obs_tables(base, glob_idx_g, valid_g)
+    obs_mjd = obs_arrays[0]
 
     trips, ktrips = _enum_device(
         obs_mjd,
@@ -459,31 +461,9 @@ def _iod_kernel_dense(
     )
     tk_k = jnp.tile(jnp.arange(K, dtype=jnp.int32), Tb)
     z = z_all[tk_t + z_off, tk_k]  # (S, n_real, 3, 2)
-    ns = params.noise_scale
-    L = S * n_real
-    lane_ra = (
-        ra_b[g_flat][:, None, :] + z[..., 0] * sra_b[g_flat][:, None, :] * ns
-    ).reshape(L, 3)
-    lane_dec = (
-        dec_b[g_flat][:, None, :] + z[..., 1] * sdec_b[g_flat][:, None, :] * ns
-    ).reshape(L, 3)
-    lane_t = jnp.broadcast_to(
-        mjd_b[g_flat][:, None, :], (S, n_real, 3)
-    ).reshape(L, 3)
-    lane_pos = jnp.broadcast_to(
-        helio_b[g_flat][:, None, :, :], (S, n_real, 3, 3)
-    ).reshape(L, 3, 3)
-    lane_traj = jnp.repeat(tk_t, n_real, total_repeat_length=L)
-
-    wmask_tri = (
-        (obs_mjd[tk_t] >= wlo.reshape(S)[:, None])
-        & (obs_mjd[tk_t] <= whi.reshape(S)[:, None])
-        & valid_g[tk_t]
+    tri, lane_traj, window_mask = _assemble_lanes(
+        base, g_flat, z, tk_t, obs_mjd, valid_g, wlo.reshape(S), whi.reshape(S), params
     )
-    window_mask = jnp.repeat(wmask_tri, n_real, axis=0, total_repeat_length=L)
-
-    tri = GaussTriplets(lane_ra, lane_dec, lane_t, lane_pos)
-    obs_arrays = (obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio)
     out = _iod_kernel(tri, obs_arrays, lane_traj, window_mask, params)
     # the realized triplet count rides along so the sync-free dispatch mode
     # can classify NoFeasibleTriplets rows without an early enumeration fetch

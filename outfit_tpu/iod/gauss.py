@@ -246,8 +246,11 @@ def _fg_correction(
         left = type(both)(*(p[0] for p in parts))
         right = type(both)(*(p[1] for p in parts))
         iter_ok = (left.status == 0) & (right.status == 0)
-        chi1n = jnp.where(iter_ok, left.psi, chi1)
-        chi2n = jnp.where(iter_ok, right.psi, chi2)
+        # freeze warm starts once a lane is done: its returned chi must be
+        # the value at convergence regardless of how many extra trips other
+        # lanes keep the batch loop alive (batch-isolation contract)
+        chi1n = jnp.where(iter_ok & ~done, left.psi, chi1)
+        chi2n = jnp.where(iter_ok & ~done, right.psi, chi2)
 
         new_vel = 0.5 * (left.v2_corrected + right.v2_corrected)
         fl = left.f * right.g - right.f * left.g
@@ -262,8 +265,11 @@ def _fg_correction(
         acc_i, _, _, _ = eccentricity_control(
             new_pos[..., 1, :], new_vel, params.max_perihelion_au, params.max_ecc
         )
-        # hard reject: dynamically unacceptable -> candidate loses correction
-        hard_reject = iter_ok & fl_ok & rho_ok & ~acc_i
+        # hard reject: dynamically unacceptable -> candidate loses correction.
+        # ~done guard: a converged lane must not be re-judged on trips it
+        # only runs because slower lanes keep the batch loop alive — without
+        # it the corrected flag depends on batch composition.
+        hard_reject = iter_ok & fl_ok & rho_ok & ~acc_i & ~done
         commit = iter_ok & fl_ok & rho_ok & acc_i & alive & ~done
 
         denom = jnp.sqrt(jnp.sum(new_pos**2, axis=(-1, -2)))
@@ -276,7 +282,17 @@ def _fg_correction(
         cepoch = jnp.where(commit, new_epoch, cepoch)
         alive = alive & ~hard_reject
         committed = committed | commit
-        done = done | (commit & (rel_err <= done_eps))
+        # a lane that neither commits nor moves its warm starts is stationary
+        # (same state -> same solve next trip): release it so one bad lane
+        # cannot hold the whole latency-bound batch loop to max_it
+        stalled = (
+            alive
+            & ~done
+            & ~commit
+            & (jnp.abs(chi1n - chi1) <= feps * (1.0 + jnp.abs(chi1)))
+            & (jnp.abs(chi2n - chi2) <= feps * (1.0 + jnp.abs(chi2)))
+        )
+        done = done | (commit & (rel_err <= done_eps)) | stalled
         return (it + 1, cpos, cvel, cepoch, chi1n, chi2n, alive, committed, done)
 
     def cond(st):

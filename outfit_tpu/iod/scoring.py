@@ -80,7 +80,11 @@ def ephemeris_error_terms(
     diff_dec = obs_dec - dec
     term_ra = (jnp.cos(obs_dec) * diff_ra / sig_ra) ** 2
     term_dec = (diff_dec / sig_dec) ** 2
-    return term_ra + term_dec
+    # an unconverged generalized-Kepler solve leaves stale (F, sinF, cosF):
+    # the angles are garbage, not merely imprecise — score them inf so a
+    # failed propagation can never outrank a converged candidate (errors-as-
+    # data; parity with the reference's per-obs propagation Err path)
+    return jnp.where(st.converged, term_ra + term_dec, jnp.inf)
 
 
 def rms_orbit_error(

@@ -171,7 +171,9 @@ def _prelim_hyperbolic(p: KeplerParams, cfg: SolverConfig):
         newton_f = jnp.where(f * cand < 0.0, 0.5 * f, cand)
         fn = jnp.where(small, newton_f, 0.5 * f)
         fn = jnp.where(done, f, fn)
-        done = done | (jnp.abs(fn) < conv * 1e3)
+        # step-size criterion, matching the elliptic branch (|iterate| would
+        # freeze near F=0 and never engage at the common |F|>>conv roots)
+        done = done | (jnp.abs(fn - f) < conv * 1e3)
         return fn, done
 
     f, _ = jax.lax.fori_loop(
@@ -293,10 +295,9 @@ def _newton(psi0, p: KeplerParams, cfg: SolverConfig):
         cand = jnp.where(cand * psi < 0.0, 0.5 * psi, cand)  # sign-change damping
 
         new_psi = jnp.where(der_bad, 0.5 * psi, cand)
-        step_conv = (~der_bad) & (
-            (jnp.abs(step) <= conv)
-            | (jnp.abs(step) <= conv * (1.0 + jnp.abs(new_psi)))
-        )
+        # relative step criterion (newton_solver.rs:331-351); the absolute
+        # form |step| <= conv is subsumed by conv*(1+|psi|)
+        step_conv = (~der_bad) & (jnp.abs(step) <= conv * (1.0 + jnp.abs(new_psi)))
 
         psi_next = jnp.where(done | res_ok, psi, new_psi)
         done = done | res_ok | step_conv

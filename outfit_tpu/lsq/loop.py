@@ -73,6 +73,11 @@ def _prewarm_f32(elements0, epoch, obs, cfg, selection0, free, ephem):
         obs.sigma_dec.astype(jnp.float32),
         obs.helio_pos.astype(jnp.float32),
         obs.valid,
+        # keep the catalog debiasing in the pre-warm: without it the f32
+        # phase converges to the *biased* optimum and the f64 loop must
+        # walk the elements back
+        bias_ra=None if obs.bias_ra is None else obs.bias_ra.astype(jnp.float32),
+        bias_dec=None if obs.bias_dec is None else obs.bias_dec.astype(jnp.float32),
     )
     # the correction norm is sigma-weighted (sqrt(dx^T N dx), N ~ 1/sigma^2),
     # so its f32 noise floor sits around 0.01-0.1: stop on the configured

@@ -161,6 +161,11 @@ class TestObservatories:
             assert 0.98 < r < 1.001, code  # on the ellipsoid +/- height
 
     def test_unknown_code_is_flagged_and_warns(self):
+        from outfit_tpu.observations import observatories as _obsmod
+
+        # the warning is once-per-code per process; another test may have
+        # already consumed it for this code — reset before asserting
+        _obsmod._warned_codes.discard("ZZ9")
         with pytest.warns(UserWarning, match="ZZ9"):
             o = get_observatory("ZZ9")
         assert o.unknown and "UNKNOWN" in (o.name or "")
