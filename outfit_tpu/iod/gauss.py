@@ -246,11 +246,13 @@ def _fg_correction(
         left = type(both)(*(p[0] for p in parts))
         right = type(both)(*(p[1] for p in parts))
         iter_ok = (left.status == 0) & (right.status == 0)
-        # freeze warm starts once a lane is done: its returned chi must be
-        # the value at convergence regardless of how many extra trips other
-        # lanes keep the batch loop alive (batch-isolation contract)
-        chi1n = jnp.where(iter_ok & ~done, left.psi, chi1)
-        chi2n = jnp.where(iter_ok & ~done, right.psi, chi2)
+        # freeze warm starts once a lane is done or dead (hard-rejected):
+        # its returned chi must be the value at its own last active trip,
+        # regardless of how many extra trips other lanes keep the batch
+        # loop alive (batch-isolation contract)
+        chi_upd = iter_ok & alive & ~done
+        chi1n = jnp.where(chi_upd, left.psi, chi1)
+        chi2n = jnp.where(chi_upd, right.psi, chi2)
 
         new_vel = 0.5 * (left.v2_corrected + right.v2_corrected)
         fl = left.f * right.g - right.f * left.g

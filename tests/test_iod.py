@@ -737,3 +737,74 @@ class TestFitIodDatasetForm:
         ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
         with pytest.raises(TrajectoryIdNotFound):
             fit_iod(ds, eph, IODParams(), traj_id="NOPE")
+
+
+class TestBatchIsolation:
+    """A lane's result must be bitwise independent of what else shares the
+    batch.  The masked while-loops (Aberth, universal Kepler, the f-g
+    correction) run at the batch-max trip count; done lanes must be frozen —
+    state, warm starts, AND accept/reject decisions (regression: hard_reject
+    was re-evaluated on post-convergence trips, so a marginal lane's
+    ``corrected`` flag depended on batch composition)."""
+
+    def _triplets(self, eph, n=6):
+        """Realistic triplets of varying difficulty (fast/slow/degenerate)."""
+        from outfit_tpu.iod.gauss import GaussTriplets
+
+        rng = np.random.default_rng(7)
+        ras, decs, times, opos = [], [], [], []
+        for i in range(n):
+            kep = KeplerianElements(
+                *map(jnp.float64, (
+                    57000.0,
+                    float(rng.uniform(1.1, 3.5)),
+                    float(rng.uniform(0.0, 0.6)),  # includes high-e slow lanes
+                    float(rng.uniform(0.0, 0.5)),
+                    float(rng.uniform(0, 2 * np.pi)),
+                    float(rng.uniform(0, 2 * np.pi)),
+                    float(rng.uniform(0, 2 * np.pi)),
+                ))
+            )
+            eq = keplerian_to_equinoctial(kep)
+            # triplet spans from tight (hard) to wide (easy)
+            span = float(rng.uniform(2.0, 40.0))
+            t = 57000.0 + np.array([0.0, span / 2, span])
+            st = propagate_twobody(
+                EquinoctialElements(*[jnp.broadcast_to(f, (3,)) for f in eq]),
+                57000.0, jnp.asarray(t), compute_derivatives=False,
+            )
+            rot = jnp.asarray(ROT_ECLMJ2000_TO_EQUMJ2000)
+            pos_equ = jnp.einsum("ij,...j->...i", rot, st.position)
+            vel_equ = jnp.einsum("ij,...j->...i", rot, st.velocity)
+            earth, _ = eph.earth_ephemeris(jnp.asarray(t))
+            ra, dec = apparent_radec(pos_equ, vel_equ, earth)
+            # heavy noise on some lanes -> marginal/slow-converging cases
+            noise = [0.0, 0.0, 5e-5, 5e-4, 2e-3, 1e-2][i % 6]
+            ras.append(np.asarray(ra) + rng.normal(0, noise, 3))
+            decs.append(np.asarray(dec) + rng.normal(0, noise, 3))
+            times.append(t)
+            opos.append(np.asarray(earth))
+        return GaussTriplets(
+            jnp.asarray(np.stack(ras)), jnp.asarray(np.stack(decs)),
+            jnp.asarray(np.stack(times)), jnp.asarray(np.stack(opos)),
+        )
+
+    @pytest.mark.parametrize("work_dtype", [None, "float32"])
+    def test_gauss_candidates_lane_independent(self, eph, work_dtype):
+        from outfit_tpu.iod.gauss import GaussTriplets, gauss_candidates
+
+        tri = self._triplets(eph)
+        p = IODParams()
+        batch = gauss_candidates(tri, p, work_dtype=work_dtype)
+        for i in range(tri.ra.shape[0]):
+            one = GaussTriplets(
+                tri.ra[i:i + 1], tri.dec[i:i + 1],
+                tri.time[i:i + 1], tri.obs_pos[i:i + 1],
+            )
+            alone = gauss_candidates(one, p, work_dtype=work_dtype)
+            for name in batch._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(batch, name))[i],
+                    np.asarray(getattr(alone, name))[0],
+                    err_msg=f"lane {i} field {name} depends on batch composition",
+                )

@@ -102,6 +102,30 @@ class TestDebiasing:
         r_raw = fit_lsq(ds_nobias, eph, _IOD, seed=42)["SYNTH"]
         assert np.abs(r_raw.equinoctial - r_clean.equinoctial).max() > 1e-6
 
+    def test_bias_respected_by_mixed_precision_prewarm(self, eph):
+        """The f32 pre-warm must fit the DEBIASED residuals too (regression:
+        it rebuilt ObsArrays without bias_ra/bias_dec, converging toward the
+        biased optimum before handing over to the f64 loop)."""
+        from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        bias = 2.0 * RADSEC
+        ds = _synth_dataset(eph, kep_true, _EPOCHS)
+        ds.ra = ds.ra + bias
+        ds.dec = ds.dec - bias
+        ds.set_bias(np.full(len(ds), bias), np.full(len(ds), -bias))
+
+        r64 = fit_lsq(
+            ds, eph, _IOD, DifferentialCorrectionConfig(precision="f64"), seed=42
+        )["SYNTH"]
+        rmx = fit_lsq(
+            ds, eph, _IOD, DifferentialCorrectionConfig(precision="mixed"), seed=42
+        )["SYNTH"]
+        assert r64.ok and rmx.ok
+        np.testing.assert_allclose(
+            rmx.equinoctial, r64.equinoctial, rtol=1e-7, atol=1e-9
+        )
+
 
 class TestClosure:
     def test_exact_recovery(self, eph):
