@@ -62,11 +62,13 @@ def parse_dec_to_deg(dec: str) -> Optional[Tuple[float, float]]:
 
 
 def fmt_ss(seconds: float, prec: int) -> str:
-    """Two-digit zero-padded seconds.  Parity: time.rs fmt_ss."""
-    pow10 = 10**prec
-    total = round(seconds * pow10)
-    whole, frac = divmod(total, pow10)
-    return f"{whole:02d}.{frac:0{prec}d}"
+    """Two-digit zero-padded seconds.  Parity: time.rs fmt_ss.
+
+    Delegates to the canonical carry-sensitive formatter in time.scales so
+    a rounding fix cannot miss one of two copies."""
+    from outfit_tpu.time.scales import _fmt_ss
+
+    return _fmt_ss(seconds, prec)
 
 
 def ra_hms_prec(rad: float, prec: int) -> Tuple[int, int, float]:

@@ -173,6 +173,17 @@ class JPLEphem:
             return self._interp(Body.SUN, mjd_tt, velocity)
         return 0.0, (0.0 if velocity else None)
 
+    def _moon_embrel(self, mjd_tt, velocity=True):
+        """Moon state relative to the EMB, normalizing the per-backend table
+        semantics: NAIF SPK segment (301 rel 3) is ALREADY Moon-rel-EMB,
+        while Horizon body 9 / the analytic source store the GEOCENTRIC Moon
+        (moon_rel_emb = moon_geo * (1 - f), f = 1/(1+EMRAT))."""
+        moon_p, moon_v = self._interp(Body.MOON, mjd_tt, velocity)
+        if self.kind == "naif":
+            return moon_p, moon_v
+        s = 1.0 - 1.0 / (1.0 + self.emrat)
+        return moon_p * s, (moon_v * s if velocity else None)
+
     def earth_ephemeris(self, mjd_tt, velocity: bool = True):
         """True-Earth heliocentric state, equatorial J2000 (AU, AU/day).
 
@@ -186,10 +197,10 @@ class JPLEphem:
             pos = emb_p + off_p - sun_p
             vel = emb_v + off_v - sun_v if velocity else None
         else:
-            moon_p, moon_v = self._interp(Body.MOON, mjd_tt, velocity)
-            f = 1.0 / (1.0 + self.emrat)
-            pos = emb_p - moon_p * f - sun_p
-            vel = emb_v - moon_v * f - sun_v if velocity else None
+            # Earth = EMB - moon_rel_emb / EMRAT  (mass-ratio barycenter)
+            moon_p, moon_v = self._moon_embrel(mjd_tt, velocity)
+            pos = emb_p - moon_p / self.emrat - sun_p
+            vel = emb_v - moon_v / self.emrat - sun_v if velocity else None
         return pos, vel
 
     def body_ephemeris(self, body: Body, mjd_tt):
@@ -208,15 +219,13 @@ class JPLEphem:
         if body == Body.EARTH:
             return self.earth_ephemeris(mjd_tt, True)
         if body == Body.MOON:
-            # heliocentric Moon = EMB + (1 - 1/(1+emrat)) ... geocentric chain
+            # heliocentric Moon = EMB + moon_rel_emb; _moon_embrel normalizes
+            # the backend table semantics (NAIF 301-rel-3 is already EMB-
+            # relative — applying the geocentric (1-f) factor to it put the
+            # Moon ~4,600 km off on that backend)
             emb_p, emb_v = self._interp(Body.EMB, mjd_tt, True)
-            moon_p, moon_v = self._interp(Body.MOON, mjd_tt, True)
-            f = 1.0 / (1.0 + self.emrat)
-            # Earth + moon_geo = EMB - moon*f + moon
-            return (
-                emb_p + moon_p * (1.0 - f) - sun_p,
-                emb_v + moon_v * (1.0 - f) - sun_v,
-            )
+            moon_p, moon_v = self._moon_embrel(mjd_tt, True)
+            return emb_p + moon_p - sun_p, emb_v + moon_v - sun_v
         pos, vel = self._interp(body, mjd_tt, True)
         return pos - sun_p, vel - sun_v
 

@@ -51,11 +51,23 @@ def compute_ephemeris(
     if ut1 is None:
         ut1 = Ut1Provider()
 
-    # flatten (observer, epoch) pairs
+    # flatten (observer, epoch) pairs; the observer-fixed vectors are
+    # computed ONCE per observer entry and broadcast over its epochs
+    # (ObserverFixedCache parity, mod.rs:258)
     pairs = []
+    fp_rows, fv_rows = [], []
     for entry in request.entries:
-        for t in entry.mode.epochs:
-            pairs.append((entry.observer, t))
+        o = entry.observer
+        eps = list(entry.mode.epochs)
+        if not eps:
+            continue
+        pairs.extend((o, t) for t in eps)
+        fp_rows.append(
+            np.broadcast_to(np.asarray(earth_fixed_position(o)), (len(eps), 3))
+        )
+        fv_rows.append(
+            np.broadcast_to(np.asarray(earth_fixed_velocity(o)), (len(eps), 3))
+        )
     if not pairs:
         return EphemerisResult([])
 
@@ -75,12 +87,8 @@ def compute_ephemeris(
     unknown = np.array([bool(getattr(o, "unknown", False)) for o, _ in pairs])
 
     epochs = np.array([t for _, t in pairs])
-    fixed_pos = np.stack(
-        [np.asarray(earth_fixed_position(o)) for o, _ in pairs]
-    )
-    fixed_vel = np.stack(
-        [np.asarray(earth_fixed_velocity(o)) for o, _ in pairs]
-    )
+    fixed_pos = np.concatenate(fp_rows, axis=0)
+    fixed_vel = np.concatenate(fv_rows, axis=0)
 
     g = gast(epochs, ut1)
     geo_pos, geo_vel = pvobs(
@@ -100,6 +108,12 @@ def compute_ephemeris(
     )
 
     ok = np.asarray(out.ok)
+    # ONE device->host transfer per output field, hoisted out of the entry
+    # loop (np.asarray on a jax array inside the loop transferred every full
+    # array once per entry: O(n^2) data movement, ~25 ms/dispatch through
+    # the axon tunnel)
+    pos_np = [np.asarray(f) for f in out.position]
+    geom_np = [np.asarray(f) for f in out.geometry]
     entries = []
     for i, (o, t) in enumerate(pairs):
         if unknown[i]:
@@ -109,8 +123,8 @@ def compute_ephemeris(
             )
         elif ok[i]:
             val = EphemerisValue(
-                ApparentPosition(*[float(np.asarray(f)[i]) for f in out.position]),
-                BodyGeometry(*[float(np.asarray(f)[i]) for f in out.geometry]),
+                ApparentPosition(*[float(f[i]) for f in pos_np]),
+                BodyGeometry(*[float(f[i]) for f in geom_np]),
             )
             entries.append(EphemerisEntry(t, o, value=val))
         else:

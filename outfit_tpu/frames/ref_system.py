@@ -148,6 +148,12 @@ def rotpn(src: RefSystem, dst: RefSystem):
                     current = RefSystem("Equm", dst.epoch)
             else:
                 if current.kind == "Eclm":
+                    # Reference parity (:265): same axis-1 quirk as the J2000
+                    # twin above — the reference's own epoch-change arm
+                    # removes obliquity about Y, not X.  Physically dubious
+                    # but bit-matched; the fit/ephemeris pipelines never
+                    # route an ecliptic frame across epochs (they convert
+                    # system first), so the branch is dead in practice.
                     step = rotmt(-obleq(current.epoch.date), 1)
                     current = RefSystem("Equm", current.epoch)
                 elif current.kind == "Equt":

@@ -33,6 +33,23 @@ def _text(el, tag) -> Optional[str]:
     return child.text.strip() if child is not None and child.text else None
 
 
+def _iter_complete_optical(root):
+    """The SINGLE record-acceptance rule, shared by the record and sigma
+    passes so the two lists can never misalign on a malformed block."""
+    for opt in root.iter("optical"):
+        traj_id = (
+            _text(opt, "permID") or _text(opt, "provID") or _text(opt, "trkSub")
+        )
+        if (
+            traj_id is None
+            or _text(opt, "obsTime") is None
+            or _text(opt, "ra") is None
+            or _text(opt, "dec") is None
+        ):
+            continue
+        yield traj_id, opt
+
+
 def parse_ades_file(path: str) -> List[MpcRecord]:
     """Parse an ADES XML file into observation records.
 
@@ -40,28 +57,18 @@ def parse_ades_file(path: str) -> List[MpcRecord]:
     to radians; the caller's error model fills any gaps), recorded as NaN
     otherwise.
     """
-    tree = ET.parse(path)
-    root = tree.getroot()
+    root = ET.parse(path).getroot()
     records: List[MpcRecord] = []
-    for opt in root.iter("optical"):
-        traj_id = (
-            _text(opt, "permID") or _text(opt, "provID") or _text(opt, "trkSub")
-        )
-        obstime = _text(opt, "obsTime")
-        ra = _text(opt, "ra")
-        dec = _text(opt, "dec")
-        if traj_id is None or obstime is None or ra is None or dec is None:
-            continue
-        stn = _text(opt, "stn") or "500"
+    for traj_id, opt in _iter_complete_optical(root):
         mag_txt = _text(opt, "mag")
         rec = MpcRecord(
             traj_id=traj_id,
-            mjd_tt=_obstime_to_mjd_tt(obstime),
-            ra=float(ra) * RADEG,
-            dec=float(dec) * RADEG,
+            mjd_tt=_obstime_to_mjd_tt(_text(opt, "obsTime")),
+            ra=float(_text(opt, "ra")) * RADEG,
+            dec=float(_text(opt, "dec")) * RADEG,
             mag=float(mag_txt) if mag_txt else None,
             band=_text(opt, "band") or " ",
-            observatory=stn,
+            observatory=_text(opt, "stn") or "500",
             discovery=(_text(opt, "disc") == "*"),
         )
         records.append(rec)
@@ -70,21 +77,18 @@ def parse_ades_file(path: str) -> List[MpcRecord]:
 
 def ades_sigmas(path: str):
     """Per-record (rms_ra, rms_dec) in radians (NaN when absent), aligned
-    with :func:`parse_ades_file` output order."""
+    with :func:`parse_ades_file` output order (same acceptance rule)."""
     import math
 
-    tree = ET.parse(path)
+    root = ET.parse(path).getroot()
     out = []
-    for opt in tree.getroot().iter("optical"):
-        if _text(opt, "obsTime") is None or _text(opt, "ra") is None:
-            continue
-        if _text(opt, "permID") or _text(opt, "provID") or _text(opt, "trkSub"):
-            rms_ra = _text(opt, "rmsRA")
-            rms_dec = _text(opt, "rmsDec")
-            out.append(
-                (
-                    float(rms_ra) * RADSEC if rms_ra else math.nan,
-                    float(rms_dec) * RADSEC if rms_dec else math.nan,
-                )
+    for _traj_id, opt in _iter_complete_optical(root):
+        rms_ra = _text(opt, "rmsRA")
+        rms_dec = _text(opt, "rmsDec")
+        out.append(
+            (
+                float(rms_ra) * RADSEC if rms_ra else math.nan,
+                float(rms_dec) * RADSEC if rms_dec else math.nan,
             )
+        )
     return out

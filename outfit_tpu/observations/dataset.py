@@ -100,6 +100,8 @@ class ObsDataset:
         "K09R05F" (see ``tests/test_gauss_iod.rs:104``).  Set it False to
         group per designation instead.
         """
+        paths = list(paths)  # may be a one-shot iterator; the native-parser
+        # fallback below re-iterates after a failure
         if native:
             try:
                 from outfit_tpu.native import native_available, parse_file_native
@@ -222,7 +224,13 @@ class ObsDataset:
         ds.dec_error = np.full(n, np.nan)
         ds.mag = np.full(n, np.nan)
         if catalog_col in df:
-            ds.catalog = np.asarray(df[catalog_col]).astype("U1")
+            raw = np.asarray(df[catalog_col], dtype=object)
+            # nullable columns: NaN/None must become the blank sentinel, NOT
+            # str(nan)[:1] == 'n' (a plausible real MPC catalog code)
+            missing = np.array(
+                [v is None or (isinstance(v, float) and math.isnan(v)) for v in raw]
+            )
+            ds.catalog = np.where(missing, " ", raw.astype(str)).astype("U1")
             ds.catalog[ds.catalog == ""] = " "
         else:
             ds.catalog = np.full(n, " ", dtype="U1")

@@ -109,7 +109,12 @@ class ErrorModel:
 
     @classmethod
     def constant(cls, arcsec: float) -> "ErrorModel":
-        return cls(default_arcsec=arcsec, station_arcsec={})
+        # both lookup tiers cleared: a "constant" model must be constant
+        # (the catalog tier would otherwise silently override the value for
+        # stations with FCCT14 (station, catalog) entries)
+        return cls(
+            default_arcsec=arcsec, station_arcsec={}, station_catalog_arcsec={}
+        )
 
     @classmethod
     def from_name(cls, name: str) -> "ErrorModel":

@@ -174,7 +174,8 @@ class ObserverCache(NamedTuple):
 
         if ut1 is None:
             ut1 = Ut1Provider()
-        if len(dataset.observers) == 0:  # empty dataset
+        if len(dataset.mjd_tt) == 0:  # no observations (observer list may
+            # still be nonempty, e.g. ds.subset([]) copies it wholesale)
             z = jnp.zeros((0, 3))
             return cls(0, jnp.zeros(0), z, z, z, z)
         # per-observer fixed vectors, gathered per observation

@@ -94,3 +94,32 @@ class TestAdes:
             for r in recs:
                 assert 0 <= r.ra < 2 * math.pi
                 assert -math.pi / 2 <= r.dec <= math.pi / 2
+
+    def test_malformed_record_keeps_sigma_alignment(self, tmp_path):
+        """A block missing <dec> must be skipped by BOTH the record and the
+        sigma pass (regression: ades_sigmas did not check dec, so every
+        record after the malformed one received its neighbor's sigmas)."""
+        from outfit_tpu.observations.ades import ades_sigmas
+
+        xml = """<?xml version='1.0'?><ades version="2017">
+  <optical><permID>1</permID><stn>535</stn>
+    <obsTime>2016-08-29T00:00:00Z</obsTime><ra>10.0</ra><dec>1.0</dec>
+    <rmsRA>0.10</rmsRA><rmsDec>0.11</rmsDec></optical>
+  <optical><permID>2</permID><stn>535</stn>
+    <obsTime>2016-08-29T01:00:00Z</obsTime><ra>11.0</ra>
+    <rmsRA>9.99</rmsRA><rmsDec>9.99</rmsDec></optical>
+  <optical><permID>3</permID><stn>535</stn>
+    <obsTime>2016-08-29T02:00:00Z</obsTime><ra>12.0</ra><dec>3.0</dec>
+    <rmsRA>0.30</rmsRA><rmsDec>0.31</rmsDec></optical>
+</ades>"""
+        path = str(tmp_path / "malformed.xml")
+        with open(path, "w") as fh:
+            fh.write(xml)
+        recs = parse_ades_file(path)
+        sig = ades_sigmas(path)
+        assert [r.traj_id for r in recs] == ["1", "3"]
+        assert len(sig) == len(recs)
+        rad = math.pi / 648000.0
+        assert sig[0][0] == pytest.approx(0.10 * rad)
+        assert sig[1][0] == pytest.approx(0.30 * rad)
+        assert sig[1][1] == pytest.approx(0.31 * rad)

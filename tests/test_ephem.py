@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from outfit_tpu.constants import AU
 from outfit_tpu.ephem import Body, JPLEphem
 from outfit_tpu.ephem.analytic import (
+    EMRAT,
     build_analytic_tables,
     moon_geocentric_ecliptic,
     planet_position_ecliptic,
@@ -147,7 +148,13 @@ class TestNaifRoundTrip:
         z = lambda tb: BodyTable(tb.t0, tb.granule_days, jnp.zeros_like(tb.coeffs))
         emb = eph.tables[Body.EMB]
         moon = eph.tables[Body.MOON]
-        write_synthetic_spk(path, [(3, 0, emb), (10, 0, z(emb)), (301, 3, moon)])
+        # real DE440 layout: (301 rel 3) is Moon RELATIVE TO THE EMB,
+        # i.e. geocentric moon scaled by (1 - 1/(1+EMRAT))
+        s_embrel = 1.0 - 1.0 / (1.0 + EMRAT)
+        moon_embrel = BodyTable(moon.t0, moon.granule_days, moon.coeffs * s_embrel)
+        write_synthetic_spk(
+            path, [(3, 0, emb), (10, 0, z(emb)), (301, 3, moon_embrel)]
+        )
         ephem2 = JPLEphem.new("naif:whatever", path=path)
         t = jnp.array([56500.0, 57000.0])
         p2, v2 = ephem2.earth_ephemeris(t)
@@ -370,8 +377,10 @@ class TestCrossFormatConsistency:
         hpath = str(tmp_path / "cross.de")
         write_synthetic_horizon(hpath, {2: (emb, 4), 9: (moon, 4), 10: (sun, 4)})
         npath = str(tmp_path / "cross.bsp")
+        s_embrel = 1.0 - 1.0 / (1.0 + EMRAT)
+        moon_embrel = BodyTable(moon.t0, moon.granule_days, moon.coeffs * s_embrel)
         write_synthetic_spk(
-            npath, [(3, 0, emb), (301, 3, moon), (10, 0, sun)]
+            npath, [(3, 0, emb), (301, 3, moon_embrel), (10, 0, sun)]
         )
 
         eh = JPLEphem.new("horizon:SYN", path=hpath)
@@ -388,3 +397,44 @@ class TestCrossFormatConsistency:
         np.testing.assert_allclose(
             np.asarray(pmn), np.asarray(pmh), atol=1e-10
         )
+
+    def test_naif_real_layout_moon_and_earth(self, tmp_path, eph):
+        """Real de440.bsp layout — (399 rel 3) Earth-rel-EMB AND (301 rel 3)
+        Moon-rel-EMB — must reproduce the analytic facade's Earth and Moon.
+        Regression: body_ephemeris(MOON) applied the geocentric (1-f) factor
+        to the already-EMB-relative NAIF table (~4,600 km error)."""
+        from outfit_tpu.ephem.chebyshev import fit_body_table
+        from outfit_tpu.ephem.naif import write_synthetic_spk
+
+        t0, t1 = 56016.0, 56016.0 + 64.0
+
+        def tab(body):
+            f = lambda t: np.asarray(
+                interpolate_body(eph.tables[body], jnp.asarray(t))[0]
+            )
+            return fit_body_table(f, t0, t1, granule_days=8.0, n_coeff=16)
+
+        emb, moon_geo = tab(Body.EMB), tab(Body.MOON)
+        f = 1.0 / (1.0 + EMRAT)
+        scale = lambda tb, s: BodyTable(tb.t0, tb.granule_days, tb.coeffs * s)
+        moon_embrel = scale(moon_geo, 1.0 - f)
+        earth_embrel = scale(moon_geo, -f)
+        sun = BodyTable(emb.t0, emb.granule_days, jnp.zeros_like(emb.coeffs))
+
+        path = str(tmp_path / "real_layout.bsp")
+        write_synthetic_spk(
+            path,
+            [(3, 0, emb), (10, 0, sun), (301, 3, moon_embrel), (399, 3, earth_embrel)],
+        )
+        en = JPLEphem.new("naif:SYN", path=path)
+        t = jnp.linspace(t0 + 1.0, t1 - 1.0, 31)
+
+        pe_ref, ve_ref = eph.earth_ephemeris(t)
+        pe, ve = en.earth_ephemeris(t)
+        np.testing.assert_allclose(np.asarray(pe), np.asarray(pe_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ve), np.asarray(ve_ref), atol=1e-10)
+
+        pm_ref, vm_ref = eph.body_ephemeris(Body.MOON, t)
+        pm, vm = en.body_ephemeris(Body.MOON, t)
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vm_ref), atol=1e-10)

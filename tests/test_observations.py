@@ -474,3 +474,65 @@ class TestSubsetAndCacheInvalidation:
         lay2 = padded_dataset_arrays(ds, with_values=False)
         assert lay2 is not lay1
         np.testing.assert_array_equal(lay2.counts, lay1.counts)
+
+
+class TestErrorModelConstant:
+    def test_constant_is_constant_with_catalog_tiers(self):
+        """ErrorModel.constant must ignore BOTH lookup tiers (regression:
+        the (station, catalog) FCCT14 table survived, silently overriding
+        the requested sigma for e.g. ('F51', 't'))."""
+        import math
+
+        from outfit_tpu.observations.error_model import ErrorModel
+
+        m = ErrorModel.constant(0.5)
+        rad = 0.5 * math.pi / 648000.0
+        sig = m.sigma_rad(["F51", "G96", "703", "XXX"], ["t", "U", "V", " "])
+        assert np.allclose(sig, rad)
+
+
+class TestDatasetRobustness:
+    def test_from_files_accepts_one_shot_iterator(self):
+        """paths may be a generator; the native-parser fallback must not
+        silently re-iterate an exhausted one."""
+        import os
+
+        data = os.path.join(os.path.dirname(__file__), "data")
+        files = [f"{data}/2015AB.obs", f"{data}/8467.obs"]
+        ds_list = ObsDataset.from_mpc_80_col_files(files)
+        ds_gen = ObsDataset.from_mpc_80_col_files(p for p in files)
+        assert len(ds_gen) == len(ds_list)
+        assert ds_gen.traj_ids == ds_list.traj_ids
+
+    def test_from_dataframe_missing_catalog_is_blank(self):
+        """NaN/None catalog values must coerce to the blank sentinel ' ',
+        not str(nan)[:1] == 'n' (a plausible real MPC catalog code)."""
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "trajectory_id": ["A", "A", "A"],
+                "mjd_tt": [57000.0, 57001.0, 57002.0],
+                "ra": [10.0, 11.0, 12.0],
+                "dec": [5.0, 5.1, 5.2],
+                "observatory": ["500", "500", "500"],
+                "catalog": [None, float("nan"), "V"],
+            }
+        )
+        ds = ObsDataset.from_dataframe(df)
+        assert list(ds.catalog) == [" ", " ", "V"]
+
+    def test_cache_build_on_empty_subset(self, eph):
+        """ObserverCache.build on a 0-observation dataset (with a nonempty
+        observer list, as ds.subset([]) produces) must return an empty
+        cache, not crash."""
+        import os
+
+        from outfit_tpu.observer import ObserverCache
+
+        data = os.path.join(os.path.dirname(__file__), "data")
+        ds = ObsDataset.from_mpc_80_col(f"{data}/2015AB.obs")
+        empty = ds.subset([])
+        assert len(empty) == 0 and len(empty.observers) > 0
+        cache = ObserverCache.build(empty, eph)
+        assert cache.n == 0
