@@ -292,8 +292,12 @@ def run_differential_correction(
                 inv_ok_last=jnp.where(advance, res.inversion_ok, st.inv_ok_last),
                 total_newton=st.total_newton + act.astype(jnp.int32),
                 # the solution at st.elements is a valid warm start whether or
-                # not the step advanced (non-advancing lanes keep elements)
-                kepler=res.kepler,
+                # not the step advanced (non-advancing lanes keep elements).
+                # Gated on activity: a done lane's re-solve can dither by
+                # ~1 ulp per extra trip other lanes force, and the carry
+                # feeds the next outer pass and the final f64 refresh —
+                # ungated it made results depend on batch composition.
+                kepler=jnp.where(act[:, None, None], res.kepler, st.kepler),
             )
             done = i.inner_done | inv_fail | bizarre | diverged | stagn_break | conv
             return _In(
