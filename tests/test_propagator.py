@@ -151,3 +151,48 @@ class TestNBody:
             - gm[1] * rj / np.linalg.norm(rj) ** 3
         )
         np.testing.assert_allclose(np.asarray(acc), manual, rtol=1e-14)
+
+
+class TestBatchIsolation:
+    def test_dop853_lane_independent(self):
+        """A lane's integration must not depend on what shares the batch:
+        done lanes are frozen (h=0, accept masked) while slower lanes keep
+        the while-loop alive.  Kepler orbits of very different periods force
+        very different step counts per lane."""
+        from outfit_tpu.constants import GAUSS_GRAV_SQUARED
+
+        mu = GAUSS_GRAV_SQUARED
+
+        def rhs(t, y):
+            r = y[..., :3]
+            v = y[..., 3:]
+            rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+            return jnp.concatenate([v, -mu * r / rn**3], axis=-1)
+
+        # a=1 (fast, many steps) vs a=30 (slow, few steps) vs eccentric
+        y0 = jnp.asarray(np.array([
+            [1.0, 0.0, 0.0, 0.0, np.sqrt(mu), 0.0],
+            [30.0, 0.0, 0.0, 0.0, np.sqrt(mu / 30.0), 0.0],
+            [0.5, 0.0, 0.1, 0.0, np.sqrt(mu * 3.0), 0.0],
+        ]))
+        t0 = jnp.zeros(3)
+        t1 = jnp.full(3, 60.0)
+        batch = dop853_integrate(rhs, y0, t0, t1, rtol=1e-12, atol=1e-12)
+        for i in range(3):
+            alone = dop853_integrate(
+                rhs, y0[i:i + 1], t0[i:i + 1], t1[i:i + 1],
+                rtol=1e-12, atol=1e-12,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(batch.status)[i], np.asarray(alone.status)[0]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(batch.n_steps)[i], np.asarray(alone.n_steps)[0]
+            )
+            # XLA lowers the stage math slightly differently per batch
+            # shape (ulp noise); the trajectory itself must agree far below
+            # the integration tolerance
+            np.testing.assert_allclose(
+                np.asarray(batch.y)[i], np.asarray(alone.y)[0],
+                rtol=1e-10, atol=1e-13,
+            )
