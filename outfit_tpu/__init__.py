@@ -27,10 +27,99 @@ _jax_config.update("jax_default_matmul_precision", "highest")
 
 from outfit_tpu import constants  # noqa: E402,F401
 from outfit_tpu.constants import (  # noqa: E402,F401
+    AU,
     GAUSS_GRAV,
     GAUSS_GRAV_SQUARED,
-    VLIGHT_AU,
+    RADEG,
+    RADH,
+    RADSEC,
+    SECONDS_PER_DAY,
     T2000,
+    VLIGHT_AU,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# --- curated top-level facade (parity: the reference's pub-use facade,
+# src/lib.rs:326-434) --------------------------------------------------------
+# Resolved lazily (PEP 562): `import outfit_tpu` stays light, and the heavy
+# pipeline modules only load when a facade name is touched.
+_FACADE = {
+    # orbital element representations
+    "KeplerianElements": "outfit_tpu.elements.types",
+    "EquinoctialElements": "outfit_tpu.elements.types",
+    "CometaryElements": "outfit_tpu.elements.types",
+    "EquinoctialLimits": "outfit_tpu.elements.types",
+    "OrbitalElements": "outfit_tpu.elements.types",
+    # errors
+    "OutfitError": "outfit_tpu.errors",
+    # IOD entry points / key types
+    "fit_full_iod": "outfit_tpu.iod.api",
+    "fit_full_iod_parallel": "outfit_tpu.iod.api",
+    "fit_full_iod_stream": "outfit_tpu.iod.api",
+    "fit_iod": "outfit_tpu.iod.api",
+    "FitResult": "outfit_tpu.iod.api",
+    "GaussResult": "outfit_tpu.iod.api",
+    "FullOrbitResult": "outfit_tpu.iod.api",
+    "IODRMS": "outfit_tpu.iod.api",
+    "IODParams": "outfit_tpu.iod.params",
+    # differential correction
+    "fit_lsq": "outfit_tpu.lsq.api",
+    "fit_lsq_stream": "outfit_tpu.lsq.api",
+    "LsqResult": "outfit_tpu.lsq.api",
+    "DifferentialCorrectionOutput": "outfit_tpu.lsq.api",
+    "DifferentialCorrectionConfig": "outfit_tpu.lsq.config",
+    # JPL ephemerides
+    "JPLEphem": "outfit_tpu.ephem.api",
+    "Body": "outfit_tpu.ephem.bodies",
+    # ephemeris generation facade
+    "AberrationOrder": "outfit_tpu.ephemeris.config",
+    "EphemerisConfig": "outfit_tpu.ephemeris.config",
+    "ApparentPosition": "outfit_tpu.ephemeris.compute",
+    "BodyGeometry": "outfit_tpu.ephemeris.compute",
+    "EphemerisEntry": "outfit_tpu.ephemeris.result",
+    "EphemerisResult": "outfit_tpu.ephemeris.result",
+    "EphemerisMode": "outfit_tpu.ephemeris.request",
+    "EphemerisRequest": "outfit_tpu.ephemeris.request",
+    "ObserverRequest": "outfit_tpu.ephemeris.request",
+    "compute_ephemeris": "outfit_tpu.ephemeris.api",
+    "FullOrbitResultExt": "outfit_tpu.ephemeris.api",
+    # observation ingestion (photom surface)
+    "ObsDataset": "outfit_tpu.observations",
+    "ErrorModel": "outfit_tpu.observations",
+    "Observer": "outfit_tpu.observations.observatories",
+    "get_observatory": "outfit_tpu.observations.observatories",
+    # time
+    "Ut1Provider": "outfit_tpu.time.scales",
+}
+
+__all__ = sorted(
+    list(_FACADE)
+    + [
+        "AU",
+        "GAUSS_GRAV",
+        "GAUSS_GRAV_SQUARED",
+        "RADEG",
+        "RADH",
+        "RADSEC",
+        "SECONDS_PER_DAY",
+        "T2000",
+        "VLIGHT_AU",
+        "constants",
+    ]
+)
+
+
+def __getattr__(name):
+    mod = _FACADE.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'outfit_tpu' has no attribute {name!r}")
+    import importlib
+
+    value = getattr(importlib.import_module(mod), name)
+    globals()[name] = value  # cache for subsequent lookups
+    return value
+
+
+def __dir__():
+    return __all__

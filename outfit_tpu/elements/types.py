@@ -17,7 +17,7 @@ Keplerian [a,e,i,Omega,omega,M], Equinoctial [a,h,k,p,q,lambda],
 Cometary [q,e,i,Omega,omega,nu].
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Union
 
 import jax.numpy as jnp
 
@@ -375,3 +375,10 @@ def jacobian_cometary_to_equinoctial(com: CometaryElements):
     """Chain rule via Keplerian.  Parity: ``cometary_element.rs:418-426``."""
     kep = cometary_to_keplerian(com)
     return jacobian_keplerian_to_equinoctial(kep) @ jacobian_cometary_to_keplerian(com)
+
+
+#: Reference-name alias (``OrbitalElements`` sum type, orbit_type/mod.rs:221):
+#: any of the three element representations.  The rebuild passes concrete
+#: element sets (conversions are explicit functions); this union is the
+#: type-level equivalent for annotations and isinstance-style dispatch.
+OrbitalElements = Union[KeplerianElements, EquinoctialElements, CometaryElements]

@@ -164,3 +164,8 @@ def compute_ephemerides_for_results(
         )
         out[tid] = compute_ephemeris(eq, request, ephem, ut1)
     return out
+
+
+#: Reference-name alias (``FullOrbitResultExt::compute_ephemerides``,
+#: batch.rs:73) — the bulk-over-results entry point.
+FullOrbitResultExt = compute_ephemerides_for_results

@@ -1266,3 +1266,11 @@ def fit_iod(
     return fit_full_iod(
         ds, ephem, params, seed=seed, ut1=ut1, error_model=error_model
     )[traj_id]
+
+
+#: Reference-name aliases (constants.rs:134-195, gauss_result.rs:98-216):
+#: ``FitResult`` plays both roles — it carries the Gauss outcome (kind,
+#: corrected, rms) and is the per-trajectory value of the result map.
+GaussResult = FitResult
+FullOrbitResult = Dict[str, FitResult]
+IODRMS = float

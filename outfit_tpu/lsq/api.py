@@ -725,3 +725,7 @@ def fit_lsq_stream(
     finally:
         if ex is not None:
             ex.shutdown(wait=False, cancel_futures=True)
+
+
+#: Reference-name alias (``DifferentialCorrectionOutput``, diff_cor.rs:202-225).
+DifferentialCorrectionOutput = LsqResult

@@ -64,3 +64,31 @@ class TestConfigSerde:
         )
         d = json.loads(json.dumps(cfg.to_dict()))
         assert DifferentialCorrectionConfig.from_dict(d) == cfg
+
+
+class TestTopLevelFacade:
+    def test_reference_facade_names_resolve(self):
+        """Every symbol of the reference's curated pub-use facade
+        (src/lib.rs:326-434) resolves from the top-level package."""
+        import outfit_tpu as ot
+
+        names = """
+        KeplerianElements EquinoctialElements CometaryElements OrbitalElements
+        OutfitError GaussResult IODParams FullOrbitResult IODRMS
+        AU GAUSS_GRAV RADEG RADH RADSEC SECONDS_PER_DAY T2000 VLIGHT_AU
+        JPLEphem AberrationOrder ApparentPosition BodyGeometry EphemerisConfig
+        EphemerisEntry EphemerisMode EphemerisRequest EphemerisResult
+        FullOrbitResultExt ObserverRequest
+        fit_full_iod fit_full_iod_parallel fit_iod fit_lsq
+        DifferentialCorrectionConfig DifferentialCorrectionOutput
+        ObsDataset ErrorModel Observer Ut1Provider
+        """.split()
+        missing = [n for n in names if not hasattr(ot, n)]
+        assert not missing, missing
+        # __dir__ lists the facade
+        assert "fit_full_iod" in dir(ot)
+        # unknown names still raise
+        import pytest as _pytest
+
+        with _pytest.raises(AttributeError):
+            ot.no_such_symbol
