@@ -438,3 +438,58 @@ class TestCrossFormatConsistency:
         pm, vm = en.body_ephemeris(Body.MOON, t)
         np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), atol=1e-10)
         np.testing.assert_allclose(np.asarray(vm), np.asarray(vm_ref), atol=1e-10)
+
+    def test_nbody_moon_perturber_agrees_across_backends(self, tmp_path, eph):
+        """propagate_nbody with the MOON perturber must produce the same
+        trajectory from a Horizon file (geocentric moon table) and a
+        real-layout NAIF file (EMB-relative 301/399 segments) — the live
+        consumer of the per-backend Moon-table normalization."""
+        from outfit_tpu.elements.types import EquinoctialElements
+        from outfit_tpu.ephem.chebyshev import fit_body_table
+        from outfit_tpu.ephem.horizon import write_synthetic_horizon
+        from outfit_tpu.ephem.naif import write_synthetic_spk
+        from outfit_tpu.propagator import NBodyConfig, propagate_nbody
+
+        t0, t1 = 56016.0, 56016.0 + 64.0
+
+        def tab(body):
+            f = lambda t: np.asarray(
+                interpolate_body(eph.tables[body], jnp.asarray(t))[0]
+            )
+            return fit_body_table(f, t0, t1, granule_days=8.0, n_coeff=16)
+
+        emb, moon_geo, sun = tab(Body.EMB), tab(Body.MOON), None
+        sun = BodyTable(emb.t0, emb.granule_days, jnp.zeros_like(emb.coeffs))
+        f = 1.0 / (1.0 + EMRAT)
+        scale = lambda tb, s: BodyTable(tb.t0, tb.granule_days, tb.coeffs * s)
+
+        hpath = str(tmp_path / "moon.de")
+        write_synthetic_horizon(
+            hpath, {2: (emb, 4), 9: (moon_geo, 4), 10: (sun, 4)}
+        )
+        npath = str(tmp_path / "moon.bsp")
+        write_synthetic_spk(
+            npath,
+            [
+                (3, 0, emb),
+                (10, 0, sun),
+                (301, 3, scale(moon_geo, 1.0 - f)),
+                (399, 3, scale(moon_geo, -f)),
+            ],
+        )
+        eh = JPLEphem.new("horizon:SYN", path=hpath)
+        en = JPLEphem.new("naif:SYN", path=npath)
+
+        eq = EquinoctialElements(
+            *map(jnp.float64, (56020.0, 1.2, 0.05, 0.02, 0.01, 0.02, 1.0))
+        )
+        cfg = NBodyConfig(perturbing_bodies=(Body.MOON,))
+        nh = propagate_nbody(eq, 56050.0, eh, cfg)
+        nn = propagate_nbody(eq, 56050.0, en, cfg)
+        assert int(nh.status) == 0 and int(nn.status) == 0
+        np.testing.assert_allclose(
+            np.asarray(nn.position), np.asarray(nh.position), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(nn.velocity), np.asarray(nh.velocity), atol=1e-12
+        )
