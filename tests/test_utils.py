@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from outfit_tpu.utils.linalg import cholesky6, cholesky_inverse6
 
@@ -92,3 +93,121 @@ class TestTopLevelFacade:
 
         with _pytest.raises(AttributeError):
             ot.no_such_symbol
+
+
+class TestSmallSurfaces:
+    """Direct tests for small public functions previously exercised only
+    indirectly (found by a tests-reference sweep)."""
+
+    def test_angle_helpers(self):
+        import jax.numpy as jnp
+
+        from outfit_tpu.kepler.angles import angle_diff, principal_angle
+
+        tau = 2 * np.pi
+        x = np.array([-0.1, 0.0, 1.0, tau, tau + 0.5, -7.0])
+        w = np.asarray(principal_angle(jnp.asarray(x)))
+        assert ((0 <= w) & (w < tau)).all()
+        np.testing.assert_allclose(np.mod(w - x, tau), 0.0, atol=1e-12)
+        d = np.asarray(angle_diff(jnp.float64(0.1), jnp.float64(tau - 0.1)))
+        assert d == pytest.approx(0.2) or d == pytest.approx(-0.2)
+        assert abs(d) <= np.pi
+
+    def test_rad_arcsec_roundtrip(self):
+        from outfit_tpu.conversion import arcsec_to_rad, rad_to_arcsec
+
+        x = 1.2345
+        assert float(rad_to_arcsec(arcsec_to_rad(x))) == pytest.approx(x, rel=1e-14)
+
+    def test_fmt_ss_matches_time_scales(self):
+        from outfit_tpu.conversion import fmt_ss
+
+        # reference doc oracle (time.rs): fmt_ss(5.1234, 3) == "05.123"
+        assert fmt_ss(5.1234, 3) == "05.123"
+
+    def test_iso_formatting(self):
+        from outfit_tpu.time.scales import iso_tt_from_mjd, iso_utc_from_mjd_tt
+
+        # MJD 59215.0 TT == 2021-01-01T00:00:00 TT (time.rs doc oracle epoch)
+        assert iso_tt_from_mjd(59215.0, 3) == "2021-01-01T00:00:00.000 TT"
+        # TT -> UTC shifts by 69.184 s in 2021 (TT-TAI 32.184 + 37 leap)
+        utc = iso_utc_from_mjd_tt(59215.0, 3)
+        assert utc.startswith("2020-12-31T23:58:50.816")
+
+    def test_gm_table_reference_values(self):
+        """GM values in AU^3/day^2 vs planet_gm.rs:29-56 (DE440 km^3/s^2
+        constants through the same unit conversion)."""
+        from outfit_tpu.constants import AU, SECONDS_PER_DAY, GAUSS_GRAV_SQUARED
+        from outfit_tpu.ephem.bodies import Body, gm_au3_day2
+
+        k = SECONDS_PER_DAY**2 / AU**3
+        assert gm_au3_day2(Body.SUN) == pytest.approx(1.32712440041e11 * k, rel=1e-9)
+        assert gm_au3_day2(Body.JUPITER_BARY) == pytest.approx(1.267127648e8 * k, rel=1e-9)
+        assert gm_au3_day2(Body.MOON) == pytest.approx(4.902800066e3 * k, rel=1e-9)
+        # planet_gm.rs:86: GM_SUN within 1e-4 relative of Gauss k^2
+        assert gm_au3_day2(Body.SUN) == pytest.approx(GAUSS_GRAV_SQUARED, rel=1e-4)
+
+    def test_pad_to_multiple_and_replicate(self):
+        import jax
+        import jax.numpy as jnp
+
+        from outfit_tpu.parallel import data_mesh
+        from outfit_tpu.parallel.sharding import pad_to_multiple, replicate
+
+        assert pad_to_multiple(10, 8) == 16
+        assert pad_to_multiple(16, 8) == 16
+        assert pad_to_multiple(1, 8) == 8
+        mesh = data_mesh(jax.devices()[:2])
+        r = replicate(mesh, jnp.ones((3, 3)))
+        assert r.shape == (3, 3)
+
+    def test_select_rms_interval_batch_matches_scalar(self):
+        import jax.numpy as jnp
+
+        from outfit_tpu.iod.triplets import (
+            select_rms_interval,
+            select_rms_interval_batch,
+        )
+
+        rng = np.random.default_rng(5)
+        for extf, dtmax in ((-1.0, 30.0), (0.3, 30.0), (0.1, -1.0)):
+            epochs = np.sort(rng.uniform(0, 120, 17))
+            i, k = 4, 11
+            s, e = select_rms_interval(epochs, i, k, extf, dtmax)
+            i_start, i_end = select_rms_interval_batch(
+                epochs, np.array([i]), np.array([k]), extf, dtmax
+            )
+            assert (int(i_start[0]), int(i_end[0])) == (s, e)
+
+    def test_cometary_to_equinoctial_and_jacobian(self):
+        """cometary -> equinoctial conversion (cometary_element.rs:418 chain
+        rule) round-trips through keplerian and matches jax.jacfwd."""
+        import jax
+        import jax.numpy as jnp
+
+        from outfit_tpu.elements.types import (
+            CometaryElements,
+            cometary_to_equinoctial,
+            cometary_to_keplerian,
+            jacobian_cometary_to_equinoctial,
+            keplerian_to_equinoctial,
+        )
+
+        com = CometaryElements(
+            *map(jnp.float64, (57000.0, 0.8, 1.7, 0.4, 1.1, 2.0, 0.3))
+        )
+        eq = cometary_to_equinoctial(com)
+        eq2 = keplerian_to_equinoctial(cometary_to_keplerian(com))
+        for a, b in zip(eq[1:], eq2[1:]):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-12, atol=1e-12)
+
+        J = np.asarray(jacobian_cometary_to_equinoctial(com))
+
+        def f(v):
+            c = CometaryElements(com.reference_epoch, *[v[i] for i in range(6)])
+            e = cometary_to_equinoctial(c)
+            return jnp.stack(list(e[1:]))
+
+        v0 = jnp.asarray([float(x) for x in com[1:]])
+        J_ad = np.asarray(jax.jacfwd(f)(v0))
+        np.testing.assert_allclose(J, J_ad, rtol=1e-8, atol=1e-10)
