@@ -377,3 +377,129 @@ class TestVelocityCorrectionOracle:
             [-0.015524310248562921, -0.003984104769239458, -0.0027640155187336176],
             rtol=1e-11,
         )
+
+
+class TestMpmathOracle:
+    """Independent 50-digit ground truth via the CLASSICAL elements route
+    (perifocal frame + Kepler's equation in mpmath) — a completely different
+    formulation from the universal-variable kernel under test.  Mirrors the
+    reference's gold standard (propagation.rs:218-263: scipy DOP853 +
+    50-digit mpmath, 1e-9 norm tolerance)."""
+
+    @staticmethod
+    def _mp_propagate(r0, v0, dt, mu):
+        import mpmath as mp
+
+        mp.mp.dps = 50
+        r0 = [mp.mpf(x) for x in r0]
+        v0 = [mp.mpf(x) for x in v0]
+        mu = mp.mpf(mu)
+        dt = mp.mpf(dt)
+
+        def dot(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        def cross(a, b):
+            return [
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            ]
+
+        def norm(a):
+            return mp.sqrt(dot(a, a))
+
+        rn = norm(r0)
+        v2 = dot(v0, v0)
+        h = cross(r0, v0)
+        evec = [
+            cross(v0, h)[i] / mu - r0[i] / rn for i in range(3)
+        ]
+        e = norm(evec)
+        a = 1 / (2 / rn - v2 / mu)
+        w = [x / norm(h) for x in h]
+        p = [x / e for x in evec]
+        q = cross(w, p)
+
+        if a > 0:  # elliptic
+            n_mot = mp.sqrt(mu / a**3)
+            cosE0 = (1 - rn / a) / e
+            sinE0 = dot(r0, v0) / (e * mp.sqrt(mu * a))
+            E0 = mp.atan2(sinE0, cosE0)
+            M1 = E0 - e * mp.sin(E0) + n_mot * dt
+            E1 = mp.findroot(lambda E: E - e * mp.sin(E) - M1, M1)
+            b = mp.sqrt(1 - e**2)
+            r1 = [
+                a * (mp.cos(E1) - e) * p[i] + a * b * mp.sin(E1) * q[i]
+                for i in range(3)
+            ]
+            r1n = a * (1 - e * mp.cos(E1))
+            v1 = [
+                mp.sqrt(mu * a) / r1n * (-mp.sin(E1) * p[i] + b * mp.cos(E1) * q[i])
+                for i in range(3)
+            ]
+        else:  # hyperbolic
+            am = -a
+            n_mot = mp.sqrt(mu / am**3)
+            coshH0 = (1 + rn / am) / e
+            sinhH0 = dot(r0, v0) / (e * mp.sqrt(mu * am))
+            H0 = mp.asinh(sinhH0) if coshH0 > 0 else mp.nan
+            M1 = e * mp.sinh(H0) - H0 + n_mot * dt
+            H1 = mp.findroot(lambda H: e * mp.sinh(H) - H - M1, mp.asinh(M1 / e) if abs(M1) > 1 else M1)
+            b = mp.sqrt(e**2 - 1)
+            r1 = [
+                am * (e - mp.cosh(H1)) * p[i] + am * b * mp.sinh(H1) * q[i]
+                for i in range(3)
+            ]
+            r1n = am * (e * mp.cosh(H1) - 1)
+            v1 = [
+                mp.sqrt(mu * am) / r1n * (-mp.sinh(H1) * p[i] + b * mp.cosh(H1) * q[i])
+                for i in range(3)
+            ]
+        return [float(x) for x in r1], [float(x) for x in v1]
+
+    @pytest.mark.parametrize(
+        "a,e,dt_frac",
+        [
+            (1.5, 0.05, 0.37),    # quasi-circular
+            (2.3, 0.7, 0.81),     # eccentric
+            (1.1, 0.95, 0.02),    # near-perihelion high-e (stiffest)
+            (3.0, 0.95, 5.33),    # high-e, multi-revolution arc
+            (2.0, 0.3, -1.7),     # backward, >1 rev
+            (-2.0, 1.5, 0.9),     # hyperbolic (dt in days via |a|-period scale)
+        ],
+    )
+    def test_vs_50_digit_elements_route(self, a, e, dt_frac):
+        mu = GAUSS_GRAV_SQUARED
+        # state at a true anomaly of 40 deg in a tilted orbit
+        import mpmath as mp
+
+        mp.mp.dps = 50
+        nu = mp.radians(40)
+        p_slr = mp.mpf(a) * (1 - mp.mpf(e) ** 2)
+        rmag = p_slr / (1 + mp.mpf(e) * mp.cos(nu))
+        # perifocal state, then tilt by (i=25deg, node=80deg, argp=30deg)
+        rp = [rmag * mp.cos(nu), rmag * mp.sin(nu), mp.mpf(0)]
+        vfac = mp.sqrt(mp.mpf(mu) / p_slr)
+        vp = [-vfac * mp.sin(nu), vfac * (mp.mpf(e) + mp.cos(nu)), mp.mpf(0)]
+
+        def rot(axis, ang, v):
+            c, s = mp.cos(ang), mp.sin(ang)
+            x, y, z = v
+            if axis == 2:
+                return [c * x - s * y, s * x + c * y, z]
+            return [x, c * y - s * z, s * y + c * z]
+
+        def to_inertial(v):
+            return rot(2, mp.radians(80), rot(0, mp.radians(25), rot(2, mp.radians(30), v)))
+
+        r0 = [float(x) for x in to_inertial(rp)]
+        v0 = [float(x) for x in to_inertial(vp)]
+        period_scale = 2 * np.pi * np.sqrt(abs(a) ** 3 / mu)
+        dt = dt_frac * period_scale
+
+        er1, ev1 = self._mp_propagate(r0, v0, dt, mu)
+        res = propagate_universal(jnp.array(r0), jnp.array(v0), 0.0, dt)
+        assert int(res.status) == 0
+        assert np.linalg.norm(_np(res.r1) - np.array(er1)) < 1e-9
+        assert np.linalg.norm(_np(res.v1) - np.array(ev1)) < 1e-9
