@@ -343,3 +343,64 @@ def test_uncertainty_propagation_reference_oracle():
     np.testing.assert_allclose(cov_kep[0, 5], 3.899825789832625e-11, rtol=1e-10)
     np.testing.assert_allclose(cov_kep[4, 4], 1.6400680310004965e-9, rtol=1e-10)
     np.testing.assert_allclose(cov_kep[1, 4], -1.2349406349235225e-10, rtol=1e-10)
+
+
+class TestTwoBodyMpmathOracle:
+    """Independent 50-digit oracle for the equinoctial two-body propagation:
+    the expected state is built DIRECTLY from the Keplerian elements in a
+    perifocal frame at mp.dps=50 (classical Kepler equation), bypassing both
+    the element conversion and the trig-free rotation-Newton solve under
+    test (reference gold-standard methodology, propagation.rs:218-263)."""
+
+    @pytest.mark.parametrize(
+        "a,e,i,node,argp,m0,dt_frac",
+        [
+            (2.3, 0.15, 0.12, 1.1, 0.7, 0.3, 0.43),
+            (1.1, 0.95, 0.5, 2.0, 4.0, 6.1, 0.015),   # high-e near perihelion
+            (3.0, 0.6, 1.4, 0.2, 3.1, 2.0, 7.21),     # multi-revolution
+            (1.7, 0.05, 0.01, 5.0, 0.1, 1.0, -2.3),   # near-circular, backward
+        ],
+    )
+    def test_vs_50_digit_perifocal(self, a, e, i, node, argp, m0, dt_frac):
+        import mpmath as mp
+
+        from outfit_tpu.constants import GAUSS_GRAV_SQUARED
+        from outfit_tpu.elements import KeplerianElements, keplerian_to_equinoctial
+
+        mp.mp.dps = 50
+        mu = mp.mpf(GAUSS_GRAV_SQUARED)
+        am, em = mp.mpf(a), mp.mpf(e)
+        period = 2 * np.pi * np.sqrt(a**3 / GAUSS_GRAV_SQUARED)
+        dt = dt_frac * period
+
+        n_mot = mp.sqrt(mu / am**3)
+        M1 = mp.mpf(m0) + n_mot * mp.mpf(dt)
+        E1 = mp.findroot(lambda E: E - em * mp.sin(E) - M1, M1)
+        b = mp.sqrt(1 - em**2)
+        rp = [am * (mp.cos(E1) - em), am * b * mp.sin(E1), mp.mpf(0)]
+        r1n = am * (1 - em * mp.cos(E1))
+        vp = [
+            -mp.sqrt(mu * am) / r1n * mp.sin(E1),
+            mp.sqrt(mu * am) / r1n * b * mp.cos(E1),
+            mp.mpf(0),
+        ]
+
+        def rot(axis, ang, v):
+            c, s = mp.cos(ang), mp.sin(ang)
+            x, y, z = v
+            if axis == 2:
+                return [c * x - s * y, s * x + c * y, z]
+            return [x, c * y - s * z, s * y + c * z]
+
+        def to_inertial(v):
+            return rot(2, mp.mpf(node), rot(0, mp.mpf(i), rot(2, mp.mpf(argp), v)))
+
+        er1 = [float(x) for x in to_inertial(rp)]
+        ev1 = [float(x) for x in to_inertial(vp)]
+
+        kep = KeplerianElements(*map(jnp.float64, (57000.0, a, e, i, node, argp, m0)))
+        eq = keplerian_to_equinoctial(kep)
+        st = propagate_twobody(eq, 57000.0, 57000.0 + dt, compute_derivatives=False)
+        assert bool(st.converged)
+        assert np.linalg.norm(np.asarray(st.position) - np.array(er1)) < 1e-9
+        assert np.linalg.norm(np.asarray(st.velocity) - np.array(ev1)) < 1e-9
