@@ -196,3 +196,50 @@ class TestBatchIsolation:
                 np.asarray(batch.y)[i], np.asarray(alone.y)[0],
                 rtol=1e-10, atol=1e-13,
             )
+
+
+class TestNBodyVsScipy:
+    def test_perturbed_arc_matches_scipy_dop853(self, eph, eqel):
+        """Full perturbed dynamics (all planets, frozen at t0) integrated
+        independently with scipy DOP853 at 1e-13 — validates the perturber
+        assembly (frames, GMs, direct+indirect terms), not just the
+        integrator."""
+        from scipy.integrate import solve_ivp
+
+        from outfit_tpu.elements import propagate_twobody
+        from outfit_tpu.constants import GAUSS_GRAV_SQUARED
+        from outfit_tpu.propagator.nbody import perturber_snapshots
+
+        cfg = NBodyConfig.with_planets()
+        t0, t1 = 57000.0, 57040.0
+        pert, gm = perturber_snapshots(eph, cfg, jnp.float64(t0))
+        pert = np.asarray(pert)  # (P, 3) heliocentric ecliptic, frozen
+        gm = np.asarray(gm)
+
+        init = propagate_twobody(eqel, 0.0, 0.0, compute_derivatives=False)
+        y0 = np.concatenate([np.asarray(init.position), np.asarray(init.velocity)])
+
+        def rhs(t, y):
+            r, v = y[:3], y[3:]
+            d = r[None, :] - pert
+            dn = np.linalg.norm(d, axis=1)
+            acc = -(gm / dn**3) @ d
+            rp = np.linalg.norm(pert, axis=1)
+            live = rp > 1e-10
+            acc -= (gm[live] / rp[live] ** 3) @ pert[live]
+            return np.concatenate([v, acc])
+
+        sol = solve_ivp(
+            rhs, (0.0, t1 - t0), y0, method="DOP853", rtol=1e-13, atol=1e-14
+        )
+        nb = propagate_nbody(eqel, t1, eph, cfg)
+        assert int(nb.status) == 0
+        np.testing.assert_allclose(
+            np.asarray(nb.position), sol.y[:3, -1], atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(nb.velocity), sol.y[3:, -1], atol=1e-12
+        )
+        # and the perturbation is real (differs from pure two-body)
+        tb = propagate_twobody(eqel, t0, t1, compute_derivatives=False)
+        assert np.linalg.norm(np.asarray(tb.position) - sol.y[:3, -1]) > 1e-8
