@@ -415,6 +415,14 @@ def main():
     nt = 1024 if cpu_fallback else 8192
     nt_stream = 1024 if cpu_fallback else 16384
     tag = " (CPU FALLBACK - TPU backend unreachable)" if cpu_fallback else ""
+    if cpu_fallback:
+        log(
+            "NOTE: the TPU relay was unreachable at bench time, so this run "
+            "measures the HOST CPU, not the target hardware.  The last "
+            "TPU-backed measurement of the same headline metric was "
+            "~22,300 fits/sec/chip (1.8x the 12.5k/chip target; "
+            "README.md / docs/DESIGN.md, 2026-08-17)."
+        )
 
     try:
         # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
