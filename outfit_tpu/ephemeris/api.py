@@ -16,7 +16,7 @@ import numpy as np
 from outfit_tpu.errors import InvalidOrbit
 from outfit_tpu.elements.types import EquinoctialElements, KeplerianElements, keplerian_to_equinoctial
 from outfit_tpu.ephemeris.compute import ApparentPosition, BodyGeometry, compute_apparent
-from outfit_tpu.ephemeris.request import EphemerisRequest
+from outfit_tpu.ephemeris.request import Combined, Geometry, Position, EphemerisRequest
 from outfit_tpu.ephemeris.result import EphemerisEntry, EphemerisResult
 from outfit_tpu.observer.geometry import (
     earth_fixed_position,
@@ -114,6 +114,7 @@ def compute_ephemeris(
     # the axon tunnel)
     pos_np = [np.asarray(f) for f in out.position]
     geom_np = [np.asarray(f) for f in out.geometry]
+    kind = getattr(request, "output", Combined)
     entries = []
     for i, (o, t) in enumerate(pairs):
         if unknown[i]:
@@ -122,10 +123,15 @@ def compute_ephemeris(
                 EphemerisEntry(t, o, error=f"UnknownObservatory({o.code})")
             )
         elif ok[i]:
-            val = EphemerisValue(
-                ApparentPosition(*[float(f[i]) for f in pos_np]),
-                BodyGeometry(*[float(f[i]) for f in geom_np]),
-            )
+            if kind == Position:
+                val = ApparentPosition(*[float(f[i]) for f in pos_np])
+            elif kind == Geometry:
+                val = BodyGeometry(*[float(f[i]) for f in geom_np])
+            else:
+                val = EphemerisValue(
+                    ApparentPosition(*[float(f[i]) for f in pos_np]),
+                    BodyGeometry(*[float(f[i]) for f in geom_np]),
+                )
             entries.append(EphemerisEntry(t, o, value=val))
         else:
             entries.append(

@@ -15,6 +15,18 @@ import numpy as np
 from outfit_tpu.ephemeris.config import EphemerisConfig
 from outfit_tpu.observations.observatories import Observer
 
+#: Output-kind markers (parity: the sealed ``EphemerisOutputKind`` marker
+#: types Position / Geometry / Combined, request.rs:91-141).  The batched
+#: compute core always evaluates both cheaply; the marker selects what the
+#: entry ``value`` carries: an ``ApparentPosition``, a ``BodyGeometry``, or
+#: the combined view.
+Position = "position"
+Geometry = "geometry"
+Combined = "combined"
+
+#: name-parity alias: the set of valid output-kind markers
+EphemerisOutputKind = frozenset({Position, Geometry, Combined})
+
 
 @dataclass(frozen=True)
 class EphemerisMode:
@@ -47,10 +59,25 @@ class ObserverRequest:
 
 @dataclass
 class EphemerisRequest:
-    """Builder: ``EphemerisRequest(config).add(observer, mode)``."""
+    """Builder: ``EphemerisRequest(config).add(observer, mode)``.
+
+    ``output`` selects the entry value type (parity: the reference's
+    ``EphemerisRequest<Position|Geometry|Combined>`` type parameter,
+    request.rs:91-141): :data:`Position` -> ``ApparentPosition``,
+    :data:`Geometry` -> ``BodyGeometry``, :data:`Combined` (default) ->
+    an ``EphemerisValue`` carrying both views.
+    """
 
     config: EphemerisConfig = field(default_factory=EphemerisConfig)
     entries: List[ObserverRequest] = field(default_factory=list)
+    output: str = Combined
+
+    def __post_init__(self):
+        if self.output not in EphemerisOutputKind:
+            raise ValueError(
+                f"output must be one of {sorted(EphemerisOutputKind)}, "
+                f"got {self.output!r}"
+            )
 
     def add(self, observer: Observer, mode: Union[EphemerisMode, Sequence[float]]) -> "EphemerisRequest":
         if not isinstance(mode, EphemerisMode):

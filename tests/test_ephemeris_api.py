@@ -216,6 +216,56 @@ def test_fit_predict_closure_2015ab_per_site():
     assert np.median(seps) < 2.0
 
 
+class TestOutputKinds:
+    """Output-kind markers (parity: the reference's sealed
+    ``EphemerisOutputKind`` Position/Geometry/Combined type parameters,
+    request.rs:91-141): the marker selects what the entry value carries."""
+
+    def test_position_only(self, eph, kep):
+        from outfit_tpu.ephemeris.compute import ApparentPosition
+        from outfit_tpu.ephemeris.request import Position
+
+        req = EphemerisRequest(output=Position).add(
+            Observer.geocenter(), EphemerisMode.single(57020.0)
+        )
+        res = compute_ephemeris(kep, req, eph)
+        v = res.entries[0].value
+        assert isinstance(v, ApparentPosition)
+        assert not hasattr(v, "geometry")
+
+    def test_geometry_only(self, eph, kep):
+        from outfit_tpu.ephemeris.compute import BodyGeometry
+        from outfit_tpu.ephemeris.request import Geometry
+
+        req = EphemerisRequest(output=Geometry).add(
+            Observer.geocenter(), EphemerisMode.single(57020.0)
+        )
+        res = compute_ephemeris(kep, req, eph)
+        v = res.entries[0].value
+        assert isinstance(v, BodyGeometry)
+        assert 0.0 <= v.phase_angle <= np.pi
+
+    def test_combined_default_matches_parts(self, eph, kep):
+        from outfit_tpu.ephemeris.request import Combined, Geometry, Position
+
+        mk = lambda kind: compute_ephemeris(
+            kep,
+            EphemerisRequest(output=kind).add(
+                Observer.geocenter(), EphemerisMode.single(57020.0)
+            ),
+            eph,
+        ).entries[0].value
+        comb = mk(Combined)
+        assert comb.position == mk(Position)
+        assert comb.geometry == mk(Geometry)
+        # default request is Combined
+        assert EphemerisRequest().output == Combined
+
+    def test_invalid_kind_rejected(self):
+        with pytest.raises(ValueError):
+            EphemerisRequest(output="both")
+
+
 class TestUnknownObservatory:
     """Unknown MPC codes carry geocenter placeholder coordinates; every
     consumer must surface an error, never a silent geocentric prediction
