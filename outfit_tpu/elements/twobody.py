@@ -94,6 +94,17 @@ def solve_generalized_kepler(
     """
     eps = float(jnp.finfo(jnp.asarray(mean_longitude_t1).dtype).eps)
     tol = 100.0 * eps
+    # Residual acceptance: |F - k sinF + h cosF - lam| <= 1e-12 rad is
+    # ~1 mm on-orbit at a ~ 2.5 AU — three orders below the reference's
+    # 1e-9 propagation contract.  Needed because emulated f64 on TPU
+    # cannot always drive the Newton STEP below 100*eps(f64): the iterate
+    # stalls at rounding level (measured residuals <= 8.5e-14 on the
+    # "unconverged" lanes, identical to the converged distribution), and
+    # a step-only criterion would flag converged lanes as garbage — which
+    # the inf-gated RMS scoring then turns into NoViableOrbit for ~45 %
+    # of trajectories.  No-op on f32 (100*eps_f32 >> 1e-12) and on exact
+    # CPU f64 (the step test fires first in all but rounding-stall lanes).
+    res_tol = 1e-12
 
     e2 = eq.h**2 + eq.k**2
     circular = e2 <= 100.0 * _EPS
@@ -123,7 +134,7 @@ def solve_generalized_kepler(
         fn = jnp.where(done, f, f + step)
         sn = jnp.where(done, s, s * cd + c * sd)
         cn = jnp.where(done, c, c * cd - s * sd)
-        done = done | (jnp.abs(raw) <= tol)
+        done = done | (jnp.abs(raw) <= tol) | (jnp.abs(res) <= res_tol)
         return it + 1, fn, sn, cn, done
 
     def cond(carry):

@@ -164,6 +164,28 @@ class TestTwoBody:
         assert float(sf) == pytest.approx(float(np.sin(2.0450042417470673)), abs=5e-15)
         assert float(cf) == pytest.approx(float(np.cos(2.0450042417470673)), abs=5e-15)
 
+    def test_residual_acceptance_on_step_stall(self):
+        """Regression (TPU emulated f64): a lane whose Newton STEP stalls
+        just above 100*eps while the residual is already at rounding level
+        must be flagged converged — the step-only criterion misfired on
+        ~7% of emulated-f64 solves per propagation, which the inf-gated RMS
+        scoring compounded into NoViableOrbit for ~45% of trajectories.
+        Simulated deterministically: a warm start 6e-13 off the root with a
+        1-iteration budget (step test can't fire; |res| ~ 6e-13 <= 1e-12
+        must)."""
+        eq = _eq()
+        lam = jnp.float64(1.8432075709935847)
+        f_root = 2.0450042417470673
+        f0 = f_root + 6e-13
+        warm = (jnp.float64(f0), jnp.float64(np.sin(f0)), jnp.float64(np.cos(f0)))
+        f, sf, cf, conv = solve_generalized_kepler(eq, lam, max_iter=1, warm=warm)
+        assert bool(conv)
+        assert float(f) == pytest.approx(f_root, abs=1e-11)
+        # a genuinely-unconverged solve must still report False: cold start,
+        # no iterations allowed
+        _, _, _, conv0 = solve_generalized_kepler(eq, lam, max_iter=0)
+        assert not bool(conv0)
+
     def test_propagation_oracle(self):
         # equinoctial_element.rs:1288-1315
         eq = _eq()
