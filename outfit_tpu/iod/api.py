@@ -102,6 +102,24 @@ def _bucket(n: int, floor: int = 8) -> int:
     return b
 
 
+def _bucket_width(cw):
+    """Observation-axis width ladder: powers of two up to 32, then
+    quarter-octave steps (granularity 2^(k-2) within [2^k, 2^(k+1))).
+
+    Unlike the trajectory axis (latency-bound while loops, ~flat in rows),
+    every padded obs COLUMN costs real VPU work per lane at survey widths —
+    a 129-obs arc must not pay a 256-wide kernel (measured 19x/trajectory
+    vs the 12-obs synthetic workload before this ladder).  Quarter-octave
+    steps cap the padding waste at ~25% while keeping the compile-shape
+    variety bounded (4 shapes per doubling)."""
+    cw = np.maximum(np.asarray(cw, np.int64), 1)
+    k = np.floor(np.log2(cw)).astype(np.int64)
+    g = np.maximum(8, 1 << np.maximum(k - 2, 0))
+    quarter = -(-cw // g) * g
+    pow2 = 1 << np.ceil(np.log2(cw)).astype(np.int64)
+    return np.maximum(8, np.where(cw <= 32, pow2, quarter))
+
+
 def stable_hash(traj_id: str) -> int:
     """Order-stable trajectory hash (determinism contract,
     obs_dataset_api.rs:277-296)."""
@@ -786,25 +804,25 @@ def _fit_full_iod_dispatch(
     # 2.65x beyond the width cost alone on TPU).  Per-tid noise keys make
     # the reorder value-transparent (composition-invariance tested).
     cw = np.maximum(counts_all[kept_rows], 1)
-    width_b = np.maximum(8, 2 ** np.ceil(np.log2(cw)).astype(np.int64))
-    # width-bucket coalescing: per-chunk device cost is ~linear in PADDED
-    # rows plus a dispatch/latency floor, while the per-row obs-width cost
-    # is modest post-VPU-rewrite — measured on the U[8,23] ragged workload,
-    # one global-width chunk beats 2-6 width-split chunks by ~1.5x
-    # (devwait 290 vs 455 ms).  Merge adjacent width buckets within 4x
-    # (or 8x for groups too small to earn a chunk); only genuinely large
-    # width spreads (e.g. 16-obs survey arcs mixed with 256-obs arcs)
-    # still split.  Masks keep results identical either way.
+    width_b = _bucket_width(cw)
+    # width-bucket coalescing: merging a narrow group into the next wider
+    # bucket trades padded-obs work (rows x extra columns, ~linear on the
+    # VPU at survey widths) against one fewer latency-bound kernel dispatch
+    # (~50-150 ms of while-loop floor).  Calibration points, both measured
+    # on the chip: the U[8,23] ragged workload prefers ONE global 32-wide
+    # chunk (merge cost ~74k padded obs; splitting was ~1.5x slower,
+    # devwait 455 vs 290 ms), while the real-cadence workload (37/61/129-
+    # obs real arcs) must NOT run everything at the widest bucket (merge
+    # cost ~262k padded obs; 19x the per-trajectory cost of the 12-obs
+    # synthetic).  Budget between the calibration points: merge while the
+    # extra padded obs <= 131072.  Masks keep results identical either way.
     if width_b.size:
         uw = list(np.unique(width_b))
         for i in range(len(uw) - 1):
             w, wn = uw[i], uw[i + 1]
             grp = width_b == w
             n = int(grp.sum())
-            if n and (
-                wn <= 4 * w
-                or (n < max(256, width_b.size // 8) and wn <= 8 * w)
-            ):
+            if n and n * (wn - w) <= 131072:
                 width_b[grp] = wn
     if np.unique(width_b).size > 1:
         order = np.argsort(width_b, kind="stable")
@@ -891,16 +909,15 @@ def _fit_full_iod_dispatch(
     wb_sorted = width_b  # promoted + sorted above (aligned with kept_rows)
     wcuts = [0] + list(np.nonzero(np.diff(wb_sorted))[0] + 1) + [Tk]
     multi_width = len(wcuts) > 2
-    # multi-width chunks are a FIXED trajectory count: per-width group sizes
-    # jitter with dataset composition, and bucketing each group separately
-    # recompiles whenever a group crosses a power-of-two boundary (measured
-    # ~100 s/shape through the axon tunnel, every fresh dataset).  A fixed
-    # (chunk_t, width) shape per width bucket is composition-stable; the
-    # padded rows are inert lanes.  4096 because device cost per chunk is
-    # ~flat in the row count (latency-bound while loops): the floor is one
-    # chunk per width bucket, and a larger chunk_t both reaches it for
-    # survey-scale groups and keeps the chunk COUNT composition-stable
-    # (ragged devwait 415 ms at chunk_t=2048/6 chunks; 161 ms at 3 chunks).
+    # multi-width chunks are CAPPED at a fixed trajectory count (chunk_t)
+    # and shrink per group only in power-of-two steps: per-width group
+    # sizes jitter with dataset composition, and arbitrary shapes would
+    # recompile every fresh dataset (~100 s/shape through the axon
+    # tunnel); pow2 buckets bound the shape set and the persistent cache
+    # holds it.  chunk_t=4096 keeps the chunk COUNT composition-stable
+    # (ragged devwait 415 ms at chunk_t=2048/6 chunks; 161 ms at 3
+    # chunks), while the per-group pow2 shrink stops a 1.4k-row group
+    # from paying a 4096-row chunk at a wide obs bucket.
     chunk_t = min(8192, _bucket(Tk)) if multi_width else Tk
     spans = []
     for ws, we in zip(wcuts[:-1], wcuts[1:]):
@@ -936,7 +953,10 @@ def _fit_full_iod_dispatch(
             Tg = t1g - t0g
             # multi-width: fixed chunk shape (composition-stable compiles);
             # single-width: bucket as before
-            Tb = chunk_t if multi_width else _bucket(Tg)
+            # multi-width: fixed chunk CAP with per-group pow2 shrink —
+            # padding a 1.4k-row group to a 4096-row chunk at a 160-obs
+            # width wastes more obs-columns than the width split saved
+            Tb = min(chunk_t, _bucket(Tg)) if multi_width else _bucket(Tg)
             if mesh is not None and Tb % mesh.devices.size:
                 from outfit_tpu.parallel import pad_to_multiple
 

@@ -307,11 +307,10 @@ def fit_lsq_dispatch(
         kept_rows = st["kept_rows"]
         Tk = len(kept_rows)
         counts_kept = np.maximum(lay.counts[kept_rows], 1)
+        from outfit_tpu.iod.api import _bucket_width
+
         w_m = int(
-            min(
-                lay.n_max,
-                max(8, 2 ** int(np.ceil(np.log2(counts_kept.max(initial=1))))),
-            )
+            min(lay.n_max, int(_bucket_width(int(counts_kept.max(initial=1)))))
         )
         # compact row t (kept order) lives at merged offset off_c + (t-t0g)
         # of the full padded-chunk concatenation

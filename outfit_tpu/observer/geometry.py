@@ -27,20 +27,27 @@ from outfit_tpu.time.scales import Ut1Provider, tt_mjd_to_utc
 
 
 def earth_fixed_position(observer):
-    """Body-fixed observer position in AU (batched over observer arrays)."""
-    lon = jnp.asarray(observer.longitude)
-    rc = jnp.asarray(observer.rho_cos_phi)
-    rs = jnp.asarray(observer.rho_sin_phi)
-    return jnp.stack(
-        [ERAU * rc * jnp.cos(lon), ERAU * rc * jnp.sin(lon), ERAU * rs], axis=-1
+    """Body-fixed observer position in AU (batched over observer arrays).
+
+    Host-side numpy on purpose: every caller loops over concrete Observer
+    objects (catalog floats), and a jnp version costs one device round-trip
+    per observer per np.asarray — measured ~64 ms each through the axon
+    relay, ~3 s of the real-cadence cache build for a 23-site dataset.
+    """
+    lon = np.asarray(observer.longitude)
+    rc = np.asarray(observer.rho_cos_phi)
+    rs = np.asarray(observer.rho_sin_phi)
+    return np.stack(
+        [ERAU * rc * np.cos(lon), ERAU * rc * np.sin(lon), ERAU * rs], axis=-1
     )
 
 
 def earth_fixed_velocity(observer):
-    """Body-fixed velocity from Earth rotation, AU/day."""
+    """Body-fixed velocity from Earth rotation, AU/day (host-side numpy,
+    see earth_fixed_position)."""
     r = earth_fixed_position(observer)
-    omega = jnp.asarray(EARTH_ROTATION)
-    return jnp.cross(jnp.broadcast_to(omega, r.shape), r)
+    omega = np.asarray(EARTH_ROTATION)
+    return np.cross(np.broadcast_to(omega, r.shape), r)
 
 
 def gast(mjd_tt, ut1: Ut1Provider):
