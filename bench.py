@@ -364,18 +364,12 @@ def _timed(f):
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: compiles through the axon TPU
-    tunnel take minutes, so artifacts are reused across processes."""
-    import os
+    tunnel take minutes, so artifacts are reused across processes.  Keyed
+    by a host-CPU fingerprint so another machine's XLA:CPU AOT artifacts
+    can never SIGILL this one (utils/compile_cache.py)."""
+    from outfit_tpu.utils.compile_cache import enable_compile_cache
 
-    import jax
-
-    d = os.path.expanduser("~/.cache/outfit_tpu/jax_cache")
-    os.makedirs(d, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def bench_e2e_stream(n_traj: int = 16384, n_datasets: int = 6):

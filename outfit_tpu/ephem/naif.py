@@ -16,8 +16,9 @@ DAF layout (1024-byte records):
   Type 3: RSIZE = 2 + 6*ncoeff (position + velocity coefficient sets).
 
 Output: per-(target, center) granule-uniform BodyTables in AU with epochs in
-MJD (TDB).  Type-3 velocity coefficient sets are dropped — velocities come
-from differentiating the position polynomials, matching the Type-2 path.
+MJD (TDB).  Type-3 velocity coefficient sets are parsed into ``vel_table``
+and cross-checked against the differentiated position polynomials in tests;
+runtime interpolation uses the derivative (one code path for both types).
 """
 
 import numpy as np

@@ -18,12 +18,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-heavy (~190 jitted
-# kernels); warm runs drop from >10 min to minutes.
-_cache_dir = os.path.expanduser("~/.cache/outfit_tpu/jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
+# kernels); warm runs drop from >10 min to minutes.  Keyed by a host-CPU
+# fingerprint: another machine's XLA:CPU AOT artifacts can SIGILL this one
+# (utils/compile_cache.py).
+from outfit_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(min_compile_secs=0.5)
 try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     # default policy caches TPU/GPU only; tests run on CPU
     jax.config.update(
         "jax_persistent_cache_enable_xla_caches", "xla_gpu_per_fusion_autotune_cache_dir"
