@@ -257,7 +257,21 @@ def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs,
     )
     w = jnp.where(feas, s_gap(t2 - t1) + s_gap(t3 - t2), jnp.inf)
     k_eff = min(max_triplets, w.shape[1])
-    _, sel = jax.lax.top_k(-w, k_eff)  # ascending w, ties lex order
+    # iterative best-K (k_eff argmin passes with exclusion-by-comparison):
+    # lax.top_k over the C(m,3) combination axis lowers to a full stable
+    # variadic SORT on TPU — measured 942 ms of a 1075 ms real-cadence
+    # chunk at (2048, C(100,3)) vs ~10 ms for fused argmin reduces.
+    # argmin returns the FIRST minimum, which reproduces top_k's
+    # tie-by-lower-index rule (= the scalar enumerator's stable ascending-
+    # (w, a, j, k) order; property-tested against the numpy path).
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1)
+    sel_cols = []
+    for _ in range(k_eff):
+        wm = w
+        for prev in sel_cols:
+            wm = jnp.where(iot == prev[:, None], jnp.inf, wm)
+        sel_cols.append(jnp.argmin(wm, axis=1).astype(jnp.int32))
+    sel = jnp.stack(sel_cols, axis=1)  # (T, k_eff) ascending-w order
     ktrips = jnp.minimum(jnp.sum(feas, axis=1), max_triplets).astype(jnp.int32)
     trips = jnp.stack(
         [
