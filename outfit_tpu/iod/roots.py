@@ -120,7 +120,7 @@ def aberth_deg8(
     eye = np.eye(8, dtype=bool)
 
     def body(carry):
-        it, zr, zi, _all_conv = carry
+        it, zr, zi, done = carry
         pr, pi = p(zr, zi)
         dpr, dpi = dp(zr, zi)
         nr, ni = _cdiv(pr, pi, dpr, dpi)  # Newton correction
@@ -150,21 +150,36 @@ def aberth_deg8(
         # 30 eps(f32) ~ 3.6e-6 relative is ample here.
         thr = max(min(eps, 450.0 * 2.220446049250313e-16), 30.0 * feps)
         conv = wmag <= thr * (1.0 + zmag)
-        if active is not None:
-            conv = conv | ~active[..., None]
+        # STICKY freeze (done stays set once a root converges): without it a
+        # frozen root can UNfreeze when the repulsion term from other still-
+        # moving roots re-inflates its recomputed step — clustered roots of
+        # noisy real-survey octics then limit-cycle and hold the whole
+        # batch-converged loop at the full 50-trip budget.  A root frozen at
+        # thr*(1+|z|) relative (~1e-13 in f64) is converged for every
+        # downstream contract (oracles at 1e-9..1e-11; the mixed path
+        # re-Newtons the winner on f64 coefficients anyway).  A stall
+        # release for never-converging roots was tried and REVERTED: early
+        # Aberth dynamics plateau legitimately while the constellation
+        # reorganizes, and a 6-trip no-contraction release killed genuine
+        # roots (tests/test_iod.py::TestRoots).
+        done = done | conv
+        step_ok = ~done
         return (
             it + 1,
-            jnp.where(conv, zr, zr - wr),
-            jnp.where(conv, zi, zi - wi),
-            jnp.all(conv),
+            jnp.where(step_ok, zr - wr, zr),
+            jnp.where(step_ok, zi - wi, zi),
+            done,
         )
 
     def cond(carry):
-        it, _, _, all_conv = carry
-        return (it < max_iter) & ~all_conv
+        it, _, _, done = carry
+        return (it < max_iter) & ~jnp.all(done)
 
+    done0 = jnp.zeros(zr.shape, bool)
+    if active is not None:
+        done0 = done0 | ~active[..., None]
     _, zr, zi, _ = jax.lax.while_loop(
-        cond, body, (jnp.array(0, jnp.int32), zr, zi, jnp.array(False))
+        cond, body, (jnp.array(0, jnp.int32), zr, zi, done0)
     )
     if not sort:
         # callers that re-rank the roots themselves (gauss_candidates keeps
