@@ -269,7 +269,8 @@ def synthetic_dataset(n_traj: int, n_obs: int, eph, seed: int = 0):
     return ds
 
 
-def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e"):
+def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
+              escalate=False, rich=False):
     """Dataset -> results throughput INCLUDING all host prep (observer
     cache, triplet enumeration, lane assembly, result dict construction).
 
@@ -279,11 +280,21 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e"):
 
     ``builder(seed)`` overrides the dataset source (e.g. the RAGGED
     variable-n_obs workload); dataset synthesis itself is excluded from
-    the timed region in either case."""
+    the timed region in either case.
+
+    ``rich=True`` swaps in the full-quality config (max_triplets=16 —
+    measured to converge 100% of the real MPC arcs vs ~80% lean).
+    ``escalate=True`` instead runs the tiered recipe
+    (``fit_lsq_escalating``: lean first, rich only on the failures).
+    Measured on the real-cadence workload the flat rich config wins
+    (1901 vs 1770 fits/s, both 100% converged): the lean-stage failures
+    concentrate in the most expensive width bucket (the 129-obs arcs),
+    so the lean pass is mostly wasted work there — tiering pays only when
+    the hard tail is also the cheap tail."""
     from outfit_tpu.ephem import JPLEphem
     from outfit_tpu.iod.api import fit_full_iod
     from outfit_tpu.iod.params import IODParams
-    from outfit_tpu.lsq.api import fit_lsq
+    from outfit_tpu.lsq.api import fit_lsq, fit_lsq_escalating
     from outfit_tpu.lsq.config import DifferentialCorrectionConfig
     from outfit_tpu.observer.cache import ObserverCache
 
@@ -296,10 +307,22 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e"):
         divergence_grace_iterations=2, precision="mixed",
         max_newton_iterations=4, prewarm_max_iterations=16,
     )
+    rich_params = IODParams(
+        n_noise_realizations=3, precision="mixed", newton_max_it=20,
+        max_triplets=16,
+    )
+
+    if rich:
+        params = rich_params
 
     def run(ds):
         # the FUSED production path: IOD seeds hand off to the correction
         # on device; one bulk transfer returns both stages' results
+        if escalate:
+            lsq = fit_lsq_escalating(
+                ds, eph, [(params, cfg), (rich_params, cfg)], seed=7
+            )
+            return None, lsq
         cache = ObserverCache.build(ds, eph)
         lsq = fit_lsq(ds, eph, params, cfg, seed=7, cache=cache)
         return None, lsq
@@ -556,6 +579,7 @@ def main():
                 n_traj=4096,
                 builder=lambda seed: real_cadence_dataset(4096, seed=seed),
                 tag="e2e-real-cadence",
+                rich=True,
             )
             log(
                 f"END-TO-END REAL-CADENCE (real MPC arcs tiled, mean 75.7 "

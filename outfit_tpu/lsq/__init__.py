@@ -13,6 +13,7 @@ from outfit_tpu.lsq.api import (  # noqa: F401
     PendingLsq,
     fit_lsq,
     fit_lsq_dispatch,
+    fit_lsq_escalating,
     fit_lsq_finalize,
     fit_lsq_stream,
 )

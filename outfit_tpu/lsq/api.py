@@ -726,5 +726,60 @@ def fit_lsq_stream(
             ex.shutdown(wait=False, cancel_futures=True)
 
 
+def fit_lsq_escalating(
+    dataset,
+    ephem,
+    stages,
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    mesh="auto",
+    retry_if=None,
+):
+    """Tiered fitting: stage 0 fits every trajectory; trajectories that
+    fail it are re-fit with each successively richer stage, on the failing
+    subset only.
+
+    ``stages`` is a list of ``(IODParams, DifferentialCorrectionConfig)``
+    pairs ordered lean -> rich.  ``retry_if(result) -> bool`` decides
+    whether a trajectory escalates (default: did not converge through the
+    least-squares loop, i.e. ``not r.ok or r.fell_back_to_iod``).
+
+    This is the batch-idiomatic answer to ragged difficulty on TPU: most
+    arcs converge under a cheap config (few triplets / realizations, tight
+    iteration caps), so only the hard tail pays for a rich one — instead
+    of every lane being padded to the budget the hardest arc needs.  The
+    reference has no direct equivalent (its scalar per-trajectory loop
+    always runs the full IODParams budget; obs_dataset_api.rs:145-172).
+
+    Deterministic per trajectory: seeds fold in the trajectory id (the
+    ``base_seed ^ stable_hash`` contract, obs_dataset_api.rs:277-296), so
+    a trajectory's stage-k result does not depend on which other
+    trajectories escalated with it.
+    """
+    if not stages:
+        raise ValueError("fit_lsq_escalating needs at least one (params, config) stage")
+    if retry_if is None:
+        retry_if = lambda r: (not r.ok) or r.fell_back_to_iod  # noqa: E731
+    cur = dataset
+    results: Dict[str, LsqResult] = {}
+    for k, (params, cfg) in enumerate(stages):
+        res = fit_lsq(
+            cur, ephem, params, cfg, seed=seed, ut1=ut1,
+            error_model=error_model, mesh=mesh,
+        )
+        results.update(res)
+        if k == len(stages) - 1:
+            break
+        retry = {tid for tid, r in res.items() if retry_if(r)}
+        if not retry:
+            break
+        parts = [g for tid, g in cur.trajectory_groups() if tid in retry and g.size]
+        if not parts:
+            break
+        cur = cur.subset(np.concatenate(parts))
+    return results
+
+
 #: Reference-name alias (``DifferentialCorrectionOutput``, diff_cor.rs:202-225).
 DifferentialCorrectionOutput = LsqResult

@@ -680,3 +680,62 @@ class TestLsqBatchIsolation:
                     np.testing.assert_allclose(
                         b, a, rtol=rtol, atol=atol, equal_nan=True, err_msg=msg
                     )
+
+
+class TestEscalation:
+    """fit_lsq_escalating: lean stage first, rich stage only on failures.
+
+    Composition contract (per-trajectory fold_in seeds) implies each
+    trajectory's stage-k result is independent of which other trajectories
+    escalated with it, so the tiered result must match the corresponding
+    direct single-stage fits."""
+
+    def _two_traj(self, eph):
+        ds = _synth_dataset(
+            eph, KeplerianElements(*map(jnp.float64, _KEP_TRUE)), _EPOCHS,
+            noise=5, tid="A",
+        )
+        kep_b = KeplerianElements(
+            *map(jnp.float64, (57000.0, 1.7, 0.25, 0.3, 2.2, 0.4, 1.5))
+        )
+        return _synth_dataset(eph, kep_b, _EPOCHS + 0.37, noise=5, tid="B", ds=ds)
+
+    def test_failed_trajectories_escalate(self, eph):
+        from outfit_tpu.lsq import fit_lsq_escalating
+
+        ds = self._two_traj(eph)
+        # stage 0: perihelion cap between the two orbits' q — rejects A
+        # (q ~ 1.96 AU) at eccentricity control, accepts B (q ~ 1.28 AU)
+        lean = IODParams(n_noise_realizations=3, max_perihelion_au=1.6)
+        rich = IODParams(n_noise_realizations=3)
+        cfg = DifferentialCorrectionConfig()
+        tiered = fit_lsq_escalating(
+            ds, eph, [(lean, cfg), (rich, cfg)], seed=42
+        )
+        assert set(tiered) == {"A", "B"}
+        assert tiered["A"].ok and tiered["B"].ok
+
+        lean_res = fit_lsq(self._two_traj(eph), eph, lean, cfg, seed=42)
+        assert not lean_res["A"].ok  # sanity: A really fails stage 0
+        a_idx = ds.trajectory_obs_indices("A")
+        rich_a = fit_lsq(ds.subset(a_idx), eph, rich, cfg, seed=42)
+        np.testing.assert_allclose(
+            tiered["A"].equinoctial, rich_a["A"].equinoctial, rtol=0, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            tiered["B"].equinoctial, lean_res["B"].equinoctial, rtol=0, atol=1e-11
+        )
+
+    def test_single_stage_equals_fit_lsq(self, eph):
+        from outfit_tpu.lsq import fit_lsq_escalating
+
+        ds = self._two_traj(eph)
+        plain = fit_lsq(self._two_traj(eph), eph, _IOD, seed=42)
+        tiered = fit_lsq_escalating(
+            ds, eph, [(_IOD, DifferentialCorrectionConfig())], seed=42
+        )
+        for tid in ("A", "B"):
+            assert tiered[tid].ok == plain[tid].ok
+            np.testing.assert_allclose(
+                tiered[tid].equinoctial, plain[tid].equinoctial, rtol=0, atol=0
+            )
