@@ -1221,9 +1221,14 @@ def fit_full_iod_stream(
 
         ex = ThreadPoolExecutor(1, thread_name_prefix="iod-finalize")
 
+    from outfit_tpu.utils.runtime import clear_executables_if_crowded
+
     inflight = deque()
     try:
         for ds in datasets:
+            # backstop for unbounded shape streams: nearing vm.max_map_count
+            # crashes inside XLA instead of raising (utils/runtime.py)
+            clear_executables_if_crowded()
             st = _fit_full_iod_dispatch(
                 ds, ephem, params, seed, ut1, error_model, None, mesh
             )

@@ -707,10 +707,15 @@ def fit_lsq_stream(
             return pend.dataset, pend_futures.pop(id(pend)).result()
         return pend.dataset, fit_lsq_finalize(pend)
 
+    from outfit_tpu.utils.runtime import clear_executables_if_crowded
+
     pend_futures = {}
     inflight = deque()
     try:
         for ds in datasets:
+            # backstop for unbounded shape streams: nearing vm.max_map_count
+            # crashes inside XLA instead of raising (utils/runtime.py)
+            clear_executables_if_crowded()
             pend = fit_lsq_dispatch(
                 ds, ephem, iod_params, config, seed, ut1, error_model, mesh
             )

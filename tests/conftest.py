@@ -31,3 +31,20 @@ try:
     )
 except Exception:
     pass
+
+
+# --- memory-mapping guard -----------------------------------------------
+# Every live XLA:CPU executable holds dozens of memory mappings (JIT code
+# pages).  The suite compiles/deserializes hundreds of 8-device executables,
+# and the process crosses the kernel's vm.max_map_count (default 65530)
+# about 70% of the way through — at which point an mmap failure inside
+# executable deserialization segfaults/aborts the whole run (observed as
+# deterministic rc=139/rc=134 at the same test).  Dropping compiled
+# executables bounds the live set; the persistent compile cache makes the
+# subsequent reloads cheap.
+
+from outfit_tpu.utils.runtime import clear_executables_if_crowded  # noqa: E402
+
+
+def pytest_runtest_teardown(item, nextitem):
+    clear_executables_if_crowded()
