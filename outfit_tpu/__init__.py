@@ -82,6 +82,9 @@ _FACADE = {
     "EphemerisMode": "outfit_tpu.ephemeris.request",
     "EphemerisRequest": "outfit_tpu.ephemeris.request",
     "ObserverRequest": "outfit_tpu.ephemeris.request",
+    "Position": "outfit_tpu.ephemeris.request",
+    "Geometry": "outfit_tpu.ephemeris.request",
+    "Combined": "outfit_tpu.ephemeris.request",
     "compute_ephemeris": "outfit_tpu.ephemeris.api",
     "FullOrbitResultExt": "outfit_tpu.ephemeris.api",
     # observation ingestion (photom surface)

@@ -79,7 +79,7 @@ class TestTopLevelFacade:
         AU GAUSS_GRAV RADEG RADH RADSEC SECONDS_PER_DAY T2000 VLIGHT_AU
         JPLEphem AberrationOrder ApparentPosition BodyGeometry EphemerisConfig
         EphemerisEntry EphemerisMode EphemerisRequest EphemerisResult
-        FullOrbitResultExt ObserverRequest
+        FullOrbitResultExt ObserverRequest Position Geometry Combined
         fit_full_iod fit_full_iod_parallel fit_iod fit_lsq
         DifferentialCorrectionConfig DifferentialCorrectionOutput
         ObsDataset ErrorModel Observer Ut1Provider
