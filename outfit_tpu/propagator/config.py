@@ -24,6 +24,11 @@ class NBodyConfig:
     abs_tol: float = 1e-12
     rel_tol: float = 1e-12
     max_steps: int = 1000
+    #: True = perturber positions snapshot at t0 (reference parity,
+    #: nbody.rs:73-87; accurate for arcs <~30 d).  False = positions
+    #: interpolated from the ephemeris tables at every integrator stage
+    #: time — accurate for arbitrarily long arcs (extension).
+    frozen_perturbers: bool = True
 
     @classmethod
     def with_planets(cls) -> "NBodyConfig":

@@ -7,8 +7,11 @@ Behavioral parity with ``EquinoctialElements::propagate_nbody``
 * 42-component augmented state [r, v, Phi(6x6)] in the ecliptic J2000
   heliocentric frame,
 * Newtonian perturber accelerations with the Sun's direct term providing
-  the Keplerian central force; perturber positions FROZEN at t0
-  (nbody.rs:73-87 snapshot semantics),
+  the Keplerian central force; perturber positions FROZEN at t0 by default
+  (nbody.rs:73-87 snapshot semantics) or, with
+  ``NBodyConfig(frozen_perturbers=False)``, interpolated from the ephemeris
+  tables at every integrator stage time (an extension over the reference —
+  removes the ~30-day arc-length accuracy limit of the snapshot),
 * variational equations dPhi/dt = A Phi, A = [[0, I], [da/dr, 0]],
 * element Jacobians J(t1) = Phi(t1) @ J0 with J0 from the analytic
   two-body Jacobians at t0,
@@ -46,27 +49,43 @@ class NBodyResult(NamedTuple):
     status: jnp.ndarray  # 0 ok
 
 
-def perturber_snapshots(ephem, config: NBodyConfig, t0_mjd):
-    """Heliocentric ECLIPTIC positions + GMs of the perturbers at epoch t0.
-
-    ``t0_mjd`` may be batched (...,); returns (pos (..., P, 3), gm (P,)).
-    """
-    rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000)
-    positions = []
+def _perturber_gms(config: NBodyConfig) -> jnp.ndarray:
     gms = []
     for b in config.perturbing_bodies:
         body = Body(b)
         gm = gm_au3_day2(body)
         if gm is None:
             raise ValueError(f"no GM for perturbing body {body!r}")
+        gms.append(gm)
+    return jnp.asarray(np.array(gms))
+
+
+def _perturber_positions(ephem, config: NBodyConfig, t_mjd):
+    """Heliocentric ECLIPTIC perturber positions at epoch(s) ``t_mjd``.
+
+    ``t_mjd`` may be batched (...,); returns (..., P, 3).  Traceable: the
+    ephemeris table lookup is a gather+dot, so this can run inside the
+    integrator's jitted right-hand side.
+    """
+    rot = jnp.asarray(ROT_EQUMJ2000_TO_ECLMJ2000)
+    positions = []
+    for b in config.perturbing_bodies:
+        body = Body(b)
         if body == Body.SUN:
-            p = jnp.zeros(jnp.shape(jnp.asarray(t0_mjd)) + (3,))
+            p = jnp.zeros(jnp.shape(jnp.asarray(t_mjd)) + (3,))
         else:
-            p_equ, _ = ephem.body_ephemeris(body, t0_mjd)
+            p_equ, _ = ephem.body_ephemeris(body, t_mjd)
             p = jnp.sum(rot * p_equ[..., None, :], -1)
         positions.append(p)
-        gms.append(gm)
-    return jnp.stack(positions, axis=-2), jnp.asarray(np.array(gms))
+    return jnp.stack(positions, axis=-2)
+
+
+def perturber_snapshots(ephem, config: NBodyConfig, t0_mjd):
+    """Heliocentric ECLIPTIC positions + GMs of the perturbers at epoch t0.
+
+    ``t0_mjd`` may be batched (...,); returns (pos (..., P, 3), gm (P,)).
+    """
+    return _perturber_positions(ephem, config, t0_mjd), _perturber_gms(config)
 
 
 def _acceleration_and_gradient(r, pert_pos, gm):
@@ -122,16 +141,27 @@ def propagate_nbody(
     j0 = jnp.concatenate([init.dpos_delem, init.dvel_delem], axis=-1)  # (...,6,6)
     # rows = elements, cols = (pos, vel); STM right-multiplies J0^T
 
-    pert_pos, gm = perturber_snapshots(ephem, config, t0)
+    gm = _perturber_gms(config)
+    if config.frozen_perturbers:
+        # reference snapshot semantics (nbody.rs:73-87): positions at t0,
+        # accurate for arcs of up to ~30 days
+        pert_pos = _perturber_positions(ephem, config, t0)
 
     phi0 = jnp.broadcast_to(jnp.eye(6).reshape(36), batch + (36,))
     y0 = jnp.concatenate([init.position, init.velocity, phi0], axis=-1)
 
-    def rhs(_t, y):
+    def rhs(t, y):
         r = y[..., 0:3]
         v = y[..., 3:6]
         phi = y[..., 6:42].reshape(y.shape[:-1] + (6, 6))
-        acc, grad = _acceleration_and_gradient(r, pert_pos, gm)
+        if config.frozen_perturbers:
+            pp = pert_pos
+        else:
+            # time-varying perturbers: Chebyshev-table lookup at each
+            # integration time — extends accuracy to arbitrarily long arcs
+            # (an extension over the reference, which only has snapshots)
+            pp = _perturber_positions(ephem, config, t)
+        acc, grad = _acceleration_and_gradient(r, pp, gm)
         # A = [[0, I], [grad, 0]] exploited structurally: dPhi = A Phi means
         # rows 0-2 of dPhi are Phi rows 3-5, rows 3-5 are grad @ Phi[0:3]
         # (multiply+sum, not einsum — MXU dot_general pathology, see above)
