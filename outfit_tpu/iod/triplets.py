@@ -32,9 +32,17 @@ def downsample_uniform_with_edges(n: int, max_keep: int) -> np.ndarray:
 
 
 def triplet_weight(t1, t2, t3, dtw: float):
+    # s(dt) = dtw/dt if dt <= dtw else 1 + dt/dtw (mod.rs:148-274), written
+    # with ONE division per gap (1 + dt * (1/dtw) costs a multiply): the
+    # weight grid is C(m,3) wide and emulated-f64 division dominates its
+    # device cost.  MUST stay expression-identical to the jnp copy in
+    # _enum_device (bitwise device==numpy parity contract).
+    inv_dtw = 1.0 / dtw
+
     def s_gap(dt):
-        r = dt / dtw
-        return np.where(r <= 1.0, 1.0 / np.maximum(r, 1e-300), 1.0 + r)
+        return np.where(
+            dt <= dtw, dtw / np.maximum(dt, 1e-300), 1.0 + dt * inv_dtw
+        )
 
     return s_gap(t2 - t1) + s_gap(t3 - t2)
 
@@ -246,9 +254,14 @@ def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs,
     t3 = td[:, ki]
     span = t3 - t1
 
+    # one division per gap; expression-identical to triplet_weight's numpy
+    # s_gap (bitwise device==numpy parity contract)
+    inv_dtw = 1.0 / dtw
+
     def s_gap(dt):
-        r = dt / dtw
-        return jnp.where(r <= 1.0, 1.0 / jnp.maximum(r, 1e-300), 1.0 + r)
+        return jnp.where(
+            dt <= dtw, dtw / jnp.maximum(dt, 1e-300), 1.0 + dt * inv_dtw
+        )
 
     feas = (
         (jnp.asarray(ki, jnp.int32)[None, :] < m_eff[:, None])
@@ -256,15 +269,21 @@ def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs,
         & (span <= dt_max)
     )
     w = jnp.where(feas, s_gap(t2 - t1) + s_gap(t3 - t2), jnp.inf)
-    k_eff = min(max_triplets, w.shape[1])
+    C = w.shape[1]
+    k_eff = min(max_triplets, C)
     # iterative best-K (k_eff argmin passes with exclusion-by-comparison):
     # lax.top_k over the C(m,3) combination axis lowers to a full stable
     # variadic SORT on TPU — measured 942 ms of a 1075 ms real-cadence
-    # chunk at (2048, C(100,3)) vs ~10 ms for fused argmin reduces.
+    # chunk at (2048, C(100,3)) vs fused argmin reduces.
     # argmin returns the FIRST minimum, which reproduces top_k's
     # tie-by-lower-index rule (= the scalar enumerator's stable ascending-
     # (w, a, j, k) order; property-tested against the numpy path).
-    iot = jax.lax.broadcasted_iota(jnp.int32, (1, w.shape[1]), 1)
+    # (A block-decomposed exact top-K — materialize w, keep per-block
+    # min/argmin, repair only the block that lost its minimum — measured
+    # 480 ms vs these passes' 194 ms at (2731, C(100,3)): the per-pass
+    # row-indexed scatter/gather repairs lower to general scatters, which
+    # TPU serializes.  The streaming re-sweep wins.)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     sel_cols = []
     for _ in range(k_eff):
         wm = w

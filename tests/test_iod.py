@@ -575,9 +575,17 @@ class TestTripletVectorization:
         )
 
         rng = np.random.default_rng(23)
-        for trial in range(6):
-            T = int(rng.integers(1, 20))
-            counts = rng.integers(0, 24, T)
+        for trial in range(8):
+            if trial < 6:
+                T = int(rng.integers(1, 20))
+                counts = rng.integers(0, 24, T)
+                max_obs = int(rng.integers(3, 26))
+            else:
+                # wide arcs: C(m,3) >= 4096 exercises the block-decomposed
+                # exact top-K path of the device enumerator
+                T = int(rng.integers(1, 6))
+                counts = rng.integers(30, 60, T)
+                max_obs = int(rng.integers(30, 50))
             n_max = max(int(counts.max()), 1)
             epochs_pad = np.zeros((T, n_max))
             for t in range(T):
@@ -587,7 +595,6 @@ class TestTripletVectorization:
             dt_min = float(rng.uniform(0.0, 0.5))
             dt_max = float(rng.uniform(5.0, 200.0))
             dtw = float(rng.uniform(5.0, 30.0))
-            max_obs = int(rng.integers(3, 26))
             kmax = int(rng.integers(1, 10))
             want_t, want_k = generate_triplet_indices_batch(
                 epochs_pad, counts, dt_min, dt_max, dtw, max_obs, kmax
