@@ -53,9 +53,12 @@ from outfit_tpu.time.scales import Ut1Provider
 from outfit_tpu.utils.linalg import rotate3
 
 
-@dataclass
+@dataclass(slots=True)
 class FitResult:
-    """Per-trajectory IOD outcome (parity: FitOrbitResult::IODGauss)."""
+    """Per-trajectory IOD outcome (parity: FitOrbitResult::IODGauss).
+
+    ``slots=True``: one instance per trajectory on the finalize critical
+    path (see LsqResult)."""
 
     traj_id: str
     ok: bool

@@ -66,12 +66,15 @@ def _status_name(code):
     return _STATUS_NAMES.get(code, f"status={code}")
 
 
-@dataclass
+@dataclass(slots=True)
 class LsqResult:
     """Per-trajectory LSQ outcome.
 
     Parity: ``DifferentialCorrectionOutput`` (diff_cor.rs:202-243) +
     the IOD-fallback semantics of the driver (mod.rs:113).
+
+    ``slots=True``: finalize constructs one of these per trajectory on the
+    stream pipeline's critical path (tens of thousands per dataset).
     """
 
     traj_id: str
@@ -700,7 +703,12 @@ def fit_lsq_stream(
     if prefetch:
         from concurrent.futures import ThreadPoolExecutor
 
-        ex = ThreadPoolExecutor(1, thread_name_prefix="lsq-finalize")
+        # two workers so dataset N's device_get (GIL-free relay transfer)
+        # overlaps dataset N-1's result construction (GIL-bound Python):
+        # the finalize path is the stream's binding cost once dispatch is
+        # async (measured fetch ~0.2s + build ~0.15s per 16k-trajectory
+        # dataset); results stay input-ordered via the in-flight deque
+        ex = ThreadPoolExecutor(2, thread_name_prefix="lsq-finalize")
 
     def _finalize(pend):
         if ex is not None:
