@@ -667,6 +667,10 @@ def fit_lsq(
     )
 
 
+# finalize-pool width for fit_lsq_stream (internal; tools/stream_ab.py A/Bs it)
+_FINALIZE_WORKERS = 2
+
+
 def fit_lsq_stream(
     datasets,
     ephem,
@@ -708,7 +712,7 @@ def fit_lsq_stream(
         # the finalize path is the stream's binding cost once dispatch is
         # async (measured fetch ~0.2s + build ~0.15s per 16k-trajectory
         # dataset); results stay input-ordered via the in-flight deque
-        ex = ThreadPoolExecutor(2, thread_name_prefix="lsq-finalize")
+        ex = ThreadPoolExecutor(_FINALIZE_WORKERS, thread_name_prefix="lsq-finalize")
 
     def _finalize(pend):
         if ex is not None:
