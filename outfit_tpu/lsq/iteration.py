@@ -244,7 +244,10 @@ def single_iteration(
     rhs = jnp.where(free, rhs, 0.0)
 
     # inversion via unrolled Cholesky (utils.linalg) — jnp.linalg.inv does
-    # not lower on TPU x64; the normal matrix is SPD whenever invertible
+    # not lower on TPU x64; the normal matrix is SPD whenever invertible.
+    # The reference's QR fallback (least_square.rs:329-341) is deliberately
+    # NOT mirrored: see the utils.linalg module docstring for the measured
+    # batch-isolation violation it would introduce.
     from outfit_tpu.utils.linalg import cholesky_inverse6
 
     finite = jnp.isfinite(normal).all(axis=(-1, -2))

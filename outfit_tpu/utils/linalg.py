@@ -5,9 +5,22 @@ fallback (``least_square.rs:329-341``).  ``jnp.linalg.inv`` does not lower
 through the TPU x64-emulation pipeline, so the Cholesky factorization,
 triangular solves, and the SPD inverse are unrolled here as plain batched
 arithmetic (6x6 is small enough that unrolling beats any LAPACK call
-anyway).  Normal matrices are PSD by construction; non-positive pivots mark
-the inversion failed (the reference's QR fallback only papers over exactly
-those rank-deficient cases and then fails downstream).
+anyway).
+
+The QR fallback is a DELIBERATE deviation, kept out after measurement.
+Normal matrices are sums of outer products accumulated in f64, hence PSD by
+construction — Cholesky only rejects them once rounding makes a
+near-singular one indefinite (condition number ~1e15+).  nalgebra's QR
+"rescues" exactly those by returning an inverse with O(cond*eps) error and
+letting the correction loop's bizarre/divergence checks judge the garbage
+step.  A batched implementation was built and reverted: rescued steps
+amplify XLA's ~1-ulp batch-shape lowering noise in the Jacobians by the
+condition number, which broke the batch-isolation contract (a lane's
+elements moved by 1e-2 depending on which other lanes shared the batch —
+tests/test_lsq.py::TestLsqBatchIsolation).  The scalar reference never had
+to state that contract; here INVERSION_FAILED -> fall-back-to-IOD is both
+deterministic and statistically honest (a cond-1e15 covariance is
+meaningless).
 """
 
 import jax.numpy as jnp
