@@ -512,25 +512,55 @@ def _lane_select(rms, valid, corrected):
     return best, best_rms
 
 
-def _to_equinoctial(kind, el, epoch):
+def _to_equinoctial(kind, el, epoch, relevant=None):
     """Element-set-aware equinoctial conversion (Keplerian or hyperbolic
-    Cometary), masked per lane."""
+    Cometary), masked per lane.
+
+    The Cometary branch is a chain of emulated-f64 transcendentals
+    (sinh/atanh/tan through cometary->keplerian->equinoctial) that HLO
+    attribution (tools/hlo_attribution.py) showed compiling to
+    thousand-op fusions — for a branch that all-elliptic workloads never
+    take.  It is therefore ``lax.cond``-gated on a RELEVANT cometary lane
+    actually existing; ``relevant`` marks lanes whose output is consumed
+    downstream (invalid/padding lanes score inf or are masked by the
+    caller, so their values are dead either way).  Keplerian lanes are
+    bitwise identical with or without the gate (the computed
+    ``eq_from_kep`` arrays pass through the ``where`` unmodified);
+    relevant cometary lanes always force the branch on (their own flag
+    drives ``jnp.any``) and match the ungated form to <=1 ulp — the
+    ``lax.cond`` branch is lowered as a separate XLA computation with
+    its own fusion choices (same class of noise as the documented
+    batch-shape lowering noise, utils/linalg.py).  Batch isolation is
+    preserved: a relevant lane's value never depends on which other
+    lanes share its batch.  Measured effect (tools/iod_gate_ab.py, same-process
+    A/B at the 8192x8x12 bench shape, all-elliptic): 79.6 vs 80.7 ms
+    median — the fusions are wide but shallow, so skipping them buys
+    ~1.3%, not the bulk of the base cost.
+"""
     kep = KeplerianElements(
         epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
     )
     eq_from_kep = keplerian_to_equinoctial(kep)
-    com = CometaryElements(
-        epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
-    )
-    eq_from_com = cometary_to_equinoctial(com)
     is_kep = kind == KIND_KEPLERIAN
-    return EquinoctialElements(
-        epoch,
-        *[
+    need_com = ~is_kep if relevant is None else (~is_kep & relevant)
+
+    def _with_cometary(kep_fields):
+        com = CometaryElements(
+            epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+        )
+        eq_from_com = cometary_to_equinoctial(com)
+        return tuple(
             jnp.where(is_kep, a, jnp.where(jnp.isfinite(b), b, 0.0))
-            for a, b in zip(eq_from_kep[1:], eq_from_com[1:])
-        ],
+            for a, b in zip(kep_fields, eq_from_com[1:])
+        )
+
+    fields = jax.lax.cond(
+        jnp.any(need_com),
+        _with_cometary,
+        lambda kep_fields: kep_fields,
+        tuple(eq_from_kep[1:]),
     )
+    return EquinoctialElements(epoch, *fields)
 
 
 def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: IODParams):
@@ -551,7 +581,9 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
 
     kind = state_elems.kind  # (L, K)
     el = state_elems.elements  # (L, K, 6)
-    eq = _to_equinoctial(kind, el, cands.epoch)
+    # invalid candidates are masked out of selection (_lane_select), so only
+    # valid lanes' conversions are live
+    eq = _to_equinoctial(kind, el, cands.epoch, relevant=cands.valid)
 
     mjd, ra, dec, sra, sdec, helio = obs_arrays
     if mixed:
@@ -627,7 +659,9 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
         rotate3(rot, ppos[..., 1, :]),
         rotate3(rot, pvel),
     )
-    eq64 = _to_equinoctial(kind64, el64, pepoch)
+    # trajectories without a finite-scored lane (has=False) carry junk
+    # elements that the finalize step drops — their conversion is dead
+    eq64 = _to_equinoctial(kind64, el64, pepoch, relevant=has)
     mjd64, ra64, dec64, sra64, sdec64, helio64 = obs_arrays
     rms64 = rms_orbit_error(
         eq64, mjd64, ra64, dec64, sra64, sdec64, helio64, window_mask[sel]

@@ -815,3 +815,98 @@ class TestBatchIsolation:
                     np.asarray(getattr(alone, name))[0],
                     err_msg=f"lane {i} field {name} depends on batch composition",
                 )
+
+
+class TestToEquinoctialGate:
+    """The cond-gated cometary conversion (iod/api.py:_to_equinoctial) must
+    be value-identical to the unconditional reference form on every
+    RELEVANT lane, whether or not the cometary branch is taken."""
+
+    @staticmethod
+    def _ungated(kind, el, epoch):
+        from outfit_tpu.elements.types import (
+            CometaryElements,
+            cometary_to_equinoctial,
+        )
+        from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN
+
+        kep = KeplerianElements(
+            epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+        )
+        eq_from_kep = keplerian_to_equinoctial(kep)
+        com = CometaryElements(
+            epoch, el[..., 0], el[..., 1], el[..., 2], el[..., 3], el[..., 4], el[..., 5]
+        )
+        eq_from_com = cometary_to_equinoctial(com)
+        is_kep = kind == KIND_KEPLERIAN
+        return EquinoctialElements(
+            epoch,
+            *[
+                jnp.where(is_kep, a, jnp.where(jnp.isfinite(b), b, 0.0))
+                for a, b in zip(eq_from_kep[1:], eq_from_com[1:])
+            ],
+        )
+
+    def _mixed_batch(self):
+        from outfit_tpu.elements.orb_elem import KIND_COMETARY, KIND_KEPLERIAN
+
+        # lane 0,2: elliptic Keplerian; lane 1: hyperbolic cometary;
+        # lane 3: junk cometary (to be marked irrelevant)
+        kind = jnp.array([KIND_KEPLERIAN, KIND_COMETARY, KIND_KEPLERIAN, KIND_COMETARY])
+        el = jnp.array(
+            [
+                [2.3, 0.12, 0.2, 1.1, 0.4, 2.0],
+                [1.5, 1.35, 0.3, 2.0, 1.0, 0.5],  # q,e>1,i,Om,om,nu
+                [1.1, 0.45, 0.9, 0.3, 2.2, 4.0],
+                [0.7, 2.10, 1.2, 0.1, 0.2, 0.3],
+            ]
+        )
+        epoch = jnp.asarray(59000.0)
+        return kind, el, epoch
+
+    def test_branch_taken_matches_ungated(self):
+        # Keplerian lanes bitwise; cometary lanes to <=4 ulp (the lax.cond
+        # branch is a separate XLA computation with its own fusions — see
+        # the _to_equinoctial docstring).
+        from outfit_tpu.iod.api import _to_equinoctial
+        from outfit_tpu.elements.orb_elem import KIND_KEPLERIAN
+
+        kind, el, epoch = self._mixed_batch()
+        relevant = jnp.array([True, True, True, False])
+        gated = _to_equinoctial(kind, el, epoch, relevant=relevant)
+        ref = self._ungated(kind, el, epoch)
+        kep_mask = np.asarray(kind == KIND_KEPLERIAN)
+        for name in gated._fields:
+            g = np.asarray(getattr(gated, name))
+            r = np.asarray(getattr(ref, name))
+            if g.ndim == 0:
+                np.testing.assert_array_equal(g, r)
+                continue
+            np.testing.assert_array_equal(
+                g[kep_mask], r[kep_mask],
+                err_msg=f"Keplerian lanes changed in field {name}",
+            )
+            np.testing.assert_allclose(
+                g[~kep_mask], r[~kep_mask], rtol=1e-15, atol=0.0,
+                err_msg=f"cometary lanes differ beyond ulp noise in {name}",
+            )
+
+    def test_branch_skipped_keplerian_lanes_exact(self):
+        from outfit_tpu.iod.api import _to_equinoctial
+
+        kind, el, epoch = self._mixed_batch()
+        # no cometary lane is relevant -> branch skipped entirely
+        relevant = jnp.array([True, False, True, False])
+        gated = _to_equinoctial(kind, el, epoch, relevant=relevant)
+        ref = self._ungated(kind, el, epoch)
+        kep_mask = np.array([True, False, True, False])
+        for name in gated._fields:
+            g = np.asarray(getattr(gated, name))
+            r = np.asarray(getattr(ref, name))
+            if g.ndim == 0:  # epoch scalar
+                np.testing.assert_array_equal(g, r)
+                continue
+            np.testing.assert_array_equal(
+                g[kep_mask], r[kep_mask],
+                err_msg=f"relevant Keplerian lanes changed in field {name}",
+            )
