@@ -810,7 +810,14 @@ def _fit_full_iod_dispatch(
             params.max_triplets,
             m_cap=m_cap,
         )
-        trips_all, ktrips_all = jax.device_get((trips_dev, ktrips_dev))
+        from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+        _packed, _spec = pack_for_fetch((trips_dev, ktrips_dev))
+        trips_all, ktrips_all = (
+            jax.device_get((trips_dev, ktrips_dev))
+            if _packed is None
+            else unpack_fetched(jax.device_get(_packed), _spec)
+        )
         trips_all = trips_all[:Tall].astype(np.int64)
         ktrips_all = ktrips_all[:Tall].astype(np.int64)
         ktrips_all = np.where(bad_traj, 0, ktrips_all)
@@ -1217,9 +1224,16 @@ def fit_full_iod(
     )
     if state["pending"] is None:
         return state["results"]
-    # ONE bulk transfer for every chunk's outputs (each individual
-    # np.asarray costs a full tunnel round-trip)
-    fetched = jax.device_get([out for _, _, _, out in state["pending"]])
+    # ONE bulk transfer for every chunk's outputs, as ONE packed buffer:
+    # each individual transfer costs a relay round-trip on top of
+    # bandwidth (utils/fetch.py)
+    from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+    packed, spec = pack_for_fetch([out for _, _, _, out in state["pending"]])
+    if packed is None:
+        fetched = jax.device_get([out for _, _, _, out in state["pending"]])
+    else:
+        fetched = unpack_fetched(jax.device_get(packed), spec)
     return _finalize_iod(state, fetched)
 
 
@@ -1244,12 +1258,33 @@ def fit_full_iod_stream(
 
     mesh = resolve_mesh(mesh)
 
+    from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+    def _pack(state):
+        # pack at dispatch time so the concat queues right behind the
+        # kernels; one relay round-trip per dataset instead of ~n_chunks*7
+        if state["pending"] is not None:
+            state["packed"], state["pack_spec"] = pack_for_fetch(
+                [
+                    out
+                    for _, _, _, out in state.get(
+                        "pending_fetch", state["pending"]
+                    )
+                ]
+            )
+        return state
+
     def _fetch_and_build(ds, state):
         if state["pending"] is None:
             return ds, state["results"]
-        fetched = jax.device_get(
-            [out for _, _, _, out in state.get("pending_fetch", state["pending"])]
-        )
+        if state.get("packed") is not None:
+            fetched = unpack_fetched(
+                jax.device_get(state["packed"]), state["pack_spec"]
+            )
+        else:
+            fetched = jax.device_get(
+                [out for _, _, _, out in state.get("pending_fetch", state["pending"])]
+            )
         return ds, _finalize_iod(state, fetched)
 
     ex = None
@@ -1266,8 +1301,10 @@ def fit_full_iod_stream(
             # backstop for unbounded shape streams: nearing vm.max_map_count
             # crashes inside XLA instead of raising (utils/runtime.py)
             clear_executables_if_crowded()
-            st = _fit_full_iod_dispatch(
-                ds, ephem, params, seed, ut1, error_model, None, mesh
+            st = _pack(
+                _fit_full_iod_dispatch(
+                    ds, ephem, params, seed, ut1, error_model, None, mesh
+                )
             )
             item = (
                 ex.submit(_fetch_and_build, ds, st)

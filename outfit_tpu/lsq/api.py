@@ -247,6 +247,22 @@ class PendingLsq:
     st: Optional[dict] = None  # IOD dispatch state (None when resolved)
     lsq_pend: Optional[list] = None
     results: Optional[Dict[str, LsqResult]] = None  # resolved host-side
+    # single-buffer fetch (utils/fetch.py): one relay round-trip instead of
+    # ~30 — packed at dispatch so the concat queues right behind the kernels
+    packed: object = None
+    pack_spec: object = None
+
+    def __post_init__(self):
+        if self.st is not None and self.packed is None:
+            from outfit_tpu.utils.fetch import pack_for_fetch
+
+            st = self.st
+            self.packed, self.pack_spec = pack_for_fetch(
+                (
+                    [o for *_, o in st.get("pending_fetch", st["pending"])],
+                    self.lsq_pend,
+                )
+            )
 
 
 def fit_lsq_dispatch(
@@ -383,12 +399,19 @@ def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
     if pending.results is not None:
         return pending.results
     dataset, st, lsq_pend = pending.dataset, pending.st, pending.lsq_pend
-    iod_fetched, lsq_fetched = jax.device_get(
-        (
-            [o for *_, o in st.get("pending_fetch", st["pending"])],
-            lsq_pend,
+    if pending.packed is not None:
+        from outfit_tpu.utils.fetch import unpack_fetched
+
+        iod_fetched, lsq_fetched = unpack_fetched(
+            jax.device_get(pending.packed), pending.pack_spec
         )
-    )
+    else:
+        iod_fetched, lsq_fetched = jax.device_get(
+            (
+                [o for *_, o in st.get("pending_fetch", st["pending"])],
+                lsq_pend,
+            )
+        )
     return _build_fused_results(dataset, st, iod_fetched, lsq_fetched)
 
 
@@ -568,17 +591,24 @@ def _fit_lsq_seeded(
     )
     valid = g_valid
 
-    # ONE bulk transfer (each individual np.asarray costs a tunnel RTT)
-    status, elements, rms, cov_tri, n_active_vec, its, sigmas = jax.device_get(
-        (
-            out.status,
-            out.elements,
-            out.normalised_rms,
-            cov_tri_dev,
-            nact_dev,
-            out.total_newton_iterations,
-            sig_dev,
-        )
+    # ONE bulk transfer as ONE packed buffer (each individual transfer
+    # costs a relay round-trip on top of bandwidth; utils/fetch.py)
+    from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+    _tree = (
+        out.status,
+        out.elements,
+        out.normalised_rms,
+        cov_tri_dev,
+        nact_dev,
+        out.total_newton_iterations,
+        sig_dev,
+    )
+    packed, spec = pack_for_fetch(_tree)
+    status, elements, rms, cov_tri, n_active_vec, its, sigmas = (
+        jax.device_get(_tree)
+        if packed is None
+        else unpack_fetched(jax.device_get(packed), spec)
     )
     cov = _unpack_cov(cov_tri)
 

@@ -211,3 +211,63 @@ class TestSmallSurfaces:
         v0 = jnp.asarray([float(x) for x in com[1:]])
         J_ad = np.asarray(jax.jacfwd(f)(v0))
         np.testing.assert_allclose(J, J_ad, rtol=1e-8, atol=1e-10)
+
+
+class TestPackForFetch:
+    """Single-buffer result fetch (utils/fetch.py): pack/unpack must
+    round-trip every production dtype bit-exactly — the fused-fit
+    finalize paths rely on it for bitwise-identical results."""
+
+    def test_roundtrip_mixed_dtypes_bitexact(self):
+        import jax
+
+        from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+        rng = np.random.default_rng(0)
+        f64 = rng.standard_normal((7, 6))
+        f64[0, 0] = np.nan
+        f64[1, 1] = np.inf
+        f64[2, 2] = -np.inf
+        f64[3, 3] = -0.0
+        tree = (
+            [
+                (
+                    jax.device_put(f64),
+                    jax.device_put(rng.standard_normal(5).astype(np.float32)),
+                ),
+                (jax.device_put(np.array([0, 1, -3, 2**31 - 1], np.int32)),),
+            ],
+            [
+                (
+                    jax.device_put(np.array([True, False, True])),
+                    jax.device_put(np.arange(4, dtype=np.int64)),
+                )
+            ],
+        )
+        packed, spec = pack_for_fetch(tree)
+        assert packed is not None
+        out = unpack_fetched(jax.device_get(packed), spec)
+        ref = jax.tree_util.tree_map(np.asarray, tree)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(ref)
+        ):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(a, b)
+
+    def test_empty_tree_falls_back(self):
+        from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+        packed, spec = pack_for_fetch([])
+        assert packed is None
+        assert unpack_fetched(np.empty(0), spec) == []
+
+    def test_zero_size_leaves(self):
+        import jax
+
+        from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+        tree = [jax.device_put(np.empty((0, 3))), jax.device_put(np.ones(2))]
+        packed, spec = pack_for_fetch(tree)
+        out = unpack_fetched(jax.device_get(packed), spec)
+        assert out[0].shape == (0, 3)
+        np.testing.assert_array_equal(out[1], np.ones(2))
