@@ -251,18 +251,33 @@ class PendingLsq:
     # ~30 — packed at dispatch so the concat queues right behind the kernels
     packed: object = None
     pack_spec: object = None
+    #: opt-in slim transfer: covariance + 1-sigma leaves ride a float32
+    #: buffer (half the link bytes, ~7 significant digits — reporting
+    #: grade).  Orbital elements/status/rms stay exact f64.  Default off:
+    #: full bit-parity with the sequential path.
+    slim: bool = False
 
     def __post_init__(self):
         if self.st is not None and self.packed is None:
             from outfit_tpu.utils.fetch import pack_for_fetch
 
             st = self.st
-            self.packed, self.pack_spec = pack_for_fetch(
-                (
-                    [o for *_, o in st.get("pending_fetch", st["pending"])],
-                    self.lsq_pend,
-                )
+            tree = (
+                [o for *_, o in st.get("pending_fetch", st["pending"])],
+                self.lsq_pend,
             )
+            mask = None
+            if self.slim:
+                # lsq_pend tuples: (status, elements, rms, cov_tri,
+                # n_active, iterations, sigmas) — slim cov_tri + sigmas
+                mask = (
+                    [tuple(False for _ in o) for o in tree[0]],
+                    [
+                        (False, False, False, True, False, False, True)
+                        for _ in self.lsq_pend
+                    ],
+                )
+            self.packed, self.pack_spec = pack_for_fetch(tree, mask)
 
 
 def fit_lsq_dispatch(
@@ -275,9 +290,15 @@ def fit_lsq_dispatch(
     error_model: Optional[ErrorModel] = None,
     mesh="auto",
     cache: Optional[ObserverCache] = None,
+    slim_fetch: bool = False,
 ) -> PendingLsq:
     """Run all host prep and dispatch the fused IOD+LSQ device work WITHOUT
-    fetching results (async).  Pair with :func:`fit_lsq_finalize`."""
+    fetching results (async).  Pair with :func:`fit_lsq_finalize`.
+
+    ``slim_fetch=True`` transfers the covariance and 1-sigma outputs as
+    float32 (half the device->host bytes; elements/status/rms stay exact
+    f64) — for throughput-bound services on slow links where 7-digit
+    uncertainty reporting suffices.  Default False: full bit-parity."""
     from outfit_tpu.parallel import resolve_mesh
 
     mesh = resolve_mesh(mesh)
@@ -365,7 +386,7 @@ def fit_lsq_dispatch(
                 sig_dev,
             )
         ]
-        return PendingLsq(dataset, st=st, lsq_pend=lsq_pend)
+        return PendingLsq(dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch)
 
     # dispatch the seeded correction per IOD chunk (chunks are
     # width-homogeneous, so each runs at its own obs width), then
@@ -390,7 +411,7 @@ def fit_lsq_dispatch(
                 sig_dev,
             )
         )
-    return PendingLsq(dataset, st=st, lsq_pend=lsq_pend)
+    return PendingLsq(dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch)
 
 
 def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
@@ -712,8 +733,14 @@ def fit_lsq_stream(
     mesh="auto",
     depth: int = 2,
     prefetch: bool = True,
+    slim_fetch: bool = False,
 ):
     """Pipelined fused fits over a stream of datasets.
+
+    ``slim_fetch=True`` halves the device->host result bytes by moving
+    covariance/1-sigma as float32 (see :func:`fit_lsq_dispatch`); orbital
+    elements stay exact f64.  Default False (full bit-parity with
+    sequential ``fit_lsq``).
 
     Keeps up to ``depth`` datasets in flight: while the device executes
     dataset N's kernels, the host preps and dispatches dataset N+1 (JAX
@@ -759,7 +786,8 @@ def fit_lsq_stream(
             # crashes inside XLA instead of raising (utils/runtime.py)
             clear_executables_if_crowded()
             pend = fit_lsq_dispatch(
-                ds, ephem, iod_params, config, seed, ut1, error_model, mesh
+                ds, ephem, iod_params, config, seed, ut1, error_model, mesh,
+                slim_fetch=slim_fetch,
             )
             if ex is not None:
                 pend_futures[id(pend)] = ex.submit(fit_lsq_finalize, pend)

@@ -38,27 +38,67 @@ def _pack_leaves(leaves):
     return jnp.concatenate([jnp.ravel(l).astype(jnp.float64) for l in leaves])
 
 
-def pack_for_fetch(tree):
-    """Return ``(packed_device_buffer, spec)`` for a pytree of device
+@jax.jit
+def _pack_leaves_f32(leaves):
+    return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
+
+
+def pack_for_fetch(tree, slim_mask=None):
+    """Return ``(packed_device_buffers, spec)`` for a pytree of device
     arrays, or ``(None, spec)`` when the tree holds no elements (the
-    caller should then fall back to a direct ``device_get``)."""
+    caller should then fall back to a direct ``device_get``).
+
+    ``slim_mask`` (optional) is a pytree of bools matching ``tree``:
+    True leaves ride a second float32 buffer — HALF the link bytes at
+    float32 precision (~7 significant digits).  Only for reporting-grade
+    quantities (covariance, 1-sigma); the unpacked array keeps the
+    original dtype, so downstream code is unchanged.  The measured link
+    moves device->host at ~41 MB/s strictly linear in bytes
+    (docs/DESIGN.md "link calibration"), so slimming is a direct
+    latency win on tunnel/relay transports."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    meta = [(tuple(l.shape), np.dtype(l.dtype)) for l in leaves]
-    if not leaves or sum(int(np.prod(s)) for s, _ in meta) == 0:
+    if slim_mask is None:
+        slim = [False] * len(leaves)
+    else:
+        slim = [bool(s) for s in jax.tree_util.tree_leaves(slim_mask)]
+        if len(slim) != len(leaves):
+            raise ValueError(
+                f"slim_mask has {len(slim)} leaves, tree has {len(leaves)}"
+            )
+    meta = [
+        (tuple(l.shape), np.dtype(l.dtype), s)
+        for l, s in zip(leaves, slim)
+    ]
+    if not leaves or sum(int(np.prod(s)) for s, _, _ in meta) == 0:
         return None, (treedef, meta)
-    return _pack_leaves(leaves), (treedef, meta)
+    full = [l for l, s in zip(leaves, slim) if not s]
+    half = [l for l, s in zip(leaves, slim) if s]
+    bufs = (
+        _pack_leaves(full) if full else None,
+        _pack_leaves_f32(half) if half else None,
+    )
+    return bufs, (treedef, meta)
 
 
-def unpack_fetched(buf, spec):
-    """Inverse of :func:`pack_for_fetch`: split the fetched host buffer
-    back into the original pytree (exact shapes and dtypes)."""
+def unpack_fetched(bufs, spec):
+    """Inverse of :func:`pack_for_fetch`: split the fetched host buffer(s)
+    back into the original pytree (exact shapes and dtypes; slim leaves
+    carry float32-rounded values in their original dtype)."""
     treedef, meta = spec
-    buf = np.asarray(buf)
+    if not (isinstance(bufs, tuple) and len(bufs) == 2):
+        bufs = (bufs, None)  # legacy single-buffer callers
+    full = None if bufs[0] is None else np.asarray(bufs[0])
+    half = None if bufs[1] is None else np.asarray(bufs[1])
     out = []
-    off = 0
-    for shape, dtype in meta:
+    off_f = off_h = 0
+    for entry in meta:
+        shape, dtype, slim = entry if len(entry) == 3 else (*entry, False)
         n = int(np.prod(shape))
-        a = buf[off : off + n].reshape(shape)
+        if slim:
+            a = half[off_h : off_h + n].reshape(shape)
+            off_h += n
+        else:
+            a = full[off_f : off_f + n].reshape(shape)
+            off_f += n
         out.append(a if a.dtype == dtype else a.astype(dtype))
-        off += n
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -482,6 +482,37 @@ class TestStreamPipeline:
                         a.normalised_rms, b.normalised_rms, rtol=0, atol=0
                     )
 
+    def test_slim_fetch_stream(self, eph):
+        """slim_fetch=True: elements/rms/status bitwise-equal to the
+        sequential fit; covariance and 1-sigma float32-rounded only."""
+        from outfit_tpu.lsq import fit_lsq_stream
+
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+        cfg = DifferentialCorrectionConfig()
+        ((_, res),) = fit_lsq_stream(
+            [ds], eph, _IOD, cfg, seed=42, slim_fetch=True
+        )
+        ref = fit_lsq(ds, eph, _IOD, cfg, seed=42)
+        assert set(res) == set(ref)
+        for tid in res:
+            a, b = res[tid], ref[tid]
+            assert a.ok == b.ok and a.fell_back_to_iod == b.fell_back_to_iod
+            assert a.error == b.error
+            if a.ok and not a.fell_back_to_iod:
+                np.testing.assert_allclose(a.equinoctial, b.equinoctial, rtol=0, atol=0)
+                np.testing.assert_allclose(
+                    a.normalised_rms, b.normalised_rms, rtol=0, atol=0
+                )
+                assert a.covariance.dtype == b.covariance.dtype == np.float64
+                np.testing.assert_allclose(a.covariance, b.covariance, rtol=2e-7)
+                np.testing.assert_allclose(
+                    a.uncertainties, b.uncertainties, rtol=2e-7
+                )
+                # the slim values really are the f32 rounding of the exact ones
+                np.testing.assert_array_equal(
+                    a.covariance, b.covariance.astype(np.float32).astype(np.float64)
+                )
+
 
 class TestDegenerateInputs:
     """No-panic contract on nonsense data (diff_cor.rs:525-568): the full
