@@ -1117,6 +1117,27 @@ def _fit_full_iod_dispatch(
     }
 
 
+def iod_fetch_mask(outs, slim=False):
+    """Per-leaf slim mask for the IOD kernel output tuples
+    ``(best_rms, kind, el, eqv, epoch, corr[, ktrips])`` passed to
+    :func:`outfit_tpu.utils.fetch.pack_for_fetch`.
+
+    Default (``slim=False``): only the exact-in-float32 leaves ride the
+    f32 buffer — ``kind`` ({-1..2}), ``corr`` (bool), ``ktrips`` (realized
+    triplet count, bounded by the O(n^2) window enumeration over
+    <= max_obs_for_triplets observations, far below 2**24) — so results
+    stay BITWISE identical while the transfer drops 2-3 f64 slots/row.
+
+    ``slim=True`` additionally moves the reporting-grade leaves —
+    ``best_rms`` (quality metric) and ``el`` (native-kind display
+    elements) — to f32.  ``eqv`` (the equinoctial vector the LSQ fallback
+    consumes) and ``epoch`` (MJD needs sub-second f64 resolution) always
+    stay exact f64.
+    """
+    base = (slim, True, slim, False, False, True)
+    return [base + (True,) * (len(o) - 6) for o in outs]
+
+
 def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
     """Fetch half of :func:`fit_full_iod`: unpack device outputs into the
     per-trajectory result dict."""
@@ -1229,7 +1250,8 @@ def fit_full_iod(
     # bandwidth (utils/fetch.py)
     from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
 
-    packed, spec = pack_for_fetch([out for _, _, _, out in state["pending"]])
+    outs = [out for _, _, _, out in state["pending"]]
+    packed, spec = pack_for_fetch(outs, iod_fetch_mask(outs))
     if packed is None:
         fetched = jax.device_get([out for _, _, _, out in state["pending"]])
     else:
@@ -1264,13 +1286,12 @@ def fit_full_iod_stream(
         # pack at dispatch time so the concat queues right behind the
         # kernels; one relay round-trip per dataset instead of ~n_chunks*7
         if state["pending"] is not None:
+            outs = [
+                out
+                for _, _, _, out in state.get("pending_fetch", state["pending"])
+            ]
             state["packed"], state["pack_spec"] = pack_for_fetch(
-                [
-                    out
-                    for _, _, _, out in state.get(
-                        "pending_fetch", state["pending"]
-                    )
-                ]
+                outs, iod_fetch_mask(outs)
             )
         return state
 

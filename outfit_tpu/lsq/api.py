@@ -251,14 +251,16 @@ class PendingLsq:
     # ~30 — packed at dispatch so the concat queues right behind the kernels
     packed: object = None
     pack_spec: object = None
-    #: opt-in slim transfer: covariance + 1-sigma leaves ride a float32
-    #: buffer (half the link bytes, ~7 significant digits — reporting
-    #: grade).  Orbital elements/status/rms stay exact f64.  Default off:
-    #: full bit-parity with the sequential path.
+    #: opt-in slim transfer: the covariance triangle and the IOD
+    #: reporting leaves (native-kind elements, seed RMS) ride a float32
+    #: buffer (~7 significant digits — reporting grade).  LSQ orbital
+    #: elements, the equinoctial seed vector, epochs, and rms stay exact
+    #: f64.  Default off: full bit-parity with the sequential path.
     slim: bool = False
 
     def __post_init__(self):
         if self.st is not None and self.packed is None:
+            from outfit_tpu.iod.api import iod_fetch_mask
             from outfit_tpu.utils.fetch import pack_for_fetch
 
             st = self.st
@@ -266,17 +268,18 @@ class PendingLsq:
                 [o for *_, o in st.get("pending_fetch", st["pending"])],
                 self.lsq_pend,
             )
-            mask = None
-            if self.slim:
-                # lsq_pend tuples: (status, elements, rms, cov_tri,
-                # n_active, iterations, sigmas) — slim cov_tri + sigmas
-                mask = (
-                    [tuple(False for _ in o) for o in tree[0]],
-                    [
-                        (False, False, False, True, False, False, True)
-                        for _ in self.lsq_pend
-                    ],
-                )
+            # lsq_pend tuples: (status, elements, rms, cov_tri, n_active,
+            # iterations).  Default: the int leaves (status/n_active/
+            # iterations — bounded counters, exact in f32) ride the f32
+            # buffer; results stay bitwise identical.  Slim additionally
+            # moves the covariance triangle (reporting grade) to f32.
+            mask = (
+                iod_fetch_mask(tree[0], self.slim),
+                [
+                    (True, False, False, self.slim, True, True)
+                    for _ in self.lsq_pend
+                ],
+            )
             self.packed, self.pack_spec = pack_for_fetch(tree, mask)
 
 
@@ -295,10 +298,13 @@ def fit_lsq_dispatch(
     """Run all host prep and dispatch the fused IOD+LSQ device work WITHOUT
     fetching results (async).  Pair with :func:`fit_lsq_finalize`.
 
-    ``slim_fetch=True`` transfers the covariance and 1-sigma outputs as
-    float32 (half the device->host bytes; elements/status/rms stay exact
-    f64) — for throughput-bound services on slow links where 7-digit
-    uncertainty reporting suffices.  Default False: full bit-parity."""
+    ``slim_fetch=True`` transfers the covariance triangle and the IOD
+    reporting leaves (native-kind elements, seed RMS) as float32 (~40%
+    fewer device->host bytes; LSQ elements/rms, the equinoctial seed,
+    and epochs stay exact f64) — for throughput-bound services on slow
+    links where 7-digit uncertainty reporting suffices.  Default False:
+    full bit-parity (1-sigma values derive host-side from the fetched
+    covariance diagonal in either mode)."""
     from outfit_tpu.parallel import resolve_mesh
 
     mesh = resolve_mesh(mesh)
@@ -383,7 +389,6 @@ def fit_lsq_dispatch(
                 cov_tri_dev,
                 nact_dev,
                 lsq_out.total_newton_iterations,
-                sig_dev,
             )
         ]
         return PendingLsq(dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch)
@@ -408,7 +413,6 @@ def fit_lsq_dispatch(
                 cov_tri_dev,
                 nact_dev,
                 lsq_out.total_newton_iterations,
-                sig_dev,
             )
         )
     return PendingLsq(dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch)
@@ -459,7 +463,12 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
     rms = np.concatenate([c[2] for c in live])
     cov = _unpack_cov(np.concatenate([c[3] for c in live]))
     its = np.concatenate([c[5] for c in live])
-    sigmas = np.concatenate([c[6] for c in live])
+    # 1-sigma host-side from the fetched covariance diagonal (identical
+    # math to elements/uncertainty.py) — fetching a separate sigma array
+    # would duplicate 6 of the covariance's 21 transferred values
+    sigmas = np.sqrt(
+        np.maximum(np.diagonal(cov, axis1=-2, axis2=-1), 0.0)
+    )
     n_active_vec = np.concatenate([c[4] for c in live])
     initial_orbits = _finalize_iod(st, iod_fetched)
     results = {}
@@ -623,15 +632,21 @@ def _fit_lsq_seeded(
         cov_tri_dev,
         nact_dev,
         out.total_newton_iterations,
-        sig_dev,
     )
-    packed, spec = pack_for_fetch(_tree)
-    status, elements, rms, cov_tri, n_active_vec, its, sigmas = (
+    # int leaves (status / n_active / iteration counters, all << 2**24)
+    # ride the f32 buffer — exact values, 3 fewer f64 slots per row
+    packed, spec = pack_for_fetch(
+        _tree, (True, False, False, False, True, True)
+    )
+    status, elements, rms, cov_tri, n_active_vec, its = (
         jax.device_get(_tree)
         if packed is None
         else unpack_fetched(jax.device_get(packed), spec)
     )
     cov = _unpack_cov(cov_tri)
+    # 1-sigma host-side from the covariance diagonal (six of its 21
+    # transferred values) — same math as elements/uncertainty.py
+    sigmas = np.sqrt(np.maximum(np.diagonal(cov, axis1=-2, axis2=-1), 0.0))
 
     # bulk scalar conversion (per-row numpy casts cost ~3 us each; at
     # survey scale the loop body must be pure construction)
@@ -737,10 +752,10 @@ def fit_lsq_stream(
 ):
     """Pipelined fused fits over a stream of datasets.
 
-    ``slim_fetch=True`` halves the device->host result bytes by moving
-    covariance/1-sigma as float32 (see :func:`fit_lsq_dispatch`); orbital
-    elements stay exact f64.  Default False (full bit-parity with
-    sequential ``fit_lsq``).
+    ``slim_fetch=True`` cuts the device->host result bytes ~40% by moving
+    the covariance triangle and IOD reporting leaves as float32 (see
+    :func:`fit_lsq_dispatch`); LSQ orbital elements stay exact f64.
+    Default False (full bit-parity with sequential ``fit_lsq``).
 
     Keeps up to ``depth`` datasets in flight: while the device executes
     dataset N's kernels, the host preps and dispatches dataset N+1 (JAX
