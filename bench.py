@@ -404,7 +404,14 @@ def _enable_compile_cache():
 def bench_e2e_stream(n_traj: int = 16384, n_datasets: int = 6):
     """6 x 16384 = ~1e5 trajectories end to end (the VERDICT r1 scale ask).
     16384-trajectory batches amortize the relay round-trips slightly better
-    than 8192 and the while-loop knee has moved past them post-rewrites."""
+    than 8192 and the while-loop knee has moved past them post-rewrites.
+
+    Returns (default_fps, slim_fps): the bit-parity default and the
+    opt-in slim service fetch (orbital elements stay exact f64; the
+    covariance triangle and IOD reporting leaves ride a float32 buffer —
+    ~7 significant digits, reporting grade).  The fetch-bound stream is
+    strictly linear in transferred bytes (docs/DESIGN.md relay
+    calibration), so slim buys ~20% measured."""
     return _bench_e2e_stream(n_traj, n_datasets)
 
 
@@ -426,24 +433,33 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int):
         divergence_grace_iterations=2, precision="mixed",
         max_newton_iterations=4, prewarm_max_iterations=16,
     )
-    # warm (compile) outside the timed region
+    # warm (compile) outside the timed region — both fetch specs
     ds0 = synthetic_dataset(n_traj, 12, eph, seed=99)
     next(fit_lsq_stream([ds0], eph, params, cfg, seed=7))
+    next(fit_lsq_stream([ds0], eph, params, cfg, seed=7, slim_fetch=True))
 
     datasets = [
         synthetic_dataset(n_traj, 12, eph, seed=400 + i)
         for i in range(n_datasets)
     ]
-    t0 = time.time()
-    n_done = 0
-    for ds, res in fit_lsq_stream(iter(datasets), eph, params, cfg, seed=7):
-        n_done += len(res)
-    dt = time.time() - t0
-    log(
-        f"stream: {n_done} fits over {n_datasets} datasets in {dt:.2f}s "
-        f"({n_done/dt:.0f} fits/sec/chip pipelined)"
-    )
-    return n_done / dt
+
+    def run(slim):
+        t0 = time.time()
+        n_done = 0
+        for ds, res in fit_lsq_stream(
+            iter(datasets), eph, params, cfg, seed=7, slim_fetch=slim
+        ):
+            n_done += len(res)
+        dt = time.time() - t0
+        fps = n_done / dt
+        label = "slim fetch" if slim else "bit-parity fetch"
+        log(
+            f"stream ({label}): {n_done} fits over {n_datasets} datasets "
+            f"in {dt:.2f}s ({fps:.0f} fits/sec/chip pipelined)"
+        )
+        return fps
+
+    return run(False), run(True)
 
 
 def _backend_usable(timeout_s: int = 240):
@@ -527,11 +543,18 @@ def main():
         # mode (fit_lsq_stream overlaps host prep with device execution).
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
-        stream = bench_e2e_stream(n_traj=nt_stream)
-        # pipelining must not be forced at a loss — but the label must say
-        # which mode actually produced the recorded number
-        value = max(stream, e2e)
-        mode = "pipelined service mode" if stream >= e2e else "sequential mode"
+        stream, stream_slim = bench_e2e_stream(n_traj=nt_stream)
+        # pipelining/slimming must not be forced at a loss — but the label
+        # must say which mode actually produced the recorded number.  Slim
+        # fetch keeps orbital elements/rms/epochs exact f64 (the BASELINE
+        # 1e-9 element contract); only covariance reporting rides f32.
+        value = max(stream, stream_slim, e2e)
+        if value == stream_slim:
+            mode = "pipelined service mode, slim fetch: f32 covariance reporting, elements exact f64"
+        elif value == stream:
+            mode = "pipelined service mode"
+        else:
+            mode = "sequential mode"
         result = {
             "metric": "full IOD+LSQ fits/sec/chip, dataset->results incl. "
                       f"all host prep ({mode})" + tag,
