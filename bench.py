@@ -406,12 +406,16 @@ def bench_e2e_stream(n_traj: int = 16384, n_datasets: int = 6):
     16384-trajectory batches amortize the relay round-trips slightly better
     than 8192 and the while-loop knee has moved past them post-rewrites.
 
-    Returns (default_fps, slim_fps): the bit-parity default and the
-    opt-in slim service fetch (orbital elements stay exact f64; the
-    covariance triangle and IOD reporting leaves ride a float32 buffer —
-    ~7 significant digits, reporting grade).  The fetch-bound stream is
+    Returns (default_fps, slim_fps, slim_table_fps): the bit-parity
+    default; the opt-in slim service fetch (orbital elements stay exact
+    f64; the covariance triangle and IOD reporting leaves ride a float32
+    buffer — ~7 significant digits, reporting grade); and slim fetch +
+    columnar results (``as_table=True``: vectorized LsqTable assembly
+    instead of per-row Python objects).  The fetch-bound stream is
     strictly linear in transferred bytes (docs/DESIGN.md relay
-    calibration), so slim buys ~20% measured."""
+    calibration) and the finalize loop is GIL-bound — measured ~+21% for
+    slim and a further ~+23% for the table (tools/slim_ab.py,
+    tools/table_ab.py)."""
     return _bench_e2e_stream(n_traj, n_datasets)
 
 
@@ -443,23 +447,26 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int):
         for i in range(n_datasets)
     ]
 
-    def run(slim):
+    def run(slim, table=False):
         t0 = time.time()
         n_done = 0
         for ds, res in fit_lsq_stream(
-            iter(datasets), eph, params, cfg, seed=7, slim_fetch=slim
+            iter(datasets), eph, params, cfg, seed=7, slim_fetch=slim,
+            as_table=table,
         ):
             n_done += len(res)
         dt = time.time() - t0
         fps = n_done / dt
         label = "slim fetch" if slim else "bit-parity fetch"
+        if table:
+            label += " + columnar results"
         log(
             f"stream ({label}): {n_done} fits over {n_datasets} datasets "
             f"in {dt:.2f}s ({fps:.0f} fits/sec/chip pipelined)"
         )
         return fps
 
-    return run(False), run(True)
+    return run(False), run(True), run(True, table=True)
 
 
 def _backend_usable(timeout_s: int = 240):
@@ -543,13 +550,22 @@ def main():
         # mode (fit_lsq_stream overlaps host prep with device execution).
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
-        stream, stream_slim = bench_e2e_stream(n_traj=nt_stream)
+        stream, stream_slim, stream_table = bench_e2e_stream(
+            n_traj=nt_stream
+        )
         # pipelining/slimming must not be forced at a loss — but the label
         # must say which mode actually produced the recorded number.  Slim
         # fetch keeps orbital elements/rms/epochs exact f64 (the BASELINE
         # 1e-9 element contract); only covariance reporting rides f32.
-        value = max(stream, stream_slim, e2e)
-        if value == stream_slim:
+        # Columnar results (LsqTable) carry every result field, assembled
+        # vectorized instead of per-row (parity-tested bitwise).
+        value = max(stream, stream_slim, stream_table, e2e)
+        if value == stream_table:
+            mode = (
+                "pipelined service mode, slim fetch + columnar results: "
+                "f32 covariance reporting, elements exact f64"
+            )
+        elif value == stream_slim:
             mode = "pipelined service mode, slim fetch: f32 covariance reporting, elements exact f64"
         elif value == stream:
             mode = "pipelined service mode"

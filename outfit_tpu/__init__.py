@@ -67,6 +67,7 @@ _FACADE = {
     "fit_lsq": "outfit_tpu.lsq.api",
     "fit_lsq_stream": "outfit_tpu.lsq.api",
     "LsqResult": "outfit_tpu.lsq.api",
+    "LsqTable": "outfit_tpu.lsq.table",
     "DifferentialCorrectionOutput": "outfit_tpu.lsq.api",
     "DifferentialCorrectionConfig": "outfit_tpu.lsq.config",
     # JPL ephemerides

@@ -1138,10 +1138,11 @@ def iod_fetch_mask(outs, slim=False):
     return [base + (True,) * (len(o) - 6) for o in outs]
 
 
-def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
-    """Fetch half of :func:`fit_full_iod`: unpack device outputs into the
-    per-trajectory result dict."""
-    results = state["results"]
+def _fill_iod_out_arrays(state, fetched):
+    """Scatter the fetched per-chunk IOD outputs into the full kept-order
+    arrays.  Returns (lane_counts, ktrips_fetched); the filled columns live
+    in ``state["out_arrays"]``.  Shared by the per-row dict finalize and the
+    columnar table finalize."""
     kept_tids = state["kept_tids"]
     lane_counts = np.asarray(state["lane_counts"], np.int64).copy()
     best_rms, kind, el, eqv, epoch, corrected = state["out_arrays"]
@@ -1162,6 +1163,16 @@ def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
             ktrips_fetched[t0g:t1g] = out[6][:Tg]
     if ktrips_fetched is not None:
         lane_counts = ktrips_fetched * state["n_real"]
+    return lane_counts, ktrips_fetched
+
+
+def _finalize_iod(state, fetched) -> Dict[str, FitResult]:
+    """Fetch half of :func:`fit_full_iod`: unpack device outputs into the
+    per-trajectory result dict."""
+    results = state["results"]
+    kept_tids = state["kept_tids"]
+    lane_counts, ktrips_fetched = _fill_iod_out_arrays(state, fetched)
+    best_rms, kind, el, eqv, epoch, corrected = state["out_arrays"]
 
     # kernel outputs are per-trajectory (the segment argmin runs on device)
     p = state.get("params")

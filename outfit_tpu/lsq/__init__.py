@@ -8,6 +8,7 @@ trajectory of a dataset simultaneously).
 """
 
 from outfit_tpu.lsq.config import DifferentialCorrectionConfig, OutlierRejectionConfig  # noqa: F401
+from outfit_tpu.lsq.table import LsqTable  # noqa: F401
 from outfit_tpu.lsq.api import (  # noqa: F401
     LsqResult,
     PendingLsq,

@@ -257,6 +257,10 @@ class PendingLsq:
     #: elements, the equinoctial seed vector, epochs, and rms stay exact
     #: f64.  Default off: full bit-parity with the sequential path.
     slim: bool = False
+    #: columnar finalize: return an :class:`outfit_tpu.lsq.table.LsqTable`
+    #: instead of the per-trajectory dict (skips per-row object
+    #: construction — the GIL-bound finalize cost at survey scale)
+    as_table: bool = False
 
     def __post_init__(self):
         if self.st is not None and self.packed is None:
@@ -294,9 +298,15 @@ def fit_lsq_dispatch(
     mesh="auto",
     cache: Optional[ObserverCache] = None,
     slim_fetch: bool = False,
+    as_table: bool = False,
 ) -> PendingLsq:
     """Run all host prep and dispatch the fused IOD+LSQ device work WITHOUT
     fetching results (async).  Pair with :func:`fit_lsq_finalize`.
+
+    ``as_table=True`` makes the finalize return a columnar
+    :class:`~outfit_tpu.lsq.table.LsqTable` (vectorized numpy assembly, no
+    per-row Python objects) instead of the ``{traj_id: LsqResult}`` dict —
+    the survey-scale mode.
 
     ``slim_fetch=True`` transfers the covariance triangle and the IOD
     reporting leaves (native-kind elements, seed RMS) as float32 (~40%
@@ -337,6 +347,7 @@ def fit_lsq_dispatch(
             results=_fit_lsq_seeded(
                 dataset, ephem, config, st["results"], mesh, cache=cache
             ),
+            as_table=as_table,
         )
     with_bias = dataset.bias_ra is not None
     base = device_base_arrays(dataset, cache)
@@ -391,7 +402,10 @@ def fit_lsq_dispatch(
                 lsq_out.total_newton_iterations,
             )
         ]
-        return PendingLsq(dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch)
+        return PendingLsq(
+        dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch,
+        as_table=as_table,
+    )
 
     # dispatch the seeded correction per IOD chunk (chunks are
     # width-homogeneous, so each runs at its own obs width), then
@@ -415,13 +429,24 @@ def fit_lsq_dispatch(
                 lsq_out.total_newton_iterations,
             )
         )
-    return PendingLsq(dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch)
+    return PendingLsq(
+        dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch,
+        as_table=as_table,
+    )
 
 
-def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
+def fit_lsq_finalize(pending: PendingLsq):
     """Fetch a dispatched fused fit's device outputs (one bulk transfer)
-    and build the per-trajectory result map."""
+    and build the per-trajectory result map (or columnar
+    :class:`~outfit_tpu.lsq.table.LsqTable` when dispatched with
+    ``as_table=True``)."""
     if pending.results is not None:
+        if pending.as_table:
+            from outfit_tpu.lsq.table import LsqTable
+
+            return LsqTable.from_results(
+                pending.dataset.traj_ids, pending.results
+            )
         return pending.results
     dataset, st, lsq_pend = pending.dataset, pending.st, pending.lsq_pend
     if pending.packed is not None:
@@ -437,7 +462,133 @@ def fit_lsq_finalize(pending: PendingLsq) -> Dict[str, LsqResult]:
                 lsq_pend,
             )
         )
-    return _build_fused_results(dataset, st, iod_fetched, lsq_fetched)
+    build = _build_fused_table if pending.as_table else _build_fused_results
+    return build(dataset, st, iod_fetched, lsq_fetched)
+
+
+def _live_lsq_chunks(st, lsq_fetched):
+    """Per-chunk fetched LSQ outputs -> kept-order column tuples."""
+    if st.get("lsq_merged"):
+        merged = lsq_fetched[0]
+        return [
+            tuple(a[off : off + Tg] for a in merged)
+            for off, Tg in st["lsq_merged"]
+        ]
+    return [
+        tuple(a[:Tg] for a in chunk)
+        for chunk, (_, _, Tg, _) in zip(lsq_fetched, st["pending"])
+    ]
+
+
+def _build_fused_table(dataset, st, iod_fetched, lsq_fetched):
+    """Columnar finalize: vectorized numpy assembly, no per-row objects.
+    Row order = ``dataset.traj_ids``; see :class:`outfit_tpu.lsq.table.LsqTable`."""
+    from outfit_tpu.iod.api import _fill_iod_out_arrays, padded_dataset_arrays
+    from outfit_tpu.lsq.table import (
+        IOD_HOST_SCREENED,
+        IOD_NO_FEASIBLE_TRIPLETS,
+        IOD_NO_VIABLE_ORBIT,
+        IOD_OK,
+        IOD_SEED_NOT_FINITE,
+        LsqTable,
+    )
+
+    live = _live_lsq_chunks(st, lsq_fetched)
+    status_k = np.concatenate([c[0] for c in live]).astype(np.int8)
+    elements_k = np.concatenate([c[1] for c in live])
+    rms_k = np.concatenate([c[2] for c in live])
+    cov_tri_k = np.concatenate([c[3] for c in live])
+    nact_k = np.concatenate([c[4] for c in live]).astype(np.int32)
+    its_k = np.concatenate([c[5] for c in live]).astype(np.int32)
+
+    lane_counts, ktrips = _fill_iod_out_arrays(st, iod_fetched)
+    best_rms, kind, el, eqv, epoch, corrected = st["out_arrays"]
+    kept_rows = np.asarray(st["kept_rows"], np.int64)
+    tids = list(dataset.traj_ids)
+    N = len(tids)
+
+    # --- kept-order stage flags (mirrors the dict-mode row logic) ---
+    iod_ok_k = np.isfinite(best_rms)
+    seed_finite_k = np.isfinite(eqv).all(axis=1)
+    conv_k = iod_ok_k & seed_finite_k & (status_k == STATUS_OK)
+    conv_k &= np.isfinite(elements_k).all(axis=1)
+    fell_k = iod_ok_k & seed_finite_k & ~conv_k
+
+    err_k = np.where(
+        iod_ok_k,
+        np.where(seed_finite_k, IOD_OK, IOD_SEED_NOT_FINITE),
+        IOD_NO_VIABLE_ORBIT,
+    ).astype(np.int8)
+    if ktrips is not None:
+        err_k[~iod_ok_k & (ktrips == 0)] = IOD_NO_FEASIBLE_TRIPLETS
+
+    # --- scatter kept-order -> dataset-order with inert fill ---
+    def scat(col, fill, dtype=None):
+        shape = (N,) + col.shape[1:]
+        out = np.full(shape, fill, dtype or col.dtype)
+        out[kept_rows] = col
+        return out
+
+    kept = np.zeros(N, bool)
+    kept[kept_rows] = True
+
+    counts_kept = np.asarray(st["counts_kept"], np.int64)
+    # fallback rows report the observation count (dict-mode parity);
+    # converged rows the post-rejection active count
+    nact_full_k = np.where(conv_k, nact_k, counts_kept.astype(np.int32))
+
+    table = LsqTable(
+        traj_ids=tids,
+        kept=kept,
+        iod_ok=scat(iod_ok_k, False),
+        iod_error_code=scat(err_k, IOD_HOST_SCREENED),
+        iod_rms=scat(best_rms, np.nan),
+        iod_kind=scat(kind.astype(np.int8), -1),
+        iod_corrected=scat(corrected.astype(bool), False),
+        iod_epoch=scat(epoch, np.nan),
+        iod_elements=scat(el, np.nan),
+        iod_equinoctial=scat(eqv, np.nan),
+        ok=scat(iod_ok_k & seed_finite_k, False),
+        converged=scat(conv_k, False),
+        fell_back_to_iod=scat(fell_k, False),
+        status=scat(status_k, -1),
+        normalised_rms=scat(np.where(conv_k, rms_k, best_rms), np.nan),
+        epoch=scat(epoch, np.nan),
+        equinoctial=scat(np.where(conv_k[:, None], elements_k, eqv), np.nan),
+        covariance_tri=scat(
+            np.where(conv_k[:, None], cov_tri_k, np.nan), np.nan
+        ),
+        uncertainties=scat(
+            np.where(
+                conv_k[:, None],
+                np.sqrt(
+                    np.maximum(cov_tri_k[:, _TRIL_DIAG], 0.0)
+                ),
+                np.nan,
+            ),
+            np.nan,
+        ),
+        n_active_obs=scat(nact_full_k, 0),
+        total_newton_iterations=scat(
+            np.where(conv_k, its_k, 0).astype(np.int32), 0
+        ),
+        host_errors={
+            tid: r.error
+            for tid, r in st["results"].items()
+            if getattr(r, "error", None)
+        },
+        _lane_counts=scat(lane_counts.astype(np.int64), 0),
+        _arc=scat(np.asarray(st["arc_kept"], np.float64), np.nan),
+        _counts=scat(counts_kept, 0),
+        _dt_min=st["params"].dt_min,
+        _dt_max=st["params"].dt_max_triplet,
+        _ktrips=None if ktrips is None else scat(ktrips, 0),
+    )
+    return table
+
+
+#: positions of the 6 diagonal entries inside the 21-slot lower triangle
+_TRIL_DIAG = np.array([0, 2, 5, 9, 14, 20])
 
 
 def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
@@ -701,6 +852,7 @@ def fit_lsq(
     initial_orbits: Optional[Dict[str, FitResult]] = None,
     mesh="auto",
     cache: Optional[ObserverCache] = None,
+    as_table: bool = False,
 ) -> Dict[str, LsqResult]:
     """IOD + differential correction for every trajectory of the dataset.
 
@@ -724,11 +876,16 @@ def fit_lsq(
             dataset.apply_batch_rms_correction(iod_params.gap_max)
         if cache is None:
             cache = ObserverCache.build(dataset, ephem, ut1)
-        return _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache)
+        res = _fit_lsq_seeded(dataset, ephem, config, initial_orbits, mesh, cache)
+        if as_table:
+            from outfit_tpu.lsq.table import LsqTable
+
+            return LsqTable.from_results(dataset.traj_ids, res)
+        return res
     return fit_lsq_finalize(
         fit_lsq_dispatch(
             dataset, ephem, iod_params, config, seed, ut1, error_model,
-            mesh, cache,
+            mesh, cache, as_table=as_table,
         )
     )
 
@@ -749,6 +906,7 @@ def fit_lsq_stream(
     depth: int = 2,
     prefetch: bool = True,
     slim_fetch: bool = False,
+    as_table: bool = False,
 ):
     """Pipelined fused fits over a stream of datasets.
 
@@ -802,7 +960,7 @@ def fit_lsq_stream(
             clear_executables_if_crowded()
             pend = fit_lsq_dispatch(
                 ds, ephem, iod_params, config, seed, ut1, error_model, mesh,
-                slim_fetch=slim_fetch,
+                slim_fetch=slim_fetch, as_table=as_table,
             )
             if ex is not None:
                 pend_futures[id(pend)] = ex.submit(fit_lsq_finalize, pend)

@@ -770,3 +770,99 @@ class TestEscalation:
             np.testing.assert_allclose(
                 tiered[tid].equinoctial, plain[tid].equinoctial, rtol=0, atol=0
             )
+
+
+class TestLsqTable:
+    """Columnar results (``as_table=True``) must materialize EXACTLY the
+    dict-mode results — including error strings, fallback semantics, and
+    the lazily-built per-row ``iod`` FitResult — across success,
+    IOD-failure, and host-screened rows."""
+
+    _RESULT_FIELDS = (
+        "ok", "error", "fell_back_to_iod", "normalised_rms", "epoch",
+        "n_active_obs", "total_newton_iterations",
+    )
+    _IOD_FIELDS = ("ok", "error", "rms", "corrected", "epoch", "kind")
+
+    def _mixed_dataset(self, eph):
+        # one convergent real arc + one 2-obs trajectory (host-screened
+        # NoFeasibleTriplets) + one nonsense trajectory (device IOD failure)
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+        geo = Observer.geocenter()
+        for t in (57000.0, 57000.01):
+            ds.push_observation("SHORT", t, 1.0, 0.2, 1e-6, 1e-6, geo)
+        for t in np.linspace(0, 30, 8):
+            ds.push_observation("ZERO", 57000.0 + t, 0.0, 0.0, 1e-6, 1e-6, geo)
+        return ds
+
+    def _assert_equal(self, ref, tab_results):
+        assert set(ref) == set(tab_results)
+        for tid in ref:
+            a, b = ref[tid], tab_results[tid]
+            for f in self._RESULT_FIELDS:
+                va, vb = getattr(a, f), getattr(b, f)
+                same = (va == vb) or (va != va and vb != vb)  # NaN==NaN
+                assert same, (tid, f, va, vb)
+            for f in ("equinoctial", "covariance", "uncertainties"):
+                va, vb = getattr(a, f), getattr(b, f)
+                if va is None or vb is None:
+                    assert va is None and vb is None, (tid, f)
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(va), np.asarray(vb), err_msg=f"{tid}.{f}"
+                    )
+            ia, ib = a.iod, b.iod
+            if ia is None or ib is None:
+                assert ia is None and ib is None, (tid, "iod")
+                continue
+            for f in self._IOD_FIELDS:
+                va, vb = getattr(ia, f), getattr(ib, f)
+                same = (va == vb) or (va != va and vb != vb)
+                assert same, (tid, "iod." + f, va, vb)
+            for f in ("elements", "equinoctial"):
+                va, vb = getattr(ia, f), getattr(ib, f)
+                if va is None or vb is None:
+                    assert va is None and vb is None, (tid, "iod." + f)
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(va), np.asarray(vb),
+                        err_msg=f"{tid}.iod.{f}",
+                    )
+
+    def test_table_parity_mixed(self, eph):
+        cfg = DifferentialCorrectionConfig()
+        ref = fit_lsq(self._mixed_dataset(eph), eph, _IOD, cfg, seed=42)
+        tab = fit_lsq(
+            self._mixed_dataset(eph), eph, _IOD, cfg, seed=42, as_table=True
+        )
+        # the failure rows really exercise the non-kept / failed branches
+        assert not ref["SHORT"].ok and "NoFeasibleTriplets" in ref["SHORT"].error
+        assert not tab.kept[tab.traj_ids.index("SHORT")]
+        self._assert_equal(ref, tab.to_results())
+        # vectorized columns line up with per-row results
+        i = tab.traj_ids.index("8467")
+        assert tab.converged[i] and tab.ok[i]
+        np.testing.assert_array_equal(
+            tab.covariance[i], ref["8467"].covariance
+        )
+
+    def test_table_stream(self, eph):
+        from outfit_tpu.lsq import fit_lsq_stream
+
+        cfg = DifferentialCorrectionConfig()
+        ref = fit_lsq(self._mixed_dataset(eph), eph, _IOD, cfg, seed=42)
+        ((_, tab),) = fit_lsq_stream(
+            [self._mixed_dataset(eph)], eph, _IOD, cfg, seed=42,
+            as_table=True,
+        )
+        self._assert_equal(ref, tab.to_results())
+
+    def test_table_getitem(self, eph):
+        tab = fit_lsq(
+            ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs"), eph, _IOD,
+            DifferentialCorrectionConfig(), seed=42, as_table=True,
+        )
+        r = tab["8467"]
+        assert r.ok and r.covariance is not None
+        with pytest.raises(KeyError):
+            tab["nope"]
