@@ -406,16 +406,18 @@ def bench_e2e_stream(n_traj: int = 16384, n_datasets: int = 6):
     16384-trajectory batches amortize the relay round-trips slightly better
     than 8192 and the while-loop knee has moved past them post-rewrites.
 
-    Returns (default_fps, slim_fps, slim_table_fps): the bit-parity
-    default; the opt-in slim service fetch (orbital elements stay exact
-    f64; the covariance triangle and IOD reporting leaves ride a float32
-    buffer — ~7 significant digits, reporting grade); and slim fetch +
-    columnar results (``as_table=True``: vectorized LsqTable assembly
-    instead of per-row Python objects).  The fetch-bound stream is
-    strictly linear in transferred bytes (docs/DESIGN.md relay
-    calibration) and the finalize loop is GIL-bound — measured ~+21% for
-    slim and a further ~+23% for the table (tools/slim_ab.py,
-    tools/table_ab.py)."""
+    Returns (default_fps, slim_fps, slim_table_fps, minimal_fps): the
+    bit-parity default; the opt-in slim service fetch (orbital elements
+    stay exact f64; the covariance triangle and IOD reporting leaves ride
+    a float32 buffer — ~7 significant digits, reporting grade); slim fetch
+    + columnar results (``as_table=True``: vectorized LsqTable assembly
+    instead of per-row Python objects); and the full service stack with
+    ``minimal_fetch=True`` (the per-row IOD element vectors stay on
+    device; only non-converged rows' seeds ride a tiny second transfer).
+    The fetch-bound stream is strictly linear in transferred bytes
+    (docs/DESIGN.md relay calibration) and the finalize loop is GIL-bound
+    — measured ~+21% for slim and a further ~+23% for the table
+    (tools/slim_ab.py, tools/table_ab.py)."""
     return _bench_e2e_stream(n_traj, n_datasets)
 
 
@@ -441,18 +443,22 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int):
     ds0 = synthetic_dataset(n_traj, 12, eph, seed=99)
     next(fit_lsq_stream([ds0], eph, params, cfg, seed=7))
     next(fit_lsq_stream([ds0], eph, params, cfg, seed=7, slim_fetch=True))
+    next(fit_lsq_stream(
+        [ds0], eph, params, cfg, seed=7, slim_fetch=True, as_table=True,
+        minimal_fetch=True,
+    ))
 
     datasets = [
         synthetic_dataset(n_traj, 12, eph, seed=400 + i)
         for i in range(n_datasets)
     ]
 
-    def run(slim, table=False):
+    def run(slim, table=False, minimal=False):
         t0 = time.time()
         n_done = 0
         for ds, res in fit_lsq_stream(
             iter(datasets), eph, params, cfg, seed=7, slim_fetch=slim,
-            as_table=table,
+            as_table=table, minimal_fetch=minimal,
         ):
             n_done += len(res)
         dt = time.time() - t0
@@ -460,13 +466,20 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int):
         label = "slim fetch" if slim else "bit-parity fetch"
         if table:
             label += " + columnar results"
+        if minimal:
+            label += " + deferred IOD elements"
         log(
             f"stream ({label}): {n_done} fits over {n_datasets} datasets "
             f"in {dt:.2f}s ({fps:.0f} fits/sec/chip pipelined)"
         )
         return fps
 
-    return run(False), run(True), run(True, table=True)
+    return (
+        run(False),
+        run(True),
+        run(True, table=True),
+        run(True, table=True, minimal=True),
+    )
 
 
 def _backend_usable(timeout_s: int = 240):
@@ -550,7 +563,7 @@ def main():
         # mode (fit_lsq_stream overlaps host prep with device execution).
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
-        stream, stream_slim, stream_table = bench_e2e_stream(
+        stream, stream_slim, stream_table, stream_min = bench_e2e_stream(
             n_traj=nt_stream
         )
         # pipelining/slimming must not be forced at a loss — but the label
@@ -558,9 +571,17 @@ def main():
         # fetch keeps orbital elements/rms/epochs exact f64 (the BASELINE
         # 1e-9 element contract); only covariance reporting rides f32.
         # Columnar results (LsqTable) carry every result field, assembled
-        # vectorized instead of per-row (parity-tested bitwise).
-        value = max(stream, stream_slim, stream_table, e2e)
-        if value == stream_table:
+        # vectorized instead of per-row (parity-tested bitwise).  Deferred
+        # IOD elements (minimal_fetch) keep the seed vectors on device for
+        # converged rows; non-converged rows' seeds arrive exact f64.
+        value = max(stream, stream_slim, stream_table, stream_min, e2e)
+        if value == stream_min:
+            mode = (
+                "pipelined service mode, slim fetch + columnar results + "
+                "deferred IOD elements: f32 covariance reporting, "
+                "elements exact f64"
+            )
+        elif value == stream_table:
             mode = (
                 "pipelined service mode, slim fetch + columnar results: "
                 "f32 covariance reporting, elements exact f64"

@@ -1117,7 +1117,7 @@ def _fit_full_iod_dispatch(
     }
 
 
-def iod_fetch_mask(outs, slim=False):
+def iod_fetch_mask(outs, slim=False, minimal=False):
     """Per-leaf slim mask for the IOD kernel output tuples
     ``(best_rms, kind, el, eqv, epoch, corr[, ktrips])`` passed to
     :func:`outfit_tpu.utils.fetch.pack_for_fetch`.
@@ -1133,8 +1133,17 @@ def iod_fetch_mask(outs, slim=False):
     elements) — to f32.  ``eqv`` (the equinoctial vector the LSQ fallback
     consumes) and ``epoch`` (MJD needs sub-second f64 resolution) always
     stay exact f64.
+
+    ``minimal=True`` (fused table mode only) SKIPS the per-row element
+    vectors ``el`` and ``eqv`` entirely (``None`` mask = not transferred);
+    the finalize fetches them afterwards for just the rows that consume
+    them (LSQ non-converged rows, whose result IS the IOD seed) via a tiny
+    second gather — the converged majority's seed elements are superseded
+    by the LSQ elements and never cross the link.
     """
-    base = (slim, True, slim, False, False, True)
+    el = None if minimal else slim
+    eqv = None if minimal else False
+    base = (slim, True, el, eqv, False, True)
     return [base + (True,) * (len(o) - 6) for o in outs]
 
 
@@ -1155,8 +1164,11 @@ def _fill_iod_out_arrays(state, fetched):
         g_rms, g_kind, g_el, g_eqv, g_epoch, g_corr = out[:6]
         best_rms[t0g:t1g] = g_rms[:Tg]
         kind[t0g:t1g] = g_kind[:Tg]
-        el[t0g:t1g] = g_el[:Tg]
-        eqv[t0g:t1g] = g_eqv[:Tg]
+        # minimal-fetch mode skips the element vectors (None leaves); the
+        # fused-table finalize back-fills the rows it needs from a deferred
+        # device gather, everything else stays NaN
+        el[t0g:t1g] = np.nan if g_el is None else g_el[:Tg]
+        eqv[t0g:t1g] = np.nan if g_eqv is None else g_eqv[:Tg]
         epoch[t0g:t1g] = g_epoch[:Tg]
         corrected[t0g:t1g] = g_corr[:Tg]
         if ktrips_fetched is not None and len(out) > 6:

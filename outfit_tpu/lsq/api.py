@@ -261,6 +261,13 @@ class PendingLsq:
     #: instead of the per-trajectory dict (skips per-row object
     #: construction — the GIL-bound finalize cost at survey scale)
     as_table: bool = False
+    #: deferred-element transfer: the per-row IOD element vectors (``el``,
+    #: ``eqv`` — 72 B/row) are NOT in the bulk fetch; finalize gathers them
+    #: on device for just the rows whose result consumes them (LSQ
+    #: non-converged rows) and fetches that small slice separately.  Set
+    #: by ``fit_lsq_dispatch(minimal_fetch=True)`` when the dispatch shape
+    #: supports it (single fetch chunk — the production single-device path).
+    minimal: bool = False
 
     def __post_init__(self):
         if self.st is not None and self.packed is None:
@@ -273,15 +280,17 @@ class PendingLsq:
                 self.lsq_pend,
             )
             # lsq_pend tuples: (status, elements, rms, cov_tri, n_active,
-            # iterations).  Default: the int leaves (status/n_active/
-            # iterations — bounded counters, exact in f32) ride the f32
-            # buffer; results stay bitwise identical.  Slim additionally
-            # moves the covariance triangle (reporting grade) to f32.
+            # iterations[, seed_ok]).  Default: the int leaves (status/
+            # n_active/iterations — bounded counters, exact in f32) ride the
+            # f32 buffer; results stay bitwise identical.  Slim additionally
+            # moves the covariance triangle (reporting grade) to f32.  The
+            # trailing seed_ok flag (minimal mode only) is a bool — f32.
             mask = (
-                iod_fetch_mask(tree[0], self.slim),
+                iod_fetch_mask(tree[0], self.slim, self.minimal),
                 [
                     (True, False, False, self.slim, True, True)
-                    for _ in self.lsq_pend
+                    + (True,) * (len(t) - 6)
+                    for t in self.lsq_pend
                 ],
             )
             self.packed, self.pack_spec = pack_for_fetch(tree, mask)
@@ -299,6 +308,7 @@ def fit_lsq_dispatch(
     cache: Optional[ObserverCache] = None,
     slim_fetch: bool = False,
     as_table: bool = False,
+    minimal_fetch: bool = False,
 ) -> PendingLsq:
     """Run all host prep and dispatch the fused IOD+LSQ device work WITHOUT
     fetching results (async).  Pair with :func:`fit_lsq_finalize`.
@@ -314,8 +324,28 @@ def fit_lsq_dispatch(
     and epochs stay exact f64) — for throughput-bound services on slow
     links where 7-digit uncertainty reporting suffices.  Default False:
     full bit-parity (1-sigma values derive host-side from the fetched
-    covariance diagonal in either mode)."""
+    covariance diagonal in either mode).
+
+    ``minimal_fetch=True`` (requires ``as_table=True``) additionally keeps
+    the per-row IOD element vectors on device: the bulk fetch drops 72
+    B/row (the 6-f64 equinoctial seed + 6-f32/f64 display elements), and
+    finalize fetches them afterwards for ONLY the rows whose result is the
+    IOD seed (LSQ non-converged rows — a small minority on healthy
+    workloads).  Contract difference: converged rows' ``iod_elements`` /
+    ``iod_equinoctial`` table columns are NaN (their fit elements are the
+    LSQ ones); every column a converged or fallback result actually uses
+    is unchanged, and the deferred rows' seed values are exact f64.
+    Applies on single-fetch-chunk dispatches (the single-device production
+    path — uniform datasets or the merged ragged path); other shapes fall
+    back to the plain ``slim_fetch`` behavior silently."""
     from outfit_tpu.parallel import resolve_mesh
+
+    if minimal_fetch and not as_table:
+        raise ValueError(
+            "minimal_fetch=True requires as_table=True (the per-row dict "
+            "materializes every row's IOD FitResult eagerly, which would "
+            "re-fetch everything the minimal transfer skipped)"
+        )
 
     mesh = resolve_mesh(mesh)
     if error_model is not None:
@@ -384,7 +414,7 @@ def fit_lsq_dispatch(
 
         runner = _get_runner(config, ephem, with_bias, seeded="merged")
         seeds = [o for (_, _, _, o) in st["pending"]]
-        lsq_out, sig_dev, nact_dev, cov_tri_dev, _ok_dev, iod_merged = runner(
+        lsq_out, sig_dev, nact_dev, cov_tri_dev, ok_dev, iod_merged = runner(
             seeds, jnp.asarray(sel_rows), base,
             jnp.asarray(glob_m), jnp.asarray(valid_m),
         )
@@ -392,46 +422,56 @@ def fit_lsq_dispatch(
         # finalize fetches the compacted IOD outputs (one pseudo-chunk
         # covering every kept row) instead of the per-chunk padded ones
         st["pending_fetch"] = [(0, Tk, Tk, iod_merged)]
-        lsq_pend = [
-            (
-                lsq_out.status,
-                lsq_out.elements,
-                lsq_out.normalised_rms,
-                cov_tri_dev,
-                nact_dev,
-                lsq_out.total_newton_iterations,
-            )
-        ]
+        lsq_chunk = (
+            lsq_out.status,
+            lsq_out.elements,
+            lsq_out.normalised_rms,
+            cov_tri_dev,
+            nact_dev,
+            lsq_out.total_newton_iterations,
+        )
+        if minimal_fetch:
+            # keep the element vectors on device for the deferred row
+            # gather; the kernel's own seed-ok flag replaces the host-side
+            # isfinite(eqv) screen the bulk fetch can no longer do
+            st["deferred_iod"] = (iod_merged[2], iod_merged[3])
+            lsq_chunk = lsq_chunk + (ok_dev,)
         return PendingLsq(
-        dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch,
-        as_table=as_table,
-    )
+            dataset, st=st, lsq_pend=[lsq_chunk], slim=slim_fetch,
+            as_table=as_table, minimal=minimal_fetch,
+        )
 
     # dispatch the seeded correction per IOD chunk (chunks are
     # width-homogeneous, so each runs at its own obs width), then
     # ONE bulk transfer for every stage of every chunk
     runner = _get_runner(config, ephem, with_bias, seeded=True)
+    # deferred-element mode needs kept-order row indices == fetch-chunk row
+    # indices, which only holds with a single chunk; multi-chunk mesh
+    # dispatches fall back to the plain slim transfer
+    use_minimal = minimal_fetch and len(st["pending"]) == 1
     lsq_pend = []
     for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
         st["pending"], st["chunk_tables"]
     ):
-        lsq_out, sig_dev, nact_dev, cov_tri_dev, _ok_dev = runner(
+        lsq_out, sig_dev, nact_dev, cov_tri_dev, ok_dev = runner(
             iod_out[0], iod_out[3], iod_out[4], base, glob_dev,
             valid_dev,
         )
-        lsq_pend.append(
-            (
-                lsq_out.status,
-                lsq_out.elements,
-                lsq_out.normalised_rms,
-                cov_tri_dev,
-                nact_dev,
-                lsq_out.total_newton_iterations,
-            )
+        lsq_chunk = (
+            lsq_out.status,
+            lsq_out.elements,
+            lsq_out.normalised_rms,
+            cov_tri_dev,
+            nact_dev,
+            lsq_out.total_newton_iterations,
         )
+        if use_minimal:
+            st["deferred_iod"] = (iod_out[2], iod_out[3])
+            lsq_chunk = lsq_chunk + (ok_dev,)
+        lsq_pend.append(lsq_chunk)
     return PendingLsq(
         dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch,
-        as_table=as_table,
+        as_table=as_table, minimal=use_minimal,
     )
 
 
@@ -464,6 +504,30 @@ def fit_lsq_finalize(pending: PendingLsq):
         )
     build = _build_fused_table if pending.as_table else _build_fused_results
     return build(dataset, st, iod_fetched, lsq_fetched)
+
+
+#: deferred-row element gather (minimal-fetch finalize); compiled once per
+#: (table rows, padded request) shape pair — both power-of-two bucketed
+_gather_rows_jit = jax.jit(
+    lambda el, eqv, idx: (jnp.take(el, idx, axis=0), jnp.take(eqv, idx, axis=0))
+)
+
+
+def _fetch_deferred_rows(deferred, need):
+    """Gather rows ``need`` of the on-device (el, eqv) tables and fetch them
+    as one packed buffer.  ``need`` is padded to a power of two so the jitted
+    gather and the fetch shapes stay compile-cached across datasets."""
+    from outfit_tpu.utils.fetch import pack_for_fetch, unpack_fetched
+
+    el_dev, eqv_dev = deferred
+    n = int(need.size)
+    n_pad = 1 << max(0, int(n - 1).bit_length())
+    idx = np.zeros(n_pad, np.int32)
+    idx[:n] = need
+    el_g, eqv_g = _gather_rows_jit(el_dev, eqv_dev, jnp.asarray(idx))
+    bufs, spec = pack_for_fetch((el_g, eqv_g))
+    el_h, eqv_h = unpack_fetched(jax.device_get(bufs), spec)
+    return el_h[:n], eqv_h[:n]
 
 
 def _live_lsq_chunks(st, lsq_fetched):
@@ -509,10 +573,28 @@ def _build_fused_table(dataset, st, iod_fetched, lsq_fetched):
 
     # --- kept-order stage flags (mirrors the dict-mode row logic) ---
     iod_ok_k = np.isfinite(best_rms)
-    seed_finite_k = np.isfinite(eqv).all(axis=1)
+    if len(live[0]) > 6:
+        # minimal-fetch mode: eqv never crossed the link; the kernel's own
+        # seed-ok flag (isfinite(rms) & isfinite(eqv).all) substitutes —
+        # every consumer below ANDs it with iod_ok_k, where the two agree
+        seed_finite_k = np.concatenate([c[6] for c in live]).astype(bool)
+    else:
+        seed_finite_k = np.isfinite(eqv).all(axis=1)
     conv_k = iod_ok_k & seed_finite_k & (status_k == STATUS_OK)
     conv_k &= np.isfinite(elements_k).all(axis=1)
     fell_k = iod_ok_k & seed_finite_k & ~conv_k
+
+    deferred = st.get("deferred_iod")
+    if deferred is not None:
+        # back-fill the element vectors for just the rows whose RESULT is
+        # the IOD seed (non-converged kept rows); converged rows keep NaN —
+        # their fit elements are the LSQ ones (documented minimal-fetch
+        # contract).  Exact f64, one tiny packed transfer.
+        need = np.nonzero(iod_ok_k & ~conv_k)[0]
+        if need.size:
+            el_need, eqv_need = _fetch_deferred_rows(deferred, need)
+            el[need] = el_need
+            eqv[need] = eqv_need
 
     err_k = np.where(
         iod_ok_k,
@@ -907,6 +989,7 @@ def fit_lsq_stream(
     prefetch: bool = True,
     slim_fetch: bool = False,
     as_table: bool = False,
+    minimal_fetch: bool = False,
 ):
     """Pipelined fused fits over a stream of datasets.
 
@@ -914,6 +997,10 @@ def fit_lsq_stream(
     the covariance triangle and IOD reporting leaves as float32 (see
     :func:`fit_lsq_dispatch`); LSQ orbital elements stay exact f64.
     Default False (full bit-parity with sequential ``fit_lsq``).
+    ``minimal_fetch=True`` (requires ``as_table=True``) further defers the
+    IOD element vectors to a tiny per-dataset second transfer covering only
+    non-converged rows (see :func:`fit_lsq_dispatch`) — the
+    fetch-bandwidth-bound service mode.
 
     Keeps up to ``depth`` datasets in flight: while the device executes
     dataset N's kernels, the host preps and dispatches dataset N+1 (JAX
@@ -961,6 +1048,7 @@ def fit_lsq_stream(
             pend = fit_lsq_dispatch(
                 ds, ephem, iod_params, config, seed, ut1, error_model, mesh,
                 slim_fetch=slim_fetch, as_table=as_table,
+                minimal_fetch=minimal_fetch,
             )
             if ex is not None:
                 pend_futures[id(pend)] = ex.submit(fit_lsq_finalize, pend)

@@ -48,19 +48,29 @@ def pack_for_fetch(tree, slim_mask=None):
     arrays, or ``(None, spec)`` when the tree holds no elements (the
     caller should then fall back to a direct ``device_get``).
 
-    ``slim_mask`` (optional) is a pytree of bools matching ``tree``:
-    True leaves ride a second float32 buffer — HALF the link bytes at
-    float32 precision (~7 significant digits).  Only for reporting-grade
-    quantities (covariance, 1-sigma); the unpacked array keeps the
-    original dtype, so downstream code is unchanged.  The measured link
-    moves device->host at ~41 MB/s strictly linear in bytes
-    (docs/DESIGN.md "link calibration"), so slimming is a direct
-    latency win on tunnel/relay transports."""
+    ``slim_mask`` (optional) is a pytree matching ``tree`` whose leaves
+    take three values: ``False`` — ride the exact f64 buffer; ``True`` —
+    ride a second float32 buffer (HALF the link bytes at ~7 significant
+    digits, for reporting-grade quantities like the covariance);
+    ``None`` — SKIP the leaf entirely (not transferred;
+    :func:`unpack_fetched` returns ``None`` in its place — the caller
+    keeps the device array and fetches the rows it needs later, the
+    deferred-fetch mode of ``fit_lsq_dispatch(minimal_fetch=True)``).
+    The measured link moves device->host at ~41 MB/s strictly linear in
+    bytes (docs/DESIGN.md "link calibration"), so byte slimming is a
+    direct latency win on tunnel/relay transports."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if slim_mask is None:
         slim = [False] * len(leaves)
     else:
-        slim = [bool(s) for s in jax.tree_util.tree_leaves(slim_mask)]
+        # tree_leaves drops None entries, so flatten with is_leaf to keep
+        # the skip markers aligned with the data leaves
+        slim = [
+            None if s is None else bool(s)
+            for s in jax.tree_util.tree_leaves(
+                slim_mask, is_leaf=lambda x: x is None
+            )
+        ]
         if len(slim) != len(leaves):
             raise ValueError(
                 f"slim_mask has {len(slim)} leaves, tree has {len(leaves)}"
@@ -69,10 +79,11 @@ def pack_for_fetch(tree, slim_mask=None):
         (tuple(l.shape), np.dtype(l.dtype), s)
         for l, s in zip(leaves, slim)
     ]
-    if not leaves or sum(int(np.prod(s)) for s, _, _ in meta) == 0:
+    sent = [(s, m) for (s, m) in zip(leaves, slim) if m is not None]
+    if not sent or sum(int(np.prod(l.shape)) for l, _ in sent) == 0:
         return None, (treedef, meta)
-    full = [l for l, s in zip(leaves, slim) if not s]
-    half = [l for l, s in zip(leaves, slim) if s]
+    full = [l for l, s in sent if not s]
+    half = [l for l, s in sent if s]
     bufs = (
         _pack_leaves(full) if full else None,
         _pack_leaves_f32(half) if half else None,
@@ -83,7 +94,8 @@ def pack_for_fetch(tree, slim_mask=None):
 def unpack_fetched(bufs, spec):
     """Inverse of :func:`pack_for_fetch`: split the fetched host buffer(s)
     back into the original pytree (exact shapes and dtypes; slim leaves
-    carry float32-rounded values in their original dtype)."""
+    carry float32-rounded values in their original dtype; skipped leaves
+    come back as ``None``)."""
     treedef, meta = spec
     if not (isinstance(bufs, tuple) and len(bufs) == 2):
         bufs = (bufs, None)  # legacy single-buffer callers
@@ -93,6 +105,9 @@ def unpack_fetched(bufs, spec):
     off_f = off_h = 0
     for entry in meta:
         shape, dtype, slim = entry if len(entry) == 3 else (*entry, False)
+        if slim is None:
+            out.append(None)
+            continue
         n = int(np.prod(shape))
         if slim:
             a = half[off_h : off_h + n].reshape(shape)
@@ -101,4 +116,6 @@ def unpack_fetched(bufs, spec):
             a = full[off_f : off_f + n].reshape(shape)
             off_f += n
         out.append(a if a.dtype == dtype else a.astype(dtype))
+    # tree_unflatten only plugs values into the recorded structure, so the
+    # None placeholders pass through untouched
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -866,3 +866,116 @@ class TestLsqTable:
         assert r.ok and r.covariance is not None
         with pytest.raises(KeyError):
             tab["nope"]
+
+
+class TestMinimalFetch:
+    """``minimal_fetch=True`` keeps the IOD element vectors on device and
+    back-fills only the rows whose result consumes them.  Contract: every
+    column a result actually uses is IDENTICAL to the full fetch; the
+    converged rows' ``iod_elements``/``iod_equinoctial`` are NaN."""
+
+    _SHARED_COLS = (
+        "kept", "iod_ok", "iod_error_code", "iod_rms", "iod_kind",
+        "iod_corrected", "iod_epoch", "ok", "converged",
+        "fell_back_to_iod", "status", "normalised_rms", "epoch",
+        "equinoctial", "covariance_tri", "uncertainties", "n_active_obs",
+        "total_newton_iterations",
+    )
+
+    def _tables(self, eph, cfg):
+        mixed = TestLsqTable._mixed_dataset
+        full = fit_lsq(mixed(self, eph), eph, _IOD, cfg, seed=42, as_table=True)
+        from outfit_tpu.lsq.api import fit_lsq_dispatch, fit_lsq_finalize
+
+        pend = fit_lsq_dispatch(
+            mixed(self, eph), eph, _IOD, cfg, seed=42, as_table=True,
+            minimal_fetch=True,
+        )
+        assert pend.minimal, "mixed dataset should hit a minimal-capable path"
+        assert pend.st.get("deferred_iod") is not None
+        return full, fit_lsq_finalize(pend)
+
+    def _assert_contract(self, full, mini):
+        assert full.traj_ids == mini.traj_ids
+        for col in self._SHARED_COLS:
+            np.testing.assert_array_equal(
+                getattr(full, col), getattr(mini, col), err_msg=col
+            )
+        used = mini.iod_ok & ~mini.converged
+        # rows whose result is (or reports) the IOD seed: exact f64 parity
+        np.testing.assert_array_equal(
+            full.iod_equinoctial[used], mini.iod_equinoctial[used]
+        )
+        np.testing.assert_array_equal(
+            full.iod_elements[used], mini.iod_elements[used]
+        )
+        # converged rows: seed vectors never crossed the link
+        assert np.isnan(mini.iod_equinoctial[mini.converged]).all()
+        assert np.isnan(mini.iod_elements[mini.converged]).all()
+
+    def test_parity_mixed(self, eph):
+        full, mini = self._tables(eph, DifferentialCorrectionConfig())
+        assert full.converged.any()  # deferred rows exist alongside converged
+        self._assert_contract(full, mini)
+
+    def test_parity_with_fallback_rows(self, eph):
+        # force the LSQ stage to flag every orbit bizarre (a_max below the
+        # real ~2.4 AU) so fell_back rows exercise the deferred gather
+        from outfit_tpu.elements.types import EquinoctialLimits
+
+        cfg = DifferentialCorrectionConfig(
+            orbital_limits=EquinoctialLimits(max_semi_major_axis=0.5,
+                                             max_apoapsis_distance=0.5)
+        )
+        full, mini = self._tables(eph, cfg)
+        assert full.fell_back_to_iod.any()
+        self._assert_contract(full, mini)
+
+    def test_single_chunk_path(self, eph):
+        """Uniform datasets skip the merged-LSQ branch; the per-chunk
+        dispatch must wire the same deferred contract (incl. the gather,
+        forced via bizarre limits)."""
+        from outfit_tpu.elements.types import EquinoctialLimits
+        from outfit_tpu.lsq.api import fit_lsq_dispatch, fit_lsq_finalize
+
+        kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
+        ds = _synth_dataset(eph, kep_true, _EPOCHS)
+        for cfg in (
+            DifferentialCorrectionConfig(),
+            DifferentialCorrectionConfig(
+                orbital_limits=EquinoctialLimits(
+                    max_semi_major_axis=0.5, max_apoapsis_distance=0.5
+                )
+            ),
+        ):
+            full = fit_lsq(
+                _synth_dataset(eph, kep_true, _EPOCHS), eph, _IOD, cfg,
+                seed=42, as_table=True,
+            )
+            pend = fit_lsq_dispatch(
+                _synth_dataset(eph, kep_true, _EPOCHS), eph, _IOD, cfg,
+                seed=42, as_table=True, minimal_fetch=True,
+            )
+            assert pend.minimal and not pend.st.get("lsq_merged")
+            self._assert_contract(full, fit_lsq_finalize(pend))
+
+    def test_requires_table(self, eph):
+        from outfit_tpu.lsq.api import fit_lsq_dispatch
+
+        with pytest.raises(ValueError, match="as_table"):
+            fit_lsq_dispatch(
+                ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs"), eph, _IOD,
+                DifferentialCorrectionConfig(), seed=42, minimal_fetch=True,
+            )
+
+    def test_stream_minimal(self, eph):
+        from outfit_tpu.lsq import fit_lsq_stream
+
+        mixed = TestLsqTable._mixed_dataset
+        full = fit_lsq(mixed(self, eph), eph, _IOD,
+                       DifferentialCorrectionConfig(), seed=42, as_table=True)
+        ((_, mini),) = fit_lsq_stream(
+            [mixed(self, eph)], eph, _IOD, DifferentialCorrectionConfig(),
+            seed=42, as_table=True, minimal_fetch=True,
+        )
+        self._assert_contract(full, mini)
