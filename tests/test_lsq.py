@@ -959,6 +959,45 @@ class TestMinimalFetch:
             assert pend.minimal and not pend.st.get("lsq_merged")
             self._assert_contract(full, fit_lsq_finalize(pend))
 
+    def test_compact_cap_overflow(self, eph, monkeypatch):
+        """More non-converged rows than the compact-slice cap: the overflow
+        must arrive via the live gather with identical values."""
+        import outfit_tpu.lsq.api as lsq_api
+        from outfit_tpu.elements.types import EquinoctialLimits
+        from outfit_tpu.lsq.api import fit_lsq_dispatch, fit_lsq_finalize
+
+        # two real arcs under distinct trajectory ids, both forced to fall
+        # back by bizarre limits -> 2 need rows; floor 1 -> cap 1 -> overflow
+        def two_arc_ds():
+            base = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+            ds = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+            obs_idx = base.trajectory_obs_indices("8467")
+            for i in obs_idx:
+                ds.push_observation(
+                    "COPY", float(base.mjd_tt[i]), float(base.ra[i]),
+                    float(base.dec[i]), float(base.ra_error[i]),
+                    float(base.dec_error[i]),
+                    base.get_observer(int(base.observer_index[i])),
+                )
+            return ds
+
+        cfg = DifferentialCorrectionConfig(
+            orbital_limits=EquinoctialLimits(
+                max_semi_major_axis=0.5, max_apoapsis_distance=0.5
+            )
+        )
+        full = fit_lsq(two_arc_ds(), eph, _IOD, cfg, seed=42, as_table=True)
+        assert full.fell_back_to_iod.sum() == 2
+        monkeypatch.setattr(lsq_api, "_NEED_CAP_FLOOR", 1)
+        pend = fit_lsq_dispatch(
+            two_arc_ds(), eph, _IOD, cfg, seed=42, as_table=True,
+            minimal_fetch=True,
+        )
+        assert pend.minimal
+        idx, _n, _el, _eqv = pend.st["need_pack"]
+        assert idx.shape[0] == 1  # cap really was 1
+        self._assert_contract(full, fit_lsq_finalize(pend))
+
     def test_requires_table(self, eph):
         from outfit_tpu.lsq.api import fit_lsq_dispatch
 
