@@ -179,6 +179,48 @@ class LsqTable:
         ``as_table=False`` return; used for parity tests and migration)."""
         return {tid: self.result(tid) for tid in self.traj_ids}
 
+    def to_dataframe(self):
+        """Flat pandas DataFrame, one row per trajectory: scalar columns
+        verbatim, vector columns expanded (``equinoctial_0..5``,
+        ``sigma_0..5``, ``cov_00..cov_55`` lower triangle, IOD seed
+        columns).  The survey-scale hand-off format (the reference's
+        consumers feed polars/parquet pipelines, SURVEY 2.12)."""
+        import pandas as pd
+
+        data = {
+            "traj_id": self.traj_ids,
+            "ok": self.ok,
+            "converged": self.converged,
+            "fell_back_to_iod": self.fell_back_to_iod,
+            "status": self.status,
+            "normalised_rms": self.normalised_rms,
+            "epoch": self.epoch,
+            "n_active_obs": self.n_active_obs,
+            "total_newton_iterations": self.total_newton_iterations,
+            "iod_ok": self.iod_ok,
+            "iod_error_code": self.iod_error_code,
+            "iod_rms": self.iod_rms,
+            "iod_kind": self.iod_kind,
+            "iod_corrected": self.iod_corrected,
+            "iod_epoch": self.iod_epoch,
+        }
+        names = ("a", "h", "k", "p", "q", "lambda")
+        for j, nm in enumerate(names):
+            data[f"eq_{nm}"] = self.equinoctial[:, j]
+        for j, nm in enumerate(names):
+            data[f"sigma_{nm}"] = self.uncertainties[:, j]
+        for j, nm in enumerate(names):
+            data[f"iod_eq_{nm}"] = self.iod_equinoctial[:, j]
+        tri_i, tri_j = np.tril_indices(6)
+        for s, (r, c) in enumerate(zip(tri_i, tri_j)):
+            data[f"cov_{r}{c}"] = self.covariance_tri[:, s]
+        return pd.DataFrame(data)
+
+    def to_parquet(self, path, **kwargs):
+        """Write :meth:`to_dataframe` to parquet (needs pyarrow or
+        fastparquet installed)."""
+        self.to_dataframe().to_parquet(path, **kwargs)
+
     @classmethod
     def from_results(cls, traj_ids, results) -> "LsqTable":
         """Build a table from a ``{traj_id: LsqResult}`` dict (the

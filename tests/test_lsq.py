@@ -857,6 +857,23 @@ class TestLsqTable:
         )
         self._assert_equal(ref, tab.to_results())
 
+    def test_table_dataframe(self, eph):
+        pd = pytest.importorskip("pandas")
+        tab = fit_lsq(
+            self._mixed_dataset(eph), eph, _IOD,
+            DifferentialCorrectionConfig(), seed=42, as_table=True,
+        )
+        df = tab.to_dataframe()
+        assert len(df) == len(tab.traj_ids)
+        row = df[df.traj_id == "8467"].iloc[0]
+        assert bool(row.converged)
+        i = tab.traj_ids.index("8467")
+        assert row.eq_a == tab.equinoctial[i, 0]
+        assert row.cov_00 == tab.covariance_tri[i, 0]
+        assert row.sigma_a == tab.uncertainties[i, 0]
+        # failed rows carry NaN element columns, not garbage
+        assert np.isnan(df[df.traj_id == "SHORT"].iloc[0].eq_a)
+
     def test_table_getitem(self, eph):
         tab = fit_lsq(
             ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs"), eph, _IOD,

@@ -81,4 +81,11 @@ def main(n_traj=16384, n_datasets=6, reps=3):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["n_traj"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw["n_datasets"] = int(sys.argv[2])
+    main(**kw)
