@@ -401,10 +401,15 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
-def bench_e2e_stream(n_traj: int = 16384, n_datasets: int = 6):
-    """6 x 16384 = ~1e5 trajectories end to end (the VERDICT r1 scale ask).
-    16384-trajectory batches amortize the relay round-trips slightly better
-    than 8192 and the while-loop knee has moved past them post-rewrites.
+def bench_e2e_stream(n_traj: int = 8192, n_datasets: int = 12):
+    """12 x 8192 = ~1e5 trajectories end to end (the VERDICT r1 scale ask).
+    Dataset-size sweep on the v5e chip (tools/minimal_ab.py, devwait via
+    tools/e2e_profile.py): per-fit DEVICE cost is 24.5 us at 8192 but 32 us
+    at 16384 (the masked while loops' slow-lane tail deepens with batch),
+    so once the fetch/finalize slimming made the stream device-bound the
+    16384 shape lost its round-trip-amortization edge: stream medians
+    51k/51k/37k fits/sec/chip at 4096/8192/16384.  8192 is the plateau
+    point with the fewest per-dataset fixed costs.
 
     Returns (default_fps, slim_fps, slim_table_fps, minimal_fps): the
     bit-parity default; the opt-in slim service fetch (orbital elements
@@ -531,7 +536,7 @@ def main():
     # CPU fallback: bounded workload (the full 16k-trajectory stream would
     # run for tens of minutes on a host CPU) + an honest metric label
     nt = 1024 if cpu_fallback else 8192
-    nt_stream = 1024 if cpu_fallback else 16384
+    nt_stream = 1024 if cpu_fallback else 8192
     tag = " (CPU FALLBACK - TPU backend unreachable)" if cpu_fallback else ""
     if cpu_fallback:
         log(
@@ -564,7 +569,7 @@ def main():
         # VERDICT r1 weak #1: a kernels-only headline hides the host
         # ceiling; this one cannot.
         stream, stream_slim, stream_table, stream_min = bench_e2e_stream(
-            n_traj=nt_stream
+            n_traj=nt_stream, n_datasets=6 if cpu_fallback else 12,
         )
         # pipelining/slimming must not be forced at a loss — but the label
         # must say which mode actually produced the recorded number.  Slim

@@ -67,12 +67,12 @@ def main():
         for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
             st["pending"], st["chunk_tables"]
         ):
-            lsq_out, sig_dev, _ok = runner(
+            lsq_out, sig_dev, nact_dev, cov_tri_dev, _ok = runner(
                 iod_out[0], iod_out[3], iod_out[4], base, glob_dev, valid_dev
             )
             lsq_pend.append((lsq_out.status, lsq_out.elements,
-                             lsq_out.normalised_rms, lsq_out.covariance,
-                             lsq_out.selection, lsq_out.total_newton_iterations,
+                             lsq_out.normalised_rms, cov_tri_dev,
+                             nact_dev, lsq_out.total_newton_iterations,
                              sig_dev))
         timings["lsq_disp"] = time.time() - t0
 
