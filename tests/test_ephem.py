@@ -493,3 +493,154 @@ class TestCrossFormatConsistency:
         np.testing.assert_allclose(
             np.asarray(nn.velocity), np.asarray(nh.velocity), atol=1e-12
         )
+
+
+class TestDafByteLayoutOracle:
+    """DAF/SPK byte-layout oracle: files are HAND-ASSEMBLED at the spec's
+    byte offsets in the test itself — fully independent of
+    ``write_synthetic_spk`` — so a shared encoding bug between the writer
+    and the parser cannot cancel out (round-1 VERDICT weak #3).  Layout
+    per the reference reader (daf_header.rs / summary_record.rs /
+    ephemeris_record.rs): LOCIDW@0, ND@8, NI@12, LOCIFN@16, FWARD@76,
+    BWARD@80, FREE@84, LOCFMT@88; 1024-byte records; summary records of
+    (NEXT, PREV, NSUM) f64 control words + NSUM summaries of ND f64 +
+    NI i32; 1-based f64 word addresses; Type-2 trailer (INIT, INTLEN,
+    RSIZE, N) in the segment's last 4 words."""
+
+    INIT = (56000.0 - 51544.5) * 86400.0  # ET s of MJD 56000
+    INTLEN = 8.0 * 86400.0  # 8-day granules
+    NCOEFF = 3
+    NGRAN = 2
+
+    @classmethod
+    def _coeffs_km(cls):
+        """Known per-granule/axis Chebyshev coefficients (km)."""
+        c = np.zeros((cls.NGRAN, 3, cls.NCOEFF))
+        for g in range(cls.NGRAN):
+            for a in range(3):
+                c[g, a] = [1.0e6 * (g + 1) + a, 100.0 + 10.0 * a + g, 10.0 + a]
+        return c
+
+    @classmethod
+    def _build(cls, endian="<", chain=False, pad_words=5):
+        """Assemble DAF bytes by hand.
+
+        ``chain=True`` links TWO summary records via the NEXT control word
+        (a path ``write_synthetic_spk`` never produces); ``pad_words``
+        shifts the segment off the record boundary so 1-based word
+        addressing is actually exercised (a0 != first word of a record).
+        """
+        e = endian
+        coeffs = cls._coeffs_km()
+        rsize = 2 + 3 * cls.NCOEFF
+
+        def segment_words(scale):
+            words = []
+            for g in range(cls.NGRAN):
+                words.append(cls.INIT + (g + 0.5) * cls.INTLEN)  # MID
+                words.append(0.5 * cls.INTLEN)  # RADIUS
+                words.extend((scale * coeffs[g]).ravel())
+            words.extend([cls.INIT, cls.INTLEN, float(rsize), float(cls.NGRAN)])
+            return words
+
+        n_sum_rec = 2 if chain else 1
+        first_data_rec = 2 + n_sum_rec  # record index (1-based)
+        a0_a = (first_data_rec - 1) * 128 + 1 + pad_words
+        words_a = segment_words(1.0)
+        a1_a = a0_a + len(words_a) - 1
+        a0_b = a1_a + 1
+        words_b = segment_words(2.0)
+        a1_b = a0_b + len(words_b) - 1
+
+        data = [0.0] * pad_words + words_a + (words_b if chain else [])
+        n_data_rec = (len(data) * 8 + 1023) // 1024
+        buf = bytearray((first_data_rec - 1 + n_data_rec) * 1024)
+
+        # file record (record 1), fields at their spec offsets
+        buf[0:8] = b"DAF/SPK "
+        buf[8:12] = np.array([2], e + "i4").tobytes()  # ND
+        buf[12:16] = np.array([6], e + "i4").tobytes()  # NI
+        buf[16:76] = b"hand-assembled oracle".ljust(60)
+        buf[76:80] = np.array([2], e + "i4").tobytes()  # FWARD
+        buf[80:84] = np.array([1 + n_sum_rec], e + "i4").tobytes()  # BWARD
+        buf[84:88] = np.array([a1_b + 1], e + "i4").tobytes()  # FREE
+        buf[88:96] = b"LTL-IEEE" if e == "<" else b"BIG-IEEE"
+
+        def put_summary(rec, nxt, et0, et1, tg, ct, fr, ty, a0, a1):
+            base = (rec - 1) * 1024
+            buf[base : base + 24] = np.array(
+                [float(nxt), 0.0, 1.0], e + "f8"
+            ).tobytes()
+            off = base + 24
+            buf[off : off + 16] = np.array([et0, et1], e + "f8").tobytes()
+            buf[off + 16 : off + 40] = np.array(
+                [tg, ct, fr, ty, a0, a1], e + "i4"
+            ).tobytes()
+
+        et1 = cls.INIT + cls.NGRAN * cls.INTLEN
+        put_summary(2, 3 if chain else 0, cls.INIT, et1, 301, 3, 1, 2, a0_a, a1_a)
+        if chain:
+            put_summary(3, 0, cls.INIT, et1, 399, 3, 1, 2, a0_b, a1_b)
+
+        raw = np.array(data, e + "f8").tobytes()
+        start = (first_data_rec - 1) * 1024
+        buf[start : start + len(raw)] = raw
+        return bytes(buf)
+
+    def _expected(self, mjd, scale=1.0):
+        """Independent ground truth via numpy.polynomial.chebyshev."""
+        from numpy.polynomial import chebyshev as C
+
+        coeffs = self._coeffs_km() * scale / AU
+        gran_days = self.INTLEN / 86400.0
+        x = (mjd - 56000.0) / gran_days
+        g = min(int(np.floor(x)), self.NGRAN - 1)
+        tau = 2.0 * (x - g) - 1.0
+        pos = np.array([C.chebval(tau, coeffs[g, a]) for a in range(3)])
+        vel = np.array(
+            [C.chebval(tau, C.chebder(coeffs[g, a])) for a in range(3)]
+        ) * (2.0 / gran_days)
+        return pos, vel
+
+    def _check_segment(self, seg, scale=1.0):
+        assert seg.data_type == 2 and seg.frame == 1
+        assert seg.et_start == self.INIT
+        assert seg.table.t0 == 56000.0
+        assert seg.table.granule_days == 8.0
+        assert seg.table.coeffs.shape == (self.NGRAN, 3, self.NCOEFF)
+        for mjd in (56001.25, 56007.9, 56011.0, 56015.5):
+            p, v = interpolate_body(seg.table, jnp.asarray(mjd))
+            pe, ve = self._expected(mjd, scale)
+            np.testing.assert_allclose(np.asarray(p), pe, rtol=1e-13)
+            np.testing.assert_allclose(np.asarray(v), ve, rtol=1e-13)
+
+    def test_little_endian_offsets_and_addressing(self, tmp_path):
+        path = tmp_path / "oracle_le.bsp"
+        path.write_bytes(self._build("<"))
+        parsed = NaifEphemeris(str(path))
+        assert (parsed.nd, parsed.ni) == (2, 6)
+        assert len(parsed.segments) == 1
+        self._check_segment(parsed.segment_for(301, 3))
+
+    def test_big_endian_parses_identically(self, tmp_path):
+        pl = tmp_path / "oracle_le.bsp"
+        pb = tmp_path / "oracle_be.bsp"
+        pl.write_bytes(self._build("<"))
+        pb.write_bytes(self._build(">"))
+        sl = NaifEphemeris(str(pl)).segment_for(301, 3)
+        sb = NaifEphemeris(str(pb)).segment_for(301, 3)
+        np.testing.assert_array_equal(
+            np.asarray(sl.table.coeffs), np.asarray(sb.table.coeffs)
+        )
+        self._check_segment(sb)
+
+    def test_summary_record_chain(self, tmp_path):
+        """The NEXT control word links summary records; every linked
+        record's segments must be found (write_synthetic_spk emits a
+        single summary record, so only a hand-built chain covers this)."""
+        path = tmp_path / "oracle_chain.bsp"
+        path.write_bytes(self._build("<", chain=True))
+        parsed = NaifEphemeris(str(path))
+        assert len(parsed.segments) == 2
+        self._check_segment(parsed.segment_for(301, 3))
+        self._check_segment(parsed.segment_for(399, 3), scale=2.0)
