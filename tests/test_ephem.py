@@ -644,3 +644,116 @@ class TestDafByteLayoutOracle:
         assert len(parsed.segments) == 2
         self._check_segment(parsed.segment_for(301, 3))
         self._check_segment(parsed.segment_for(399, 3), scale=2.0)
+
+
+class TestHorizonByteLayoutOracle:
+    """Classic-DE byte-layout oracle: the file is HAND-ASSEMBLED at the
+    documented offsets in the test (TTL@0, SS@2652, NCON@2676, AU@2680,
+    EMRAT@2688, IPT@2696, DENUM@2840, IPT[12]@2844), independent of
+    ``write_synthetic_horizon`` — the writerless counterpart of
+    ``TestDafByteLayoutOracle`` (horizon_data.rs:123-254 layout)."""
+
+    T0 = 56000.0  # MJD of coverage start
+    BLOCK_DAYS = 16.0
+    NS = 2  # sub-intervals per block -> 8-day granules
+    NC = 60  # coefficients per component (recsize*8 must clear the header)
+    NB = 2  # blocks
+
+    # IPT: slot 2 (EMB) at word 3, slot 9 (Moon) right after
+    SLOT_WORDS = 3 * NC * NS  # 360
+    IPT2 = (3, NC, NS)
+    IPT9 = (3 + SLOT_WORDS, NC, NS)
+    RECSIZE = 2 + 2 * SLOT_WORDS  # 722 f64 words
+
+    AU_KM = 1.5e8
+
+    @classmethod
+    def _coeffs_km(cls, slot):
+        """Known coefficients: 3 leading nonzero terms per granule/axis."""
+        ngran = cls.NB * cls.NS
+        c = np.zeros((ngran, 3, cls.NC))
+        s = 1.0 if slot == 2 else 0.5
+        for g in range(ngran):
+            for a in range(3):
+                c[g, a, :3] = [s * (1.0e6 * (g + 1) + a), 100.0 + 10.0 * a + g, 10.0 + a]
+        return c
+
+    @classmethod
+    def _build(cls):
+        from outfit_tpu.constants import JDTOMJD
+
+        jd0 = cls.T0 + JDTOMJD
+        jd1 = jd0 + cls.NB * cls.BLOCK_DAYS
+        nbytes = cls.RECSIZE * 8
+
+        rec1 = bytearray(nbytes)
+        rec1[0:84] = b"ORACLE TITLE 1".ljust(84)
+        rec1[84:168] = b"ORACLE TITLE 2".ljust(84)
+        rec1[2652:2676] = np.array([jd0, jd1, cls.BLOCK_DAYS], "<f8").tobytes()
+        rec1[2676:2680] = np.array([400], "<i4").tobytes()
+        rec1[2680:2688] = np.array([cls.AU_KM], "<f8").tobytes()
+        rec1[2688:2696] = np.array([81.25], "<f8").tobytes()
+        ipt = np.zeros((12, 3), "<i4")
+        ipt[2] = cls.IPT2
+        ipt[9] = cls.IPT9
+        rec1[2696:2840] = ipt.tobytes()
+        rec1[2840:2844] = np.array([441], "<i4").tobytes()
+        # IPT[12..14] stay zero (words 2844-2856 and 2856-2880)
+
+        rec2 = bytes(nbytes)  # constant values, all zero
+
+        data = np.zeros((cls.NB, cls.RECSIZE))
+        data[:, 0] = jd0 + np.arange(cls.NB) * cls.BLOCK_DAYS
+        data[:, 1] = data[:, 0] + cls.BLOCK_DAYS
+        for slot, (off, nc, ns) in ((2, cls.IPT2), (9, cls.IPT9)):
+            c = cls._coeffs_km(slot).reshape(cls.NB, ns * 3 * nc)
+            data[:, off - 1 : off - 1 + ns * 3 * nc] = c
+        return bytes(rec1) + rec2 + data.astype("<f8").tobytes()
+
+    def _expected(self, slot, mjd):
+        from numpy.polynomial import chebyshev as C
+
+        coeffs = self._coeffs_km(slot) / self.AU_KM
+        gran = self.BLOCK_DAYS / self.NS
+        x = (mjd - self.T0) / gran
+        g = min(int(np.floor(x)), coeffs.shape[0] - 1)
+        tau = 2.0 * (x - g) - 1.0
+        pos = np.array([C.chebval(tau, coeffs[g, a]) for a in range(3)])
+        vel = np.array(
+            [C.chebval(tau, C.chebder(coeffs[g, a])) for a in range(3)]
+        ) * (2.0 / gran)
+        return pos, vel
+
+    def test_header_fields_and_interpolation(self, tmp_path):
+        from outfit_tpu.ephem.horizon import HorizonEphemeris
+
+        path = tmp_path / "oracle_hand.de"
+        path.write_bytes(self._build())
+        h = HorizonEphemeris(str(path))
+        assert h.titles[0] == "ORACLE TITLE 1"
+        assert h.jd_start == self.T0 + 2400000.5
+        assert h.block_days == self.BLOCK_DAYS
+        assert h.ncon == 400
+        assert h.au_km == self.AU_KM and h.emrat == 81.25 and h.denum == 441
+        assert tuple(h.ipt[2]) == self.IPT2 and tuple(h.ipt[9]) == self.IPT9
+        assert h.recsize_words == self.RECSIZE
+        assert h.n_blocks == self.NB
+
+        for slot, body in ((2, Body.EMB), (9, Body.MOON)):
+            tb = h.body_table(body)
+            assert tb.t0 == self.T0 and tb.granule_days == 8.0
+            for mjd in (56001.25, 56007.9, 56011.0, 56017.5, 56028.75):
+                p, v = interpolate_body(tb, jnp.asarray(mjd))
+                pe, ve = self._expected(slot, mjd)
+                np.testing.assert_allclose(np.asarray(p), pe, rtol=1e-13)
+                np.testing.assert_allclose(np.asarray(v), ve, rtol=1e-13)
+
+    def test_absent_body_raises(self, tmp_path):
+        from outfit_tpu.ephem.horizon import HorizonEphemeris
+        from outfit_tpu.errors import EphemerisBodyNotSupported
+
+        path = tmp_path / "oracle_hand2.de"
+        path.write_bytes(self._build())
+        h = HorizonEphemeris(str(path))
+        with pytest.raises(EphemerisBodyNotSupported):
+            h.body_table(Body.MARS_BARY)
