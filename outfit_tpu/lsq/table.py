@@ -52,7 +52,10 @@ class LsqTable:
     ok: np.ndarray  #: fit produced usable elements (converged OR fallback)
     converged: np.ndarray  #: converged through the least-squares loop
     fell_back_to_iod: np.ndarray
-    status: np.ndarray  # int8 LSQ status; 0 = OK, -1 = LSQ never ran
+    #: int8 LSQ kernel status code (lsq/loop.py convention, the one the
+    #: device path stores): 1 = converged (STATUS_OK), 2 = bizarre orbit,
+    #: 3 = diverged, 4 = inversion failed, -1 = LSQ never ran
+    status: np.ndarray
     normalised_rms: np.ndarray  # IOD rms on fallback rows (dict parity)
     epoch: np.ndarray
     equinoctial: np.ndarray  # (N, 6); IOD seed on fallback rows
@@ -277,7 +280,22 @@ class LsqTable:
             )
             t.fell_back_to_iod[i] = r.fell_back_to_iod
             if r.ok and r.equinoctial is not None:
-                t.status[i] = 0 if t.converged[i] else 1
+                # kernel status-code convention (see the ``status`` field
+                # doc): converged rows are STATUS_OK; fallback rows carry
+                # the failure code recovered from the error string
+                if t.converged[i]:
+                    t.status[i] = 1
+                else:
+                    from outfit_tpu.lsq.api import _STATUS_NAMES
+
+                    t.status[i] = next(
+                        (
+                            c
+                            for c, name in _STATUS_NAMES.items()
+                            if name is not None and name == r.error
+                        ),
+                        3,
+                    )
                 t.normalised_rms[i] = r.normalised_rms
                 t.epoch[i] = r.epoch
                 t.equinoctial[i] = r.equinoctial

@@ -563,7 +563,10 @@ class TestDafByteLayoutOracle:
         buf[16:76] = b"hand-assembled oracle".ljust(60)
         buf[76:80] = np.array([2], e + "i4").tobytes()  # FWARD
         buf[80:84] = np.array([1 + n_sum_rec], e + "i4").tobytes()  # BWARD
-        buf[84:88] = np.array([a1_b + 1], e + "i4").tobytes()  # FREE
+        # FREE = first free address past the last word actually written
+        # (segment B's words exist only in the chain build)
+        free = (a1_b if chain else a1_a) + 1
+        buf[84:88] = np.array([free], e + "i4").tobytes()  # FREE
         buf[88:96] = b"LTL-IEEE" if e == "<" else b"BIG-IEEE"
 
         def put_summary(rec, nxt, et0, et1, tg, ct, fr, ty, a0, a1):

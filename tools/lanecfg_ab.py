@@ -74,7 +74,7 @@ def main(n_traj=8192, n_datasets=6, reps=3):
             as_table=True, minimal_fetch=True,
         ):
             n_done += len(res)
-            n_conv += int((np.asarray(res.status) == 1).sum())
+            n_conv += int(np.asarray(res.converged).sum())
         return n_done / (time.time() - t0), n_conv / max(n_done, 1)
 
     results = {k: [] for k in CONFIGS}
