@@ -1,9 +1,22 @@
 """Benchmark: full IOD+LSQ trajectory fits per second per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON metric lines {"metric", "value", "unit", "vs_baseline"} —
+a provisional line as soon as the FIRST stage has a measured number, then
+an improved line after each later stage that beats it (LAST LINE WINS).
 vs_baseline is the ratio against the BASELINE.json target of 1e5 full
 IOD+LSQ fits/sec on a v5e-8, scaled to a single chip (1e5/8 = 12500
 fits/sec/chip); the reference itself publishes no numbers (BASELINE.md).
+
+Robustness contract (round-2 postmortem: the driver run timed out before
+the first stage finished logging, BENCH_r02.json rc=124/parsed=null):
+
+* a watchdog thread flushes the best-so-far line and exits the process
+  just before the wall budget (``$OUTFIT_BENCH_BUDGET_S``, default 1380 s)
+  — a hung XLA compile cannot block it the way it blocks signal handlers;
+* SIGTERM/SIGINT handlers re-print the best-so-far line, so even an
+  external ``timeout`` kill leaves a parsed JSON line in the tail;
+* every stage checks the remaining budget before starting and is skipped
+  (never started) when its historical cost would not fit.
 
 The workload mirrors examples/run_full_iod_parallel.rs: K synthetic
 trajectories (12 observations each) pushed through the batched Gauss-IOD
@@ -14,14 +27,123 @@ compile are excluded and reported on stderr.
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
+_T_START = time.time()
+_BUDGET_S = float(os.environ.get("OUTFIT_BENCH_BUDGET_S", "1380"))
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _elapsed():
+    return time.time() - _T_START
+
+
+def _remaining():
+    return _BUDGET_S - _elapsed()
+
+
+class Reporter:
+    """Best-so-far metric line, printed immediately on every improvement.
+
+    fits/sec results always outrank the propagation fallback; within a
+    unit, higher value wins.  ``flush()`` re-prints the current best (the
+    watchdog/signal path) so the process tail always ends with a valid
+    line once any stage has completed.
+    """
+
+    def __init__(self):
+        self.best = None
+        self._best_rank = None
+        self._lock = threading.Lock()
+
+    def report(self, result, tier=0):
+        """``tier`` orders honesty classes: 0 = propagation fallback,
+        1 = kernels-only fits/sec (host prep excluded), 2 = end-to-end
+        fits/sec.  A higher tier always replaces a lower one (an honest
+        end-to-end number beats a flattering kernels-only one even when
+        smaller); within a tier, higher value wins."""
+        with self._lock:
+            rank = (tier, result["value"])
+            if self._best_rank is None or (
+                rank[0] > self._best_rank[0]
+                or (rank[0] == self._best_rank[0] and rank[1] > self._best_rank[1])
+            ):
+                self.best = result
+                self._best_rank = rank
+                print(json.dumps(result), flush=True)
+
+    def flush(self, note=""):
+        with self._lock:
+            if self.best is not None:
+                if note:
+                    log(note)
+                print(json.dumps(self.best), flush=True)
+                return True
+        if note:
+            log(note + " (no stage completed - no metric line to flush)")
+        return False
+
+
+REPORTER = Reporter()
+
+
+def _install_flush_guards():
+    """Watchdog thread + signal handlers that keep the metric-line contract
+    under timeouts.  The watchdog is the reliable path: a long-running XLA
+    compile holds the main thread in C++ where Python signal handlers are
+    deferred, but daemon threads keep running."""
+
+    def _watchdog():
+        while True:
+            rem = _remaining()
+            if rem <= 10.0:
+                break
+            time.sleep(min(rem - 10.0, 15.0))
+        had = REPORTER.flush(
+            f"watchdog: wall budget {_BUDGET_S:.0f}s nearly exhausted - "
+            "flushing best-so-far metric and exiting"
+        )
+        os._exit(0 if had else 3)
+
+    threading.Thread(target=_watchdog, daemon=True, name="bench-watchdog").start()
+
+    def _on_signal(signum, frame):
+        REPORTER.flush(f"signal {signum}: flushing best-so-far metric")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass
+
+
+def _stage(name, cost_s, fn, *args, **kwargs):
+    """Run a bench stage only if its historical cost fits the remaining
+    budget (with 20% headroom); log skip/failure, never raise."""
+    if _remaining() < cost_s * 1.2:
+        log(
+            f"SKIP stage {name}: needs ~{cost_s:.0f}s, "
+            f"{_remaining():.0f}s left of the {_BUDGET_S:.0f}s budget"
+        )
+        return None
+    t0 = time.time()
+    try:
+        out = fn(*args, **kwargs)
+        log(f"stage {name}: {time.time()-t0:.1f}s")
+        return out
+    except Exception as e:
+        log(f"stage {name} FAILED after {time.time()-t0:.1f}s "
+            f"({type(e).__name__}: {e})")
+        return None
 
 
 def bench_iod_lsq(n_traj: int, repeats: int = 3):
@@ -270,7 +392,7 @@ def synthetic_dataset(n_traj: int, n_obs: int, eph, seed: int = 0):
 
 
 def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
-              escalate=False, rich=False):
+              escalate=False, rich=False, stream=False):
     """Dataset -> results throughput INCLUDING all host prep (observer
     cache, triplet enumeration, lane assembly, result dict construction).
 
@@ -284,6 +406,10 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
 
     ``rich=True`` swaps in the full-quality config (max_triplets=16 —
     measured to converge 100% of the real MPC arcs vs ~80% lean).
+    ``stream=True`` runs the workload through ``fit_lsq_stream`` with the
+    full service stack (slim fetch + columnar results + deferred IOD
+    elements) instead of sequential calls — the pipelined number VERDICT
+    r2 asked for on the ragged/real-cadence workloads (weak #3).
     ``escalate=True`` instead runs the tiered recipe
     (``fit_lsq_escalating``: lean first, rich only on the failures).
     Measured on the real-cadence workload the flat rich config wins
@@ -338,6 +464,31 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
     t0 = time.time()
     ds = builder(100)
     log(f"{tag} dataset build: {time.time()-t0:.2f}s ({n_traj} traj)")
+
+    if stream:
+        from outfit_tpu.lsq import fit_lsq_stream
+
+        kw = dict(slim_fetch=True, as_table=True, minimal_fetch=True)
+        t0 = time.time()
+        next(fit_lsq_stream([ds], eph, params, cfg, seed=7, **kw))
+        log(f"{tag} stream compile+first run: {time.time()-t0:.1f}s")
+        n_ds = max(repeats, 3)
+        datasets = [builder(101 + i) for i in range(n_ds)]
+        t0 = time.time()
+        n_done = n_conv = 0
+        for _ds, res in fit_lsq_stream(
+            iter(datasets), eph, params, cfg, seed=7, **kw
+        ):
+            n_done += len(res)
+            n_conv += int(np.asarray(res.converged).sum())
+        dt = time.time() - t0
+        log(
+            f"{tag} stream: {n_done} fits over {n_ds} datasets in {dt:.2f}s "
+            f"({n_done/dt:.0f} fits/sec/chip pipelined, "
+            f"{n_conv/max(n_done,1)*100:.1f}% LSQ-converged)"
+        )
+        return n_done / dt
+
     t0 = time.time()
     iod, lsq = run(ds)
     log(f"{tag} compile+first run: {time.time()-t0:.1f}s")
@@ -401,7 +552,8 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
-def bench_e2e_stream(n_traj: int = 8192, n_datasets: int = 12):
+def bench_e2e_stream(n_traj: int = 8192, n_datasets: int = 12,
+                     modes=("minimal", "default")):
     """12 x 8192 = ~1e5 trajectories end to end (the VERDICT r1 scale ask).
     Dataset-size sweep on the v5e chip (tools/minimal_ab.py, devwait via
     tools/e2e_profile.py): per-fit DEVICE cost is 24.5 us at 8192 but 32 us
@@ -411,22 +563,27 @@ def bench_e2e_stream(n_traj: int = 8192, n_datasets: int = 12):
     51k/51k/37k fits/sec/chip at 4096/8192/16384.  8192 is the plateau
     point with the fewest per-dataset fixed costs.
 
-    Returns (default_fps, slim_fps, slim_table_fps, minimal_fps): the
-    bit-parity default; the opt-in slim service fetch (orbital elements
-    stay exact f64; the covariance triangle and IOD reporting leaves ride
-    a float32 buffer — ~7 significant digits, reporting grade); slim fetch
-    + columnar results (``as_table=True``: vectorized LsqTable assembly
-    instead of per-row Python objects); and the full service stack with
-    ``minimal_fetch=True`` (the per-row IOD element vectors stay on
-    device; only non-converged rows' seeds ride a tiny second transfer).
-    The fetch-bound stream is strictly linear in transferred bytes
-    (docs/DESIGN.md relay calibration) and the finalize loop is GIL-bound
-    — measured ~+21% for slim and a further ~+23% for the table
-    (tools/slim_ab.py, tools/table_ab.py)."""
-    return _bench_e2e_stream(n_traj, n_datasets)
+    ``modes``: "minimal" = the known-best service stack (slim fetch +
+    columnar LsqTable + deferred IOD elements: orbital elements stay exact
+    f64, the covariance triangle rides f32 — measured best every round,
+    tools/{slim,table,minimal}_ab.py) and "default" = the bit-parity
+    reference fetch.  The round-2 four-mode sweep was cut from the
+    critical path (VERDICT r2 weak #1): each extra mode costs a compile
+    plus a full stream pass, and the intermediate modes never win.
+    Returns {mode: fits/sec}."""
+    return _bench_e2e_stream(n_traj, n_datasets, modes)
 
 
-def _bench_e2e_stream(n_traj: int, n_datasets: int):
+#: fit_lsq_stream kwargs per stream-bench mode name
+_STREAM_MODES = {
+    "default": {},
+    "slim": {"slim_fetch": True},
+    "table": {"slim_fetch": True, "as_table": True},
+    "minimal": {"slim_fetch": True, "as_table": True, "minimal_fetch": True},
+}
+
+
+def _bench_e2e_stream(n_traj: int, n_datasets: int, modes=("minimal", "default")):
     """Pipelined service throughput: a stream of datasets through
     fit_lsq_stream (host prep of dataset N+1 overlaps device execution of
     dataset N).  The steady-state operating mode of a fitting service."""
@@ -444,50 +601,120 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int):
         divergence_grace_iterations=2, precision="mixed",
         max_newton_iterations=4, prewarm_max_iterations=16,
     )
-    # warm (compile) outside the timed region — both fetch specs
+    # warm (compile) outside the timed region — only the requested specs
     ds0 = synthetic_dataset(n_traj, 12, eph, seed=99)
-    next(fit_lsq_stream([ds0], eph, params, cfg, seed=7))
-    next(fit_lsq_stream([ds0], eph, params, cfg, seed=7, slim_fetch=True))
-    next(fit_lsq_stream(
-        [ds0], eph, params, cfg, seed=7, slim_fetch=True, as_table=True,
-        minimal_fetch=True,
-    ))
+    for m in modes:
+        next(fit_lsq_stream([ds0], eph, params, cfg, seed=7, **_STREAM_MODES[m]))
 
     datasets = [
         synthetic_dataset(n_traj, 12, eph, seed=400 + i)
         for i in range(n_datasets)
     ]
 
-    def run(slim, table=False, minimal=False):
+    _LABELS = {
+        "default": "bit-parity fetch",
+        "slim": "slim fetch",
+        "table": "slim fetch + columnar results",
+        "minimal": "slim fetch + columnar results + deferred IOD elements",
+    }
+
+    def run(mode):
         t0 = time.time()
         n_done = 0
         for ds, res in fit_lsq_stream(
-            iter(datasets), eph, params, cfg, seed=7, slim_fetch=slim,
-            as_table=table, minimal_fetch=minimal,
+            iter(datasets), eph, params, cfg, seed=7, **_STREAM_MODES[mode]
         ):
             n_done += len(res)
         dt = time.time() - t0
         fps = n_done / dt
-        label = "slim fetch" if slim else "bit-parity fetch"
-        if table:
-            label += " + columnar results"
-        if minimal:
-            label += " + deferred IOD elements"
         log(
-            f"stream ({label}): {n_done} fits over {n_datasets} datasets "
-            f"in {dt:.2f}s ({fps:.0f} fits/sec/chip pipelined)"
+            f"stream ({_LABELS[mode]}): {n_done} fits over {n_datasets} "
+            f"datasets in {dt:.2f}s ({fps:.0f} fits/sec/chip pipelined)"
         )
         return fps
 
-    return (
-        run(False),
-        run(True),
-        run(True, table=True),
-        run(True, table=True, minimal=True),
+    return {m: run(m) for m in modes}
+
+
+def accuracy_certificate(n_traj: int = 1024):
+    """Mixed-vs-f64 element agreement on the bench workload (VERDICT r2
+    next-round #7: the throughput headline must ship with its parity stats).
+
+    Runs the SAME synthetic batch through the IOD+LSQ kernels in the
+    bench's mixed-precision production config and in pure f64, and logs
+    median/max relative element disagreement over the rows converged in
+    both.  The BASELINE contract is 1e-9 elements; mixed mode's f64 polish
+    restores f64-grade elements at ~10x the emulated-f64 rate
+    (tests/test_iod.py::TestMixedPrecision, docs/DESIGN.md 'Numerics')."""
+    import jax
+    import jax.numpy as jnp
+
+    from outfit_tpu.iod.api import _iod_kernel
+    from outfit_tpu.iod.params import IODParams
+    from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+    from outfit_tpu.lsq.iteration import ObsArrays
+    from outfit_tpu.lsq.loop import run_differential_correction
+    from __graft_entry__ import _synthetic_batch
+
+    n_obs = 12
+    args = _synthetic_batch(
+        n_traj=n_traj, lanes_per_traj=8, n_obs=n_obs, seed=7
+    )
+    mjd, ra, dec, sra, sdec, helio = args[1]
+    obs = ObsArrays(
+        mjd, ra, dec, sra, sdec,
+        jnp.broadcast_to(jnp.asarray(helio), (n_traj, n_obs, 3)),
+        jnp.ones((n_traj, n_obs), bool),
+    )
+
+    def pipeline(precision):
+        params = IODParams(
+            n_noise_realizations=3, precision=precision, newton_max_it=20
+        )
+        cfg = DifferentialCorrectionConfig(
+            divergence_grace_iterations=2, precision=precision
+        )
+        out = jax.jit(
+            lambda t, o, lt, w: _iod_kernel(t, o, lt, w, params)
+        )(*args)
+        _rms, _k, _e, eqv, epoch, _c = out
+        seed_eq = np.asarray(eqv)
+        seed_ep = np.asarray(epoch)
+        ok = np.isfinite(np.asarray(_rms)) & np.isfinite(seed_eq).all(axis=1)
+        seed_eq = np.where(ok[:, None], seed_eq, np.array([2.0, 0, 0, 0, 0, 1.0]))
+        seed_ep = np.where(ok, seed_ep, 57000.0)
+        res = jax.jit(
+            lambda e, t, o: run_differential_correction(e, t, o, cfg)
+        )(jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs)
+        jax.block_until_ready(res)
+        return (
+            np.asarray(res.status), np.asarray(res.elements), ok,
+            np.asarray(eqv),
+        )
+
+    st_m, el_m, ok_m, eqv_m = pipeline("mixed")
+    st_f, el_f, ok_f, eqv_f = pipeline("f64")
+    both = (st_m == 1) & (st_f == 1)
+    if not both.any():
+        log("ACCURACY: no rows converged in both precisions (!)")
+        return
+    rel = np.abs(el_m[both] - el_f[both]) / (1.0 + np.abs(el_f[both]))
+    seed_both = ok_m & ok_f
+    rel_seed = np.abs(eqv_m[seed_both] - eqv_f[seed_both]) / (
+        1.0 + np.abs(eqv_f[seed_both])
+    )
+    log(
+        f"ACCURACY CERTIFICATE (mixed vs f64, {n_traj} trajectories): "
+        f"LSQ elements rel diff median {np.median(rel):.2e} "
+        f"p99 {np.percentile(rel, 99):.2e} max {rel.max():.2e} "
+        f"on {int(both.sum())} both-converged rows "
+        f"({both.mean()*100:.1f}%); IOD seeds median "
+        f"{np.median(rel_seed):.2e} (seed grade; the correction contracts "
+        f"them to the LSQ figure)"
     )
 
 
-def _backend_usable(timeout_s: int = 240):
+def _backend_usable(timeout_s: int = 90):
     """Probe the ambient JAX backend in a subprocess with a hard timeout.
 
     The axon TPU tunnel can wedge at client init (jax.devices() blocks
@@ -511,11 +738,31 @@ def _backend_usable(timeout_s: int = 240):
         return False, f"backend init exceeded {timeout_s}s"
 
 
+#: metric-label fragments per stream mode (the label must say which mode
+#: produced the recorded number; slim keeps elements exact f64)
+_MODE_LABELS = {
+    "minimal": (
+        "pipelined service mode, slim fetch + columnar results + deferred "
+        "IOD elements: f32 covariance reporting, elements exact f64"
+    ),
+    "table": (
+        "pipelined service mode, slim fetch + columnar results: "
+        "f32 covariance reporting, elements exact f64"
+    ),
+    "slim": (
+        "pipelined service mode, slim fetch: f32 covariance reporting, "
+        "elements exact f64"
+    ),
+    "default": "pipelined service mode",
+}
+
+
 def main():
+    _install_flush_guards()
     cpu_fallback = os.environ.get("OUTFIT_BENCH_CPU_FALLBACK") == "1"
     if not cpu_fallback and os.environ.get("OUTFIT_BENCH_SKIP_PROBE") != "1":
         ok, detail = _backend_usable(
-            int(os.environ.get("OUTFIT_BENCH_PROBE_TIMEOUT", "240"))
+            int(os.environ.get("OUTFIT_BENCH_PROBE_TIMEOUT", "90"))
         )
         if not ok:
             log(f"ambient backend unusable ({detail}); re-exec on CPU")
@@ -531,134 +778,129 @@ def main():
 
     _enable_compile_cache()
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  (elapsed {_elapsed():.0f}s of "
+        f"{_BUDGET_S:.0f}s budget)")
     target_per_chip = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on v5e-8
-    # CPU fallback: bounded workload (the full 16k-trajectory stream would
+    # CPU fallback: bounded workload (the full 8k-trajectory stream would
     # run for tens of minutes on a host CPU) + an honest metric label
     nt = 1024 if cpu_fallback else 8192
-    nt_stream = 1024 if cpu_fallback else 8192
     tag = " (CPU FALLBACK - TPU backend unreachable)" if cpu_fallback else ""
     if cpu_fallback:
         log(
             "NOTE: the TPU relay was unreachable at bench time, so this run "
             "measures the HOST CPU, not the target hardware.  The last "
             "TPU-backed measurement of the same headline metric was "
-            "~22,300 fits/sec/chip (1.8x the 12.5k/chip target; "
-            "README.md / docs/DESIGN.md, 2026-08-17)."
+            "~51,400 fits/sec/chip (4.1x the 12.5k/chip target; "
+            "README.md / docs/DESIGN.md)."
         )
 
-    try:
-        # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
-        # latency-bound and nearly flat in batch size (34.5 ms @ 2048 ->
-        # 41.8 ms @ 8192), so production batches this large are the
-        # steady-state operating point (fink-fat-scale datasets are 1e5+)
-        kern = bench_iod_lsq(n_traj=nt)
+    def fits_line(value, desc):
+        return {
+            "metric": "full IOD+LSQ fits/sec/chip, " + desc + tag,
+            "value": round(value, 2),
+            "unit": "fits/sec/chip",
+            "vs_baseline": round(value / target_per_chip, 4),
+        }
+
+    # --- stage 0: a measured line within ~1 min even on a cold cache ------
+    # (the watchdog/SIGTERM flush needs SOMETHING honest to print; this is
+    # the designated fallback metric and its kernel compiles in seconds)
+    prop = _stage("prop-fallback", 120, bench_propagation_fallback)
+    if prop:
+        REPORTER.report({
+            "metric": "batched two-body propagation steps/sec/chip "
+                      "(provisional fallback)" + tag,
+            "value": round(prop, 2),
+            "unit": "steps/sec/chip",
+            "vs_baseline": 0.0,
+        }, tier=0)
+
+    # --- stage 1: kernels-only fits/sec (provisional headline) ------------
+    # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
+    # latency-bound and nearly flat in batch size, so production batches
+    # this large are the steady-state operating point
+    kern = _stage("kernels-only", 180 if cpu_fallback else 150,
+                  bench_iod_lsq, nt)
+    if kern:
         log(
             f"KERNELS ONLY (warm device dispatch): {kern:.0f} fits/sec/chip"
             f" = {kern / target_per_chip:.2f}x the 12.5k/chip target"
         )
-        e2e = bench_e2e(n_traj=nt)
+        REPORTER.report(fits_line(
+            kern, "warm device dispatch only (provisional - host prep "
+            "excluded; later stages include it)",
+        ), tier=1)
+
+    # --- stage 2: end-to-end sequential (dataset -> results) --------------
+    e2e = _stage("e2e-sequential", 240, bench_e2e, nt)
+    if e2e:
         log(
             f"END-TO-END sequential (dataset->results incl. ALL host prep): "
             f"{e2e:.0f} fits/sec/chip = {e2e / target_per_chip:.2f}x the "
             f"12.5k/chip target"
         )
-        # HEADLINE: the honest production number — dataset->results
-        # throughput including every host cost, in the pipelined service
-        # mode (fit_lsq_stream overlaps host prep with device execution).
-        # VERDICT r1 weak #1: a kernels-only headline hides the host
-        # ceiling; this one cannot.
-        stream, stream_slim, stream_table, stream_min = bench_e2e_stream(
-            n_traj=nt_stream, n_datasets=6 if cpu_fallback else 12,
-        )
-        # pipelining/slimming must not be forced at a loss — but the label
-        # must say which mode actually produced the recorded number.  Slim
-        # fetch keeps orbital elements/rms/epochs exact f64 (the BASELINE
-        # 1e-9 element contract); only covariance reporting rides f32.
-        # Columnar results (LsqTable) carry every result field, assembled
-        # vectorized instead of per-row (parity-tested bitwise).  Deferred
-        # IOD elements (minimal_fetch) keep the seed vectors on device for
-        # converged rows; non-converged rows' seeds arrive exact f64.
-        value = max(stream, stream_slim, stream_table, stream_min, e2e)
-        if value == stream_min:
-            mode = (
-                "pipelined service mode, slim fetch + columnar results + "
-                "deferred IOD elements: f32 covariance reporting, "
-                "elements exact f64"
-            )
-        elif value == stream_table:
-            mode = (
-                "pipelined service mode, slim fetch + columnar results: "
-                "f32 covariance reporting, elements exact f64"
-            )
-        elif value == stream_slim:
-            mode = "pipelined service mode, slim fetch: f32 covariance reporting, elements exact f64"
-        elif value == stream:
-            mode = "pipelined service mode"
-        else:
-            mode = "sequential mode"
-        result = {
-            "metric": "full IOD+LSQ fits/sec/chip, dataset->results incl. "
-                      f"all host prep ({mode})" + tag,
-            "value": round(value, 2),
-            "unit": "fits/sec/chip",
-            "vs_baseline": round(value / target_per_chip, 4),
-        }
-    except Exception as e:  # compile/runtime failure on exotic backends
-        log(f"full pipeline bench failed ({type(e).__name__}: {e}); "
-            "falling back to propagation throughput")
-        value = bench_propagation_fallback()
-        result = {
-            "metric": "batched two-body propagation steps/sec/chip (fallback)",
-            "value": round(value, 2),
-            "unit": "steps/sec/chip",
-            "vs_baseline": 0.0,
-        }
-    # the driver's contract (one JSON line) is satisfied HERE; the ragged
-    # secondary below is informational and must not jeopardize the metric
-    # if its fresh compile is slow on a cold cache
-    print(json.dumps(result), flush=True)
-    if (
-        result["unit"] == "fits/sec/chip"
-        and not cpu_fallback
-        and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED")
-    ):
-        try:
-            # realistically-ragged secondary metric (VERDICT r1 weak #7):
-            # per-trajectory n_obs uniform in [8, 23] instead of fixed 12
-            from outfit_tpu.ephem import JPLEphem
+        # an e2e number REPLACES the kernels-only provisional even when
+        # smaller (tier 2 > tier 1): the honest headline includes host costs
+        REPORTER.report(fits_line(
+            e2e, "dataset->results incl. all host prep (sequential mode)",
+        ), tier=2)
 
-            _eph = JPLEphem.analytic(53500.0, 61500.0)
-            rag = bench_e2e(
-                n_traj=8192,
-                builder=lambda seed: synthetic_dataset_ragged(
-                    8192, _eph, seed=seed
-                ),
-                tag="e2e-ragged",
-            )
+    # --- stage 3: the pipelined service stream (the headline) -------------
+    # known-best mode first so its number lands even if the budget dies
+    # mid-stage; the bit-parity reference mode follows for the record
+    stream = _stage(
+        "stream", 420, bench_e2e_stream,
+        n_traj=nt, n_datasets=6 if cpu_fallback else 12,
+        modes=("minimal", "default"),
+    )
+    if stream:
+        best_mode = max(stream, key=stream.get)
+        value = stream[best_mode]
+        REPORTER.report(fits_line(
+            value,
+            "dataset->results incl. all host prep ("
+            + _MODE_LABELS[best_mode] + ")",
+        ), tier=2)
+
+    # --- stage 4: accuracy certificate (stderr; VERDICT r2 #7) ------------
+    _stage("accuracy-certificate", 300, accuracy_certificate,
+           256 if cpu_fallback else 1024)
+
+    # --- stage 5: informational secondary workloads (stderr only) ---------
+    if not cpu_fallback and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED"):
+        from outfit_tpu.ephem import JPLEphem
+
+        _eph = JPLEphem.analytic(53500.0, 61500.0)
+        rag = _stage(
+            "e2e-ragged", 240, bench_e2e, n_traj=8192,
+            builder=lambda seed: synthetic_dataset_ragged(8192, _eph, seed=seed),
+            tag="e2e-ragged", stream=True,
+        )
+        if rag:
             log(
-                f"END-TO-END RAGGED (n_obs ~ U[8,23]): {rag:.0f} fits/sec/"
-                f"chip = {rag / target_per_chip:.2f}x the 12.5k/chip target"
+                f"END-TO-END RAGGED pipelined (n_obs ~ U[8,23]): {rag:.0f} "
+                f"fits/sec/chip = {rag / target_per_chip:.2f}x the "
+                f"12.5k/chip target"
             )
-        except Exception as e:
-            log(f"ragged e2e bench failed ({type(e).__name__}: {e})")
-        try:
-            # real-survey cadence: the repo's real MPC arcs (37/61/129 obs,
-            # real sites/sigmas) tiled to scale — mean 75.7 obs/trajectory,
-            # ~6.3x the observation load of the 12-obs synthetic workload
-            real = bench_e2e(
-                n_traj=4096,
-                builder=lambda seed: real_cadence_dataset(4096, seed=seed),
-                tag="e2e-real-cadence",
-                rich=True,
-            )
+        real = _stage(
+            "e2e-real-cadence", 300, bench_e2e, n_traj=4096,
+            builder=lambda seed: real_cadence_dataset(4096, seed=seed),
+            tag="e2e-real-cadence", rich=True, stream=True,
+        )
+        if real:
             log(
-                f"END-TO-END REAL-CADENCE (real MPC arcs tiled, mean 75.7 "
-                f"obs/traj): {real:.0f} fits/sec/chip = "
+                f"END-TO-END REAL-CADENCE pipelined (real MPC arcs tiled, "
+                f"mean 75.7 obs/traj): {real:.0f} fits/sec/chip = "
                 f"{real / target_per_chip:.2f}x the 12.5k/chip target"
             )
-        except Exception as e:
-            log(f"real-cadence e2e bench failed ({type(e).__name__}: {e})")
+
+    if not REPORTER.flush("final: re-printing the headline metric line"):
+        # nothing measured at all — emit an explicit failure marker rather
+        # than leaving the driver with no JSON to parse
+        print(json.dumps({
+            "metric": "bench produced no measurement (all stages failed)",
+            "value": 0.0, "unit": "none", "vs_baseline": 0.0,
+        }), flush=True)
 
 
 if __name__ == "__main__":

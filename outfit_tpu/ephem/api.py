@@ -237,10 +237,16 @@ class JPLEphem:
 
 
 def _resolve_local_file(scheme: str, name: str) -> str:
-    """Find a local ephemeris binary (no downloads in this build)."""
+    """Find a local ephemeris binary.
+
+    Precedence: explicit $OUTFIT_EPHEM_DIR candidates (pre-resolver layout,
+    kept for compatibility), then the reference-parity resolver — the OS
+    cache path ``<cache root>/outfit_cache/jpl_ephem/...`` with a download
+    attempt on miss that degrades gracefully to ``JPLFileNotFound`` in
+    zero-egress environments (resolver.py; download_jpl_file.rs:286-305)."""
     base = os.environ.get("OUTFIT_EPHEM_DIR", os.path.expanduser("~/.cache/outfit_tpu"))
     candidates = {
-        ("horizon", "DE440"): ["linux_p1550p2650.440", "de440.bin"],
+        ("horizon", "DE440"): ["linux_p1550p2650.440", "de440.bin", "DE440.bsp"],
         ("naif", "DE440"): ["de440.bsp", "de440s.bsp"],
     }.get((scheme, name), [name])
     for c in candidates:
@@ -250,10 +256,6 @@ def _resolve_local_file(scheme: str, name: str) -> str:
         p = os.path.join(base, c)
         if os.path.exists(p):
             return p
-    from outfit_tpu.errors import JPLFileNotFound
+    from outfit_tpu.ephem.resolver import resolve_ephemeris_file
 
-    raise JPLFileNotFound(
-        f"no local {scheme}:{name} ephemeris found under {base}; "
-        "this build has no network access — use 'analytic:builtin' or place "
-        "the file locally"
-    )
+    return resolve_ephemeris_file(f"{scheme}:{name}")
