@@ -332,7 +332,7 @@ class ObsDataset:
         apply_model_errors).  Mutates and returns self."""
         codes = [self.observers[i].code or "?" for i in self.observer_index]
         cats = self.catalog if len(self.catalog) == len(self) else None
-        sig = model.sigma_rad(codes, cats)
+        sig = model.sigma_rad(codes, cats, mjd=self.mjd_tt)
         self.ra_error = sig.copy()
         self.dec_error = sig.copy()
         return self

@@ -68,6 +68,7 @@ class ErrorModel:
     """Per-station astrometric error model (sigmas in arcsec).
 
     Lookup hierarchy per observation (photom FCCT14 parity):
+    time-dependent ``(station, [mjd0, mjd1), catalog)`` rules ->
     ``(station, catalog)`` -> ``station`` -> ``default_arcsec``.
     """
 
@@ -76,6 +77,10 @@ class ErrorModel:
     station_catalog_arcsec: Dict[tuple, float] = field(
         default_factory=lambda: dict(_FCCT14_STATION_CATALOG)
     )
+    #: time-dependent rules: station -> [(mjd0, mjd1, catalog-or-'*', arcsec)]
+    #: (the VFCC17 scheme keys some survey weights on the reduction era,
+    #: e.g. 703 tightens from 1.0" to 0.8" at 2014-01-01)
+    station_rules: Dict[str, list] = field(default_factory=dict)
 
     @classmethod
     def fcct14(cls) -> "ErrorModel":
@@ -86,6 +91,47 @@ class ErrorModel:
         if path and os.path.exists(path):
             model.load_table(path)
         return model
+
+    @classmethod
+    def vfcc17(cls) -> "ErrorModel":
+        """The published Vereš, Farnocchia, Chesley & Chamberlin (2017)
+        weighting scheme — the successor of FCCT14 — loaded from package
+        data (``observations/data/vfcc17_weights.csv``), including the
+        time-dependent survey rules.  Extend/override via
+        :meth:`load_table` or $OUTFIT_FCCT14."""
+        import os
+
+        model = cls(station_arcsec={}, station_catalog_arcsec={})
+        here = os.path.dirname(os.path.abspath(__file__))
+        model.load_rules(os.path.join(here, "data", "vfcc17_weights.csv"))
+        path = os.environ.get("OUTFIT_FCCT14")
+        if path and os.path.exists(path):
+            model.load_table(path)
+        return model
+
+    def load_rules(self, path: str) -> "ErrorModel":
+        """Load time-dependent rules from a CSV with lines
+        ``station,mjd_start,mjd_end,catalog,arcsec`` (empty mjd = open
+        interval; catalog ``*`` = any).  Rules with an open time range and
+        catalog ``*`` also seed the flat per-station tier so mjd-less
+        lookups resolve identically."""
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = [p.strip() for p in line.split(",")]
+                if len(parts) != 5:
+                    continue
+                station, m0, m1, cat, val = parts
+                lo = float(m0) if m0 else -np.inf
+                hi = float(m1) if m1 else np.inf
+                self.station_rules.setdefault(station, []).append(
+                    (lo, hi, cat or "*", float(val))
+                )
+                if not m0 and not m1 and cat in ("*", ""):
+                    self.station_arcsec[station] = float(val)
+        return self
 
     def load_table(self, path: str) -> "ErrorModel":
         """Merge a full FCCT14 table from a CSV file with lines
@@ -125,6 +171,8 @@ class ErrorModel:
         key = name.strip().lower()
         if key == "fcct14":
             return cls.fcct14()
+        if key == "vfcc17":
+            return cls.vfcc17()
         if key.startswith("constant:"):
             try:
                 return cls.constant(float(key.split(":", 1)[1]))
@@ -132,22 +180,32 @@ class ErrorModel:
                 raise InvalidErrorModel(f"bad constant error model {name!r}") from e
         raise InvalidErrorModel(f"unknown error model {name!r}")
 
-    def sigma_rad(self, station_codes, catalogs=None) -> np.ndarray:
+    def _arcsec_one(self, code, cat, mjd):
+        rules = self.station_rules.get(code)
+        if rules and mjd is not None:
+            for lo, hi, rcat, val in rules:
+                if lo <= mjd < hi and (rcat == "*" or rcat == cat):
+                    return val
+        if cat is not None:
+            v = self.station_catalog_arcsec.get((code, cat))
+            if v is not None:
+                return v
+        return self.station_arcsec.get(code, self.default_arcsec)
+
+    def sigma_rad(self, station_codes, catalogs=None, mjd=None) -> np.ndarray:
         """Per-observation sigma (radians) for RA*cos(dec) and Dec alike.
 
         ``catalogs``: optional per-observation MPC catalog codes (col 72)
-        enabling the per-(station, catalog) tier of the lookup."""
-        if catalogs is None:
-            out = np.array(
-                [self.station_arcsec.get(c, self.default_arcsec) for c in station_codes]
-            )
-            return out * RADSEC
+        enabling the per-(station, catalog) tier of the lookup.
+        ``mjd``: optional per-observation epochs enabling the
+        time-dependent rule tier (VFCC17 survey-era weights)."""
+        n = len(station_codes)
+        cats = catalogs if catalogs is not None else [None] * n
+        mjds = mjd if mjd is not None else [None] * n
         out = np.array(
             [
-                self.station_catalog_arcsec.get(
-                    (c, k), self.station_arcsec.get(c, self.default_arcsec)
-                )
-                for c, k in zip(station_codes, catalogs)
+                self._arcsec_one(c, k, t)
+                for c, k, t in zip(station_codes, cats, mjds)
             ]
         )
         return out * RADSEC

@@ -145,12 +145,76 @@ def _load_obscodes_file(path: str) -> dict:
     return out
 
 
+#: official MPC observatory-code list (the source photom's catalog parses)
+OBSCODES_URL = "https://www.minorplanetcenter.net/iau/lists/ObsCodes.html"
+
+
+def _try_fetch_obscodes(path: str) -> bool:
+    """One-shot opportunistic download of the real MPC catalog.
+
+    Zero-egress degradation: any failure writes a dated marker next to
+    ``path`` and is not retried for 7 days, so offline hosts pay the
+    connect timeout once, not once per process."""
+    if os.environ.get("OUTFIT_NO_DOWNLOAD") == "1":
+        return False
+    marker = path + ".unavailable"
+    try:
+        import threading
+        import time
+
+        if os.path.exists(marker) and (
+            time.time() - os.path.getmtime(marker) < 7 * 86400
+        ):
+            return False
+
+        # the fetch runs on a daemon thread with a hard join deadline:
+        # in zero-egress sandboxes DNS resolution can hang PAST urllib's
+        # socket timeout (getaddrinfo is not covered by it), and a library
+        # import path must never block on the network
+        done = threading.Event()
+
+        def _fetch():
+            try:
+                import urllib.request
+
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                req = urllib.request.Request(
+                    OBSCODES_URL, headers={"User-Agent": "outfit-tpu"}
+                )
+                with urllib.request.urlopen(req, timeout=10) as r, open(
+                    path + ".part", "wb"
+                ) as f:
+                    f.write(r.read())
+                os.replace(path + ".part", path)
+                done.set()
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_fetch, daemon=True)
+        t.start()
+        t.join(12.0)
+        if done.is_set():
+            return True
+        with open(marker, "w") as f:
+            f.write("ObsCodes fetch failed; retried weekly\n")
+        return False
+    except Exception:
+        try:
+            with open(marker, "w") as f:
+                f.write("ObsCodes fetch failed; retried weekly\n")
+        except OSError:
+            pass
+        return False
+
+
 def _catalog() -> dict:
     if _catalog_cache:
         return _catalog_cache
     path = os.environ.get("OUTFIT_OBSCODES") or os.path.expanduser(
         "~/.cache/outfit_tpu/ObsCodes.html"
     )
+    if not os.path.exists(path):
+        _try_fetch_obscodes(path)
     if os.path.exists(path):
         _catalog_cache.update(_load_obscodes_file(path))
     for code, (lon, lat, h) in _GEODETIC.items():

@@ -11,6 +11,8 @@ and the flags below are applied before the backend is instantiated.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# hermetic suite: no opportunistic catalog/ephemeris downloads mid-test
+os.environ.setdefault("OUTFIT_NO_DOWNLOAD", "1")
 
 import jax
 

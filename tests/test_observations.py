@@ -202,9 +202,10 @@ class TestObservatories:
         from outfit_tpu.errors import InvalidErrorModel
 
         assert ErrorModel.from_name("fcct14").station_arcsec
+        assert ErrorModel.from_name("vfcc17").station_rules
         assert ErrorModel.from_name("constant:0.7").default_arcsec == 0.7
         with pytest.raises(InvalidErrorModel):
-            ErrorModel.from_name("vfcc17")
+            ErrorModel.from_name("vxyz99")
 
     def test_trajectory_id_not_found(self):
         from outfit_tpu.errors import TrajectoryIdNotFound
@@ -477,6 +478,40 @@ class TestSubsetAndCacheInvalidation:
 
 
 class TestErrorModelConstant:
+    def test_vfcc17_time_dependent_rules(self):
+        """The published VFCC17 scheme (package data): survey weights key
+        on the reduction era — 703 is 1.0" before 2014-01-01 (MJD 56658)
+        and 0.8" after; flat entries resolve with or without an epoch."""
+        from outfit_tpu.constants import RADSEC
+        from outfit_tpu.observations.error_model import ErrorModel
+
+        m = ErrorModel.vfcc17()
+        s = m.sigma_rad(
+            ["703", "703", "691", "644", "F51", "ZZZ"],
+            mjd=[56000.0, 57000.0, 57000.0, 52000.0, 57000.0, 57000.0],
+        )
+        np.testing.assert_allclose(
+            s / RADSEC, [1.0, 0.8, 0.5, 0.6, 0.2, 1.0]
+        )
+        # mjd-less lookup falls back to the flat tier (open-interval rules)
+        s2 = m.sigma_rad(["F51", "G96", "W84"])
+        np.testing.assert_allclose(s2 / RADSEC, [0.2, 0.5, 0.5])
+        # from_name resolves it
+        assert ErrorModel.from_name("vfcc17").station_rules["703"]
+
+    def test_vfcc17_applies_through_dataset(self):
+        """apply_error_model passes per-observation epochs so the
+        time-dependent tier is live through the public path."""
+        from outfit_tpu.constants import RADSEC
+        from outfit_tpu.observations.error_model import ErrorModel
+
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
+        ds.apply_error_model(ErrorModel.vfcc17())
+        f51 = ds.ra_error[
+            np.array([ds.observers[i].code == "F51" for i in ds.observer_index])
+        ]
+        assert np.allclose(f51 / RADSEC, 0.2)
+
     def test_constant_is_constant_with_catalog_tiers(self):
         """ErrorModel.constant must ignore BOTH lookup tiers (regression:
         the (station, catalog) FCCT14 table survived, silently overriding
