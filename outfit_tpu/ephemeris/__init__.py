@@ -8,7 +8,13 @@ angular rates).  The compute core is batched over (observer, epoch) pairs.
 """
 
 from outfit_tpu.ephemeris.config import AberrationOrder, EphemerisConfig  # noqa: F401
-from outfit_tpu.ephemeris.request import EphemerisMode, EphemerisRequest  # noqa: F401
+from outfit_tpu.ephemeris.request import (  # noqa: F401
+    Combined,
+    EphemerisMode,
+    EphemerisRequest,
+    Geometry,
+    Position,
+)
 from outfit_tpu.ephemeris.result import EphemerisEntry, EphemerisResult  # noqa: F401
 from outfit_tpu.ephemeris.compute import ApparentPosition, BodyGeometry  # noqa: F401
 from outfit_tpu.ephemeris.api import compute_ephemeris  # noqa: F401

@@ -672,6 +672,11 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
 
 _iod_kernel_jit = jax.jit(_iod_kernel, static_argnames=("params",))
 
+#: width-bucket coalescing budget (extra padded observations a merge may
+#: cost); module-level so tests can force multi-chunk dispatch on small
+#: datasets.  Calibration notes at the use site.
+_COALESCE_BUDGET = 131072
+
 
 def _fit_full_iod_dispatch(
     dataset, ephem, params, seed, ut1, error_model, cache, mesh
@@ -866,7 +871,7 @@ def _fit_full_iod_dispatch(
             w, wn = uw[i], uw[i + 1]
             grp = width_b == w
             n = int(grp.sum())
-            if n and n * (wn - w) <= 131072:
+            if n and n * (wn - w) <= _COALESCE_BUDGET:
                 width_b[grp] = wn
     if np.unique(width_b).size > 1:
         order = np.argsort(width_b, kind="stable")
