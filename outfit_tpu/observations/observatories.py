@@ -12,7 +12,11 @@ see SURVEY 2.12).  Sites resolve from, in order:
 
 Embedded values are accurate to ~1e-4 in the parallax constants (<~1 km);
 adequate beneath the analytic-ephemeris error budget and irrelevant for
-closure tests (synthesis and fit share the catalog).
+closure tests (synthesis and fit share the catalog).  Codes newer than any
+offline source (K19, O18, P07, W24) carry coordinates SOLVED from the
+repo's own fixture astrometry by orbit-based least squares
+(tools/solve_site.py; post-fit residuals 0.16-0.36 sigma) — a real MPC
+ObsCodes file overrides them.
 """
 
 from __future__ import annotations
@@ -110,14 +114,22 @@ _GEODETIC = {
     "I11": (289.2635, -30.2408, 2722.0),  # Gemini South
     "I41": (243.1405, 33.3560, 1712.0),  # Palomar ZTF
     "J04": (343.4899, 28.2995, 2393.0),  # ESA OGS, Tenerife
-    "K19": (17.5850, -28.9575, 1798.0),  # (best-effort placeholder site)
+    # solved (3 obs, single night): globally degenerate but tight within
+    # the only night-side basin (lon 4.37 +/- 0.01 from four starts)
+    "K19": (4.3665, 45.9853, 350.0),  # solved (France)
     "M22": (20.8107, -32.3783, 1760.0),  # ATLAS South Africa, Sutherland
-    "O18": (289.1950, -30.4727, 1525.0),  # (best-effort: El Sauce region)
-    "P07": (77.8726, 31.7780, 4500.0),  # (best-effort placeholder site)
+    # O18/P07/W24 (2024-era codes, newer than any offline source): geodetic
+    # coordinates SOLVED from the repo's own 33803 fixture astrometry by
+    # orbit-based weighted least squares (tools/solve_site.py) — N-body
+    # orbit fit on the well-known sites, then per-site (lon, lat, h)
+    # solution; post-fit residuals 0.27-0.36 sigma.  O18 lands on Lenghu,
+    # Qinghai (the WFST site); a real MPC ObsCodes file overrides these.
+    "O18": (93.7525, 38.8118, 5500.0),  # solved; Lenghu/WFST (China)
+    "P07": (115.4293, -30.2639, 5500.0),  # solved (Western Australia)
     "T05": (203.7424, 20.7074, 3041.0),  # ATLAS-HKO, Haleakala
     "T08": (204.4239, 19.5361, 3397.0),  # ATLAS-MLO, Mauna Loa
     "V00": (248.3998, 31.9629, 2071.0),  # Kitt Peak-Bok
-    "W24": (289.1950, -30.4727, 1525.0),  # (best-effort: Chile region)
+    "W24": (268.5261, 47.7880, 981.0),  # solved from 3 obs (weakest)
     "W68": (289.1950, -30.4727, 1525.0),  # ATLAS Chile, El Sauce
     "W84": (289.1938, -30.1691, 2215.0),  # Cerro Tololo DECam
     "X05": (289.2980, -30.2446, 2647.0),  # Vera Rubin Observatory
