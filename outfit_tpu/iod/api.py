@@ -419,6 +419,34 @@ def _assemble_lanes(base, g3, z, tk_t, obs_mjd, valid_g, wlo_s, whi_s, params):
 _iod_kernel_gather_jit = jax.jit(_iod_kernel_gather, static_argnames=("params",))
 
 
+def _enum_chunk(
+    base, glob_idx_g, valid_g, counts_g, params: IODParams, m_cap: int = None
+):
+    """Device triplet enumeration for one chunk, dispatched SEPARATELY
+    from the dense kernel: fused into the big program, XLA's scheduling of
+    the C(m,3) argmin sweeps materialized ~8 grid-sized f32 buffers
+    (HLO-attributed, tools/hlo_attribution.py) — standalone they fuse into
+    streaming passes.  Output is tiny ((Tb, K, 3) int32 + (Tb,)), so the
+    extra dispatch costs one async launch, no host sync."""
+    from outfit_tpu.iod.triplets import _enum_device
+
+    mjd_b = base[0]
+    obs_mjd = jnp.where(valid_g, mjd_b[glob_idx_g], 0.0)
+    return _enum_device(
+        obs_mjd,
+        counts_g,
+        dt_min=params.dt_min,
+        dt_max=params.dt_max_triplet,
+        dtw=params.optimal_interval_time,
+        max_obs=params.max_obs_for_triplets,
+        max_triplets=params.max_triplets,
+        m_cap=m_cap,
+    )
+
+
+_enum_chunk_jit = jax.jit(_enum_chunk, static_argnames=("params", "m_cap"))
+
+
 def _iod_kernel_dense(
     base,  # (mjd, ra, dec, sra, sdec, helio) dataset-order device arrays
     glob_idx_g,  # (Tb, n_max) int32
@@ -428,6 +456,7 @@ def _iod_kernel_dense(
     z_all,  # (hb, max_triplets, n_real, 3, 2)
     params: IODParams,
     m_cap: int = None,
+    trips_in=None,  # optional precomputed (trips, ktrips) from _enum_chunk
 ):
     """Fully fused IOD: triplet enumeration + lane assembly + kernel in ONE
     device dispatch (dense (trajectory x max_triplets) lane grid).
@@ -437,6 +466,9 @@ def _iod_kernel_dense(
     at all.  Trajectories with fewer triplets mask the excess lanes
     (window empty -> inf score).  The ragged host path remains for sparse
     regimes where a dense grid would waste most lanes.
+
+    ``trips_in``: enumeration results from :func:`_enum_chunk` (a separate
+    async dispatch — see its docstring for why); None enumerates inline.
     """
     from outfit_tpu.iod.triplets import _enum_device
 
@@ -446,16 +478,19 @@ def _iod_kernel_dense(
     obs_arrays = _gather_obs_tables(base, glob_idx_g, valid_g)
     obs_mjd = obs_arrays[0]
 
-    trips, ktrips = _enum_device(
-        obs_mjd,
-        counts_g,
-        dt_min=params.dt_min,
-        dt_max=params.dt_max_triplet,
-        dtw=params.optimal_interval_time,
-        max_obs=params.max_obs_for_triplets,
-        max_triplets=K,
-        m_cap=m_cap,
-    )  # (Tb, K, 3) local slots, (Tb,)
+    if trips_in is not None:
+        trips, ktrips = trips_in
+    else:
+        trips, ktrips = _enum_device(
+            obs_mjd,
+            counts_g,
+            dt_min=params.dt_min,
+            dt_max=params.dt_max_triplet,
+            dtw=params.optimal_interval_time,
+            max_obs=params.max_obs_for_triplets,
+            max_triplets=K,
+            m_cap=m_cap,
+        )  # (Tb, K, 3) local slots, (Tb,)
 
     # RMS windows (select_rms_interval epoch-interval form)
     te1 = jnp.take_along_axis(obs_mjd, trips[..., 0], axis=1)  # (Tb, K)
@@ -1040,9 +1075,14 @@ def _fit_full_iod_dispatch(
                 args = [shard_batch(mesh, a) for a in args]
                 g_base = replicate(mesh, base_dev)
                 g_z = replicate(mesh, z_dev)
+            # enumeration as its own async dispatch (see _enum_chunk)
+            tk = _enum_chunk_jit(
+                g_base, args[0], args[1], args[2], params=params,
+                m_cap=m_cap_g,
+            )
             out = _iod_kernel_dense_jit(
                 g_base, *args, jnp.int32(t0g), g_z, params=params,
-                m_cap=m_cap_g,
+                m_cap=m_cap_g, trips_in=tk,
             )
             pending.append((t0g, t1g, Tg, out))
             chunk_tables.append((args[0], args[1]))

@@ -33,10 +33,7 @@ def downsample_uniform_with_edges(n: int, max_keep: int) -> np.ndarray:
 
 def triplet_weight(t1, t2, t3, dtw: float):
     # s(dt) = dtw/dt if dt <= dtw else 1 + dt/dtw (mod.rs:148-274), written
-    # with ONE division per gap (1 + dt * (1/dtw) costs a multiply): the
-    # weight grid is C(m,3) wide and emulated-f64 division dominates its
-    # device cost.  MUST stay expression-identical to the jnp copy in
-    # _enum_device (bitwise device==numpy parity contract).
+    # with ONE division per gap (1 + dt * (1/dtw) costs a multiply).
     inv_dtw = 1.0 / dtw
 
     def s_gap(dt):
@@ -45,6 +42,38 @@ def triplet_weight(t1, t2, t3, dtw: float):
         )
 
     return s_gap(t2 - t1) + s_gap(t3 - t2)
+
+
+#: tiny f32 floor guarding the s_gap division (1e-300 underflows in f32)
+_W32_TINY = np.float32(1e-38)
+
+
+def triplet_weight32(t1, t2, t3, dtw: float):
+    """float32 SELECTION weight — the quantized ordering key shared bitwise
+    by the numpy and device enumerators.
+
+    Best-K triplet choice is a spacing heuristic (mod.rs:148-274); ~7
+    significant digits order the candidates identically except on
+    physical near-ties, where either member is an equally good Gauss
+    triplet.  Quantizing the ordering to f32 lets the device enumerator
+    run its weight sweep in native f32 instead of emulated f64 (the C(m,3)
+    grid made this the dominant real-cadence IOD cost) and pack the
+    (weight, index) pair into one f64-exact key.  Gaps are computed in f64
+    and rounded once; every subsequent op is f32, expression-identical
+    between numpy and XLA (bitwise device==numpy parity contract)."""
+    dtw32 = np.float32(dtw)
+    inv32 = np.float32(1.0 / dtw)
+    one32 = np.float32(1.0)
+
+    def s_gap(dt64):
+        g = np.asarray(dt64, np.float64).astype(np.float32)
+        return np.where(
+            g <= dtw32, dtw32 / np.maximum(g, _W32_TINY), one32 + g * inv32
+        )
+
+    return (s_gap(t2 - t1) + s_gap(t3 - t2)).astype(np.float32)
+
+
 
 
 def generate_triplet_indices(
@@ -77,9 +106,12 @@ def generate_triplet_indices(
     ai, ji, ki = np.nonzero(feasible)
     if ai.size == 0:
         return []
-    w = triplet_weight(t[ai], t[ji], t[ki], optimal_interval)
-    # ascending (w, a, j, k) — identical to the scalar sort order
-    order = np.lexsort((ki, ji, ai, w))[:max_triplets]
+    w = triplet_weight32(t[ai], t[ji], t[ki], optimal_interval)
+    # ascending (f32 weight, a, j, k): (ai, ji, ki) come out of nonzero in
+    # lexicographic order, so a stable argsort on the quantized weight IS
+    # the (w, a, j, k) lex order the scalar reference uses
+    wbits = w.view(np.int32)
+    order = np.argsort(wbits, kind="stable")[:max_triplets]
     ka = keep[ai[order]]
     kj = keep[ji[order]]
     kk = keep[ki[order]]
@@ -164,9 +196,11 @@ def generate_triplet_indices_batch(
             & (span >= dt_min)
             & (span <= dt_max)
         )
-        w = triplet_weight(t1, t2, t3, optimal_interval)
-        w = np.where(feas, w, np.inf)
-        order = np.argsort(w, axis=1, kind="stable")[:, :max_triplets]
+        w = triplet_weight32(t1, t2, t3, optimal_interval)
+        w = np.where(feas, w, np.float32(np.inf)).astype(np.float32)
+        order = np.argsort(w.view(np.int32), axis=1, kind="stable")[
+            :, :max_triplets
+        ]
         kc = np.minimum(feas.sum(axis=1), max_triplets)
         kp = keep[sl]
         pad_k = order.shape[1]
@@ -249,49 +283,67 @@ def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs,
     keep = jnp.minimum(keep, nm1)
 
     td = jnp.take_along_axis(epochs_pad, jnp.minimum(keep, n_max - 1), axis=1)
+
+    C = ai.size
+    k_eff = min(max_triplets, C)
+
+    # --- quantized-weight top-K -------------------------------------------
+    # Selection orders candidates by the f32-QUANTIZED weight's int32 bit
+    # pattern (monotonic for the non-negative weights incl. +inf; see
+    # triplet_weight32) with argmin's first-minimum rule as the
+    # ascending-index tie-break — the same (w32, a, j, k) lex order the
+    # numpy enumerators produce with a stable argsort on the bits.  The
+    # f32 weight sweep replaced an emulated-f64 one whose s_gap divisions
+    # made the C(m,3) grid the dominant real-cadence IOD cost (standalone:
+    # 154 ms at (2048, C(100,3)) K=16 in f64), and the argmin passes
+    # compare native int32.  Cross-platform caveat: TPU's f32 division is
+    # not correctly rounded, so physical near-ties (weights within ~1 ulp)
+    # can order differently on TPU than on the CPU/numpy paths; ordering
+    # is deterministic within each platform, and either member of such a
+    # tie is an equally good Gauss triplet.
+    # (Two rejected shapes, both measured: lax.top_k lowers to a full
+    # variadic sort — 942 ms; a block-decomposed top-K with per-row block
+    # repair lowers its row-indexed gathers to serialized TPU general
+    # gathers — 46 s.)
+    dtw32 = np.float32(dtw)
+    inv32 = np.float32(1.0 / dtw)
+    one32 = np.float32(1.0)
+    tiny32 = _W32_TINY
+
     t1 = td[:, ai]
     t2 = td[:, ji]
     t3 = td[:, ki]
     span = t3 - t1
-
-    # one division per gap; expression-identical to triplet_weight's numpy
-    # s_gap (bitwise device==numpy parity contract)
-    inv_dtw = 1.0 / dtw
-
-    def s_gap(dt):
-        return jnp.where(
-            dt <= dtw, dtw / jnp.maximum(dt, 1e-300), 1.0 + dt * inv_dtw
-        )
-
     feas = (
         (jnp.asarray(ki, jnp.int32)[None, :] < m_eff[:, None])
         & (span >= dt_min)
         & (span <= dt_max)
     )
-    w = jnp.where(feas, s_gap(t2 - t1) + s_gap(t3 - t2), jnp.inf)
-    C = w.shape[1]
-    k_eff = min(max_triplets, C)
-    # iterative best-K (k_eff argmin passes with exclusion-by-comparison):
-    # lax.top_k over the C(m,3) combination axis lowers to a full stable
-    # variadic SORT on TPU — measured 942 ms of a 1075 ms real-cadence
-    # chunk at (2048, C(100,3)) vs fused argmin reduces.
-    # argmin returns the FIRST minimum, which reproduces top_k's
-    # tie-by-lower-index rule (= the scalar enumerator's stable ascending-
-    # (w, a, j, k) order; property-tested against the numpy path).
-    # (A block-decomposed exact top-K — materialize w, keep per-block
-    # min/argmin, repair only the block that lost its minimum — measured
-    # 480 ms vs these passes' 194 ms at (2731, C(100,3)): the per-pass
-    # row-indexed scatter/gather repairs lower to general scatters, which
-    # TPU serializes.  The streaming re-sweep wins.)
+
+    def s_gap(dt64):
+        g = dt64.astype(jnp.float32)
+        return jnp.where(
+            g <= dtw32, dtw32 / jnp.maximum(g, tiny32), one32 + g * inv32
+        )
+
+    w32 = s_gap(t2 - t1) + s_gap(t3 - t2)
+    w32 = jnp.where(feas, w32, jnp.float32(jnp.inf))
+    wbits = jax.lax.bitcast_convert_type(w32, jnp.int32)
+    # materialize the bit grid once: the K argmin passes then stream int32
+    # from HBM instead of re-running the divisions per pass
+    wbits = jax.lax.optimization_barrier(wbits)
+
+    ktrips = jnp.minimum(jnp.sum(feas, axis=1), max_triplets).astype(jnp.int32)
+
     iot = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    excl = jnp.int32(np.int32(2**31 - 1))  # sorts after +inf bits
     sel_cols = []
     for _ in range(k_eff):
-        wm = w
+        wm = wbits
         for prev in sel_cols:
-            wm = jnp.where(iot == prev[:, None], jnp.inf, wm)
+            wm = jnp.where(iot == prev[:, None], excl, wm)
         sel_cols.append(jnp.argmin(wm, axis=1).astype(jnp.int32))
-    sel = jnp.stack(sel_cols, axis=1)  # (T, k_eff) ascending-w order
-    ktrips = jnp.minimum(jnp.sum(feas, axis=1), max_triplets).astype(jnp.int32)
+    sel = jnp.stack(sel_cols, axis=1)
     trips = jnp.stack(
         [
             jnp.take_along_axis(keep, jnp.asarray(idx, jnp.int32)[sel], axis=1)

@@ -86,6 +86,7 @@ class TestApparentPosition:
         max_parallax = 4.3e-5 / e0.value.position.geocentric_distance  # rad
         assert 0 < max(dra, ddec) < 1.5 * max_parallax
 
+    @pytest.mark.slow
     def test_modes(self, eph, kep):
         req = (
             EphemerisRequest()

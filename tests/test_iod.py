@@ -258,6 +258,7 @@ class TestMixedPrecision:
     must match the f64 path at seed grade: same success set, same selected
     orbit quality, f64-polished elements."""
 
+    @pytest.mark.slow
     def test_closure_matches_f64(self, eph):
         kep_true = KeplerianElements(
             *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
@@ -277,6 +278,7 @@ class TestMixedPrecision:
         assert float(kep.semi_major_axis) == pytest.approx(2.3, abs=0.01)
         assert float(kep.eccentricity) == pytest.approx(0.15, abs=0.01)
 
+    @pytest.mark.slow
     def test_kernel_batch_parity(self):
         from __graft_entry__ import _synthetic_batch
         from outfit_tpu.iod.api import _iod_kernel_jit
@@ -320,6 +322,7 @@ class TestBatchSize:
     must be bitwise-identical to the single-batch path (the per-trajectory
     seeding contract makes results independent of batch composition)."""
 
+    @pytest.mark.slow
     def test_chunked_equals_single_batch(self, eph):
         kep_true = KeplerianElements(
             *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
@@ -494,7 +497,7 @@ class TestTripletVectorization:
     def _scalar_reference(epochs, dt_min, dt_max, dtw, max_obs, max_triplets):
         from outfit_tpu.iod.triplets import (
             downsample_uniform_with_edges,
-            triplet_weight,
+            triplet_weight32,
         )
 
         keep = downsample_uniform_with_edges(len(epochs), max_obs)
@@ -509,7 +512,11 @@ class TestTripletVectorization:
                 if span > dt_max:
                     break
                 for j in range(a + 1, k):
-                    w = float(triplet_weight(t[a], t[j], t[k], dtw))
+                    # ordering is on the f32-QUANTIZED weight (the shared
+                    # selection key, triplets.triplet_weight32) with
+                    # (a, j, k) lex tie-break — near-physical-ties resolve
+                    # by index in every implementation
+                    w = float(triplet_weight32(t[a], t[j], t[k], dtw))
                     cands.append((w, a, j, k))
         cands.sort(key=lambda c: (c[0], c[1], c[2], c[3]))
         return [
@@ -693,6 +700,7 @@ class _FakeDs:
 
 
 class TestIodStream:
+    @pytest.mark.slow
     def test_stream_equals_sequential(self):
         """fit_full_iod_stream is a scheduling change only: per-dataset
         results must equal fit_full_iod exactly."""
@@ -797,6 +805,7 @@ class TestBatchIsolation:
         )
 
     @pytest.mark.parametrize("work_dtype", [None, "float32"])
+    @pytest.mark.slow
     def test_gauss_candidates_lane_independent(self, eph, work_dtype):
         from outfit_tpu.iod.gauss import GaussTriplets, gauss_candidates
 

@@ -211,6 +211,7 @@ class TestVelocityCorrection:
         res = velocity_correction(x * 1.1, x, x * 0.01, 1.0, 1e3, 5.0)
         assert int(res.status) != 0
 
+    @pytest.mark.slow
     def test_batched(self):
         pos, vel, _, _, _, _ = _PROPAG_FIXTURES[0]
         x2 = jnp.tile(jnp.array(pos), (5, 1))
@@ -333,6 +334,7 @@ class TestPropertyStyle:
         np.testing.assert_allclose(s0, 1.0 + alpha * s2, rtol=3e-11, atol=3e-11)
         np.testing.assert_allclose(s1, psi + alpha * s3, rtol=3e-11, atol=3e-11)
 
+    @pytest.mark.slow
     def test_kepler_residual_random_regimes(self):
         """solve_kepuni residuals vanish across random elliptic/hyperbolic
         parameter draws (parity: params.rs proptest)."""

@@ -70,6 +70,7 @@ _EPOCHS = 57000.0 + np.array([0.0, 1.0, 2.0, 5.0, 8.0, 12.0, 15.0, 20.0, 25.0, 3
 
 
 class TestDebiasing:
+    @pytest.mark.slow
     def test_bias_is_subtracted_from_residuals(self, eph):
         """Parity with ObsFitData.bias (obs_fit_data.rs:29-116,
         single_iteration.rs:196-207): fitting biased observations WITH the
@@ -128,6 +129,7 @@ class TestDebiasing:
 
 
 class TestClosure:
+    @pytest.mark.slow
     def test_exact_recovery(self, eph):
         kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
         ds = _synth_dataset(eph, kep_true, _EPOCHS)
@@ -155,6 +157,7 @@ class TestClosure:
         da = abs(float(r.equinoctial[0]) - float(eq_true.semi_major_axis))
         assert da < 5.0 * float(r.uncertainties[0])
 
+    @pytest.mark.slow
     def test_multi_trajectory_batch(self, eph):
         ds = _synth_dataset(
             eph, KeplerianElements(*map(jnp.float64, _KEP_TRUE)), _EPOCHS
@@ -165,6 +168,7 @@ class TestClosure:
         assert res["SYNTH"].ok and res["B"].ok
         assert float(res["B"].keplerian.semi_major_axis) == pytest.approx(1.7, abs=1e-8)
 
+    @pytest.mark.slow
     def test_mixed_width_batch_matches_solo_fits(self, eph):
         """Width-grouped dispatch regression: a batch mixing obs counts that
         land in different padded-width buckets (8 / 16 / 32) must reproduce
@@ -288,6 +292,7 @@ class TestFixtures:
 
 
 class TestNBodyLsq:
+    @pytest.mark.slow
     def test_nbody_propagator_converges(self, eph):
         """Diff-cor with the N-body propagator on a short synthetic arc
         (parity: the N-body sections of tests/test_diff_cor.rs)."""
@@ -313,6 +318,7 @@ class TestDivergenceGrace:
     the 1.5x divergence cut (default 0 = reference diff_cor.rs:356 parity);
     a Gauss seed's first full step routinely overshoots transiently."""
 
+    @pytest.mark.slow
     def test_grace_recovers_transient_overshoot(self):
         import numpy as np
         from __graft_entry__ import _synthetic_batch
@@ -360,6 +366,7 @@ class TestDivergenceGrace:
         assert np.median(np.asarray(res2.normalised_rms)[rec]) < 1e-3
 
 
+@pytest.mark.slow
 def test_mixed_precision_with_nbody_propagator():
     """precision='mixed' + an N-body propagator must run (the f32 pre-warm
     and f32 Jacobians are two-body-only and gate themselves off; the DOP853
@@ -649,6 +656,7 @@ class TestLsqBatchIsolation:
         # convergence contract — agreement is at the convergence level
         ("mixed", 3e-5, 1e-8),
     ])
+    @pytest.mark.slow
     def test_lane_independent(self, eph, precision, rtol, atol):
         from outfit_tpu.lsq.iteration import ObsArrays
         from outfit_tpu.lsq.loop import run_differential_correction
@@ -731,6 +739,7 @@ class TestEscalation:
         )
         return _synth_dataset(eph, kep_b, _EPOCHS + 0.37, noise=5, tid="B", ds=ds)
 
+    @pytest.mark.slow
     def test_failed_trajectories_escalate(self, eph):
         from outfit_tpu.lsq import fit_lsq_escalating
 
@@ -976,6 +985,7 @@ class TestMinimalFetch:
             assert pend.minimal and not pend.st.get("lsq_merged")
             self._assert_contract(full, fit_lsq_finalize(pend))
 
+    @pytest.mark.slow
     def test_multi_chunk_mesh_merged(self, eph, monkeypatch):
         """minimal_fetch x multi-chunk x mesh (VERDICT r2 weak #4): a
         two-width-bucket dataset on the 8-virtual-device mesh must run the

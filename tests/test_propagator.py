@@ -250,6 +250,7 @@ class TestTimeVaryingPerturbers:
     interpolated at every integrator stage time (extension over the
     reference's t0 snapshot, which is only accurate for arcs <~30 d)."""
 
+    @pytest.mark.slow
     def test_short_arc_matches_frozen(self, eph, eqel):
         """Over a 2-day arc the perturbers barely move: snapshot and
         time-varying dynamics must agree far below the perturbation size."""
@@ -264,6 +265,7 @@ class TestTimeVaryingPerturbers:
             np.asarray(a.position), np.asarray(b.position), atol=5e-10
         )
 
+    @pytest.mark.slow
     def test_long_arc_matches_scipy_with_moving_jupiter(self, eph, eqel):
         """200-day Jupiter-perturbed arc vs an independent scipy DOP853
         whose RHS interpolates Jupiter from a dense sample of the SAME
