@@ -57,6 +57,11 @@ _STATUS_NAMES = {
 #: level so tests can force the overflow path.
 _NEED_CAP_FLOOR = 256
 
+#: extra padded observations the merged cross-chunk correction may cost
+#: before per-chunk dispatch wins (see fit_lsq_dispatch; the same
+#: calibration scale as the IOD width coalescer's budget)
+_LSQ_MERGE_BUDGET = 131072
+
 #: lower-triangle index pair for symmetric 6x6 covariance relay packing
 _TRIL_I, _TRIL_J = np.tril_indices(6)
 
@@ -294,9 +299,10 @@ class PendingLsq:
             # f32 buffer; results stay bitwise identical.  Slim additionally
             # moves the covariance triangle (reporting grade) to f32.  The
             # trailing seed_ok flag (minimal mode only) is a bool — f32.
-            # need_pack (minimal mode): (row idx, count, el slice, eqv
-            # slice) — idx/count are small ints (f32-exact), the el slice
-            # follows the slim flag, the eqv slice stays exact f64.
+            # need_pack (minimal mode): per fetch chunk, (row idx, count,
+            # el slice, eqv slice) — idx/count are small ints (f32-exact),
+            # the el slice follows the slim flag, the eqv slice stays
+            # exact f64.
             mask = (
                 iod_fetch_mask(tree[0], self.slim, self.minimal),
                 [
@@ -304,7 +310,7 @@ class PendingLsq:
                     + (True,) * (len(t) - 6)
                     for t in self.lsq_pend
                 ],
-                (True, True, self.slim, False) if need_pack else (),
+                [(True, True, self.slim, False) for _ in need_pack],
             )
             self.packed, self.pack_spec = pack_for_fetch(tree, mask)
 
@@ -395,15 +401,19 @@ def fit_lsq_dispatch(
     with_bias = dataset.bias_ra is not None
     base = device_base_arrays(dataset, cache)
 
+    merge_lsq = False
     if len(st["pending"]) > 1:
-        # MERGED correction across width-grouped IOD chunks: one
-        # latency-bound while-loop for all kept trajectories (running the
-        # correction per chunk multiplies the ~flat LSQ wall time by the
-        # chunk count — the ragged-workload killer).  Under a mesh the
-        # merged batch is padded to a device multiple and sharded over the
-        # data axis (VERDICT r2 weak #4: the previous per-chunk mesh
-        # fallback multiplied LSQ wall time by the chunk count exactly on
-        # the ragged+multichip corner a survey service hits).
+        # Merge the correction across width-grouped IOD chunks when the
+        # width padding is cheap: ONE latency-bound while-loop for all
+        # kept trajectories (per-chunk correction multiplies the ~flat
+        # LSQ wall floor by the chunk count) — but running every row at
+        # the widest bucket costs rows x extra-obs-columns of padded
+        # partials per Newton iteration.  The budget is the same
+        # calibration as the IOD width coalescer: merge while the extra
+        # padded obs <= _LSQ_MERGE_BUDGET.  Measured on the real-cadence
+        # workload (2731 x 64-wide + 1365 x 160-wide rows): merged LSQ
+        # 312-362 ms vs per-chunk 180-210 ms — the 262k padded obs lose;
+        # on the U[8,23] ragged workload (32-wide buckets) merging wins.
         from outfit_tpu.iod.api import _bucket, padded_dataset_arrays
 
         lay = padded_dataset_arrays(dataset, with_values=False)
@@ -415,6 +425,15 @@ def fit_lsq_dispatch(
         w_m = int(
             min(lay.n_max, int(_bucket_width(int(counts_kept.max(initial=1)))))
         )
+        extra_pad = sum(
+            Tg * (w_m - int(glob_dev.shape[1]))
+            for (_, _, Tg, _), (glob_dev, _) in zip(
+                st["pending"], st["chunk_tables"]
+            )
+        )
+        merge_lsq = extra_pad <= _LSQ_MERGE_BUDGET
+
+    if merge_lsq:
         # compact row t (kept order) lives at merged offset off_c + (t-t0g)
         # of the full padded-chunk concatenation
         chunk_lens = [int(o[0].shape[0]) for (_, _, _, o) in st["pending"]]
@@ -464,13 +483,14 @@ def fit_lsq_dispatch(
             # gather; the kernel's own seed-ok flag replaces the host-side
             # isfinite(eqv) screen the bulk fetch can no longer do, and the
             # rows the results DO consume ride the bulk fetch as a
-            # device-compacted slice
-            st["deferred_iod"] = (iod_merged[2], iod_merged[3])
+            # device-compacted slice (one-slot lists: the finalize walks
+            # deferred/need per fetch chunk)
+            st["deferred_iod"] = [(iod_merged[2], iod_merged[3])]
             cap = min(len(sel_rows), max(_NEED_CAP_FLOOR, len(sel_rows) // 8))
-            st["need_pack"] = _compact_need_rows(
+            st["need_pack"] = [_compact_need_rows(
                 iod_merged[0], iod_merged[2], iod_merged[3],
                 lsq_out.status, lsq_out.elements, ok_dev, cap=cap,
-            )
+            )]
             lsq_chunk = lsq_chunk + (ok_dev,)
         return PendingLsq(
             dataset, st=st, lsq_pend=[lsq_chunk], slim=slim_fetch,
@@ -479,13 +499,14 @@ def fit_lsq_dispatch(
 
     # dispatch the seeded correction per IOD chunk (chunks are
     # width-homogeneous, so each runs at its own obs width), then
-    # ONE bulk transfer for every stage of every chunk
+    # ONE bulk transfer for every stage of every chunk.  Deferred-element
+    # mode carries one compact slice + on-device table pair PER chunk
+    # (chunk-local row indices; the finalize adds each chunk's kept-order
+    # offset), so minimal_fetch composes with every dispatch shape.
     runner = _get_runner(config, ephem, with_bias, seeded=True)
-    # deferred-element mode needs kept-order row indices == fetch-chunk row
-    # indices, which only holds with a single chunk; multi-chunk mesh
-    # dispatches fall back to the plain slim transfer
-    use_minimal = minimal_fetch and len(st["pending"]) == 1
     lsq_pend = []
+    deferred_list = []
+    need_list = []
     for (t0g, t1g, Tg, iod_out), (glob_dev, valid_dev) in zip(
         st["pending"], st["chunk_tables"]
     ):
@@ -501,19 +522,22 @@ def fit_lsq_dispatch(
             nact_dev,
             lsq_out.total_newton_iterations,
         )
-        if use_minimal:
-            st["deferred_iod"] = (iod_out[2], iod_out[3])
+        if minimal_fetch:
+            deferred_list.append((iod_out[2], iod_out[3]))
             n_rows = int(iod_out[0].shape[0])
             cap = min(n_rows, max(_NEED_CAP_FLOOR, n_rows // 8))
-            st["need_pack"] = _compact_need_rows(
+            need_list.append(_compact_need_rows(
                 iod_out[0], iod_out[2], iod_out[3],
                 lsq_out.status, lsq_out.elements, ok_dev, cap=cap,
-            )
+            ))
             lsq_chunk = lsq_chunk + (ok_dev,)
         lsq_pend.append(lsq_chunk)
+    if minimal_fetch:
+        st["deferred_iod"] = deferred_list
+        st["need_pack"] = need_list
     return PendingLsq(
         dataset, st=st, lsq_pend=lsq_pend, slim=slim_fetch,
-        as_table=as_table, minimal=use_minimal,
+        as_table=as_table, minimal=minimal_fetch,
     )
 
 
@@ -654,24 +678,33 @@ def _build_fused_table(dataset, st, iod_fetched, lsq_fetched, need_fetched=()):
         # back-fill the element vectors for just the rows whose RESULT is
         # the IOD seed (non-converged kept rows); converged rows keep NaN —
         # their fit elements are the LSQ ones (documented minimal-fetch
-        # contract).  The device-compacted slice rode the bulk fetch; a
-        # live gather covers only cap overflow (rare) or a missing slice.
+        # contract).  Each fetch chunk carries its own device-compacted
+        # slice with CHUNK-LOCAL row indices (+ its on-device table pair
+        # for cap overflow, rare); the merged path is one pseudo-chunk.
         need = np.nonzero(iod_ok_k & ~conv_k)[0]
-        fetched_rows = np.empty(0, np.int64)
-        if need_fetched:
-            idx, _n, el_rows, eqv_rows = need_fetched
-            idx = idx.astype(np.int64)
-            # ascending positions: real rows precede pad-duplicate/fill
-            # slots (>= the kept-row count) — keep the in-range prefix
-            keep = idx < len(best_rms)
-            fetched_rows = idx[keep]
-            el[fetched_rows] = el_rows[keep]
-            eqv[fetched_rows] = eqv_rows[keep]
-        rest = np.setdiff1d(need, fetched_rows, assume_unique=True)
-        if rest.size:
-            el_rest, eqv_rest = _fetch_deferred_rows(deferred, rest)
-            el[rest] = el_rest
-            eqv[rest] = eqv_rest
+        if st.get("lsq_merged"):
+            spans = [(0, len(best_rms))]
+        else:
+            spans = [(t0g, t1g) for (t0g, t1g, _, _) in st["pending"]]
+        nf_list = need_fetched if need_fetched else [()] * len(spans)
+        for (t0g, t1g), dfr, nf in zip(spans, deferred, nf_list):
+            need_c = need[(need >= t0g) & (need < t1g)] - t0g
+            fetched_rows = np.empty(0, np.int64)
+            if nf:
+                idx, _n, el_rows, eqv_rows = nf
+                idx = idx.astype(np.int64)
+                # ascending positions: real rows precede pad-duplicate/
+                # fill slots (>= the chunk's live-row count) — keep the
+                # in-range prefix
+                keep = idx < (t1g - t0g)
+                fetched_rows = idx[keep]
+                el[t0g + fetched_rows] = el_rows[keep]
+                eqv[t0g + fetched_rows] = eqv_rows[keep]
+            rest = np.setdiff1d(need_c, fetched_rows, assume_unique=True)
+            if rest.size:
+                el_rest, eqv_rest = _fetch_deferred_rows(dfr, rest)
+                el[t0g + rest] = el_rest
+                eqv[t0g + rest] = eqv_rest
 
     err_k = np.where(
         iod_ok_k,

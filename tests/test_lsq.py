@@ -1043,6 +1043,55 @@ class TestMinimalFetch:
         assert full.converged.any()
         self._assert_contract(full, mini)
 
+    @pytest.mark.slow
+    def test_multi_chunk_per_chunk_minimal(self, eph, monkeypatch):
+        """When the width padding makes the merged correction lose (budget
+        0 forces it), multi-chunk dispatch runs the correction PER CHUNK —
+        and minimal_fetch still composes: each chunk carries its own
+        compacted deferred slice with chunk-local indices."""
+        from outfit_tpu.iod import api as iod_api
+        from outfit_tpu.lsq import api as lsq_api
+        from outfit_tpu.lsq.api import fit_lsq_dispatch, fit_lsq_finalize
+
+        monkeypatch.setattr(iod_api, "_COALESCE_BUDGET", 0)
+        monkeypatch.setattr(lsq_api, "_LSQ_MERGE_BUDGET", 0)
+
+        tiled = TestMinimalFetch._tiled_dataset
+        cfg = DifferentialCorrectionConfig()
+        pend = fit_lsq_dispatch(
+            tiled(), eph, _IOD, cfg, seed=42, mesh=None,
+            as_table=True, minimal_fetch=True,
+        )
+        assert len(pend.st["pending"]) > 1
+        assert not pend.st.get("lsq_merged")
+        assert pend.minimal
+        assert len(pend.st["deferred_iod"]) == len(pend.st["pending"])
+        mini = fit_lsq_finalize(pend)
+
+        full = fit_lsq(
+            tiled(), eph, _IOD, cfg, seed=42, mesh=None, as_table=True,
+        )
+        assert full.converged.any()
+        self._assert_contract(full, mini)
+
+    @staticmethod
+    def _tiled_dataset():
+        base = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+        order = np.argsort(base.mjd_tt)
+        ds = ObsDataset()
+        rows = [order] * 6 + [order[:12]] * 6
+        tids = [f"LONG{r}" for r in range(6)] + [f"SHRT{r}" for r in range(6)]
+        counts = [len(r) for r in rows]
+        idx = np.concatenate(rows)
+        for f in ("mjd_tt", "ra", "dec", "ra_error", "dec_error", "mag"):
+            setattr(ds, f, getattr(base, f)[idx].copy())
+        ds.catalog = base.catalog[idx].copy()
+        ds.observer_index = base.observer_index[idx].copy()
+        ds.observers = list(base.observers)
+        ds.traj_index = np.repeat(np.arange(len(rows)), counts)
+        ds.traj_ids = tids
+        return ds
+
     def test_compact_cap_overflow(self, eph, monkeypatch):
         """More non-converged rows than the compact-slice cap: the overflow
         must arrive via the live gather with identical values."""
@@ -1078,7 +1127,7 @@ class TestMinimalFetch:
             minimal_fetch=True,
         )
         assert pend.minimal
-        idx, _n, _el, _eqv = pend.st["need_pack"]
+        [(idx, _n, _el, _eqv)] = pend.st["need_pack"]  # one fetch chunk
         assert idx.shape[0] == 1  # cap really was 1
         self._assert_contract(full, fit_lsq_finalize(pend))
 
