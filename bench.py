@@ -777,8 +777,11 @@ def main():
     _install_flush_guards()
     cpu_fallback = os.environ.get("OUTFIT_BENCH_CPU_FALLBACK") == "1"
     if not cpu_fallback and os.environ.get("OUTFIT_BENCH_SKIP_PROBE") != "1":
+        # 150 s: cold tunnel inits were measured at ~120-180 s; a shorter
+        # probe risks a false CPU fallback, a longer one eats the budget
+        # when the tunnel is genuinely wedged
         ok, detail = _backend_usable(
-            int(os.environ.get("OUTFIT_BENCH_PROBE_TIMEOUT", "90"))
+            int(os.environ.get("OUTFIT_BENCH_PROBE_TIMEOUT", "150"))
         )
         if not ok:
             log(f"ambient backend unusable ({detail}); re-exec on CPU")
