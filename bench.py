@@ -692,25 +692,34 @@ def accuracy_certificate(n_traj: int = 1024):
             lambda e, t, o: run_differential_correction(e, t, o, cfg)
         )(jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs)
         jax.block_until_ready(res)
+        sig = np.sqrt(np.maximum(np.asarray(
+            jnp.diagonal(res.covariance, axis1=-2, axis2=-1)
+        ), 0.0))
         return (
             np.asarray(res.status), np.asarray(res.elements), ok,
-            np.asarray(eqv), np.asarray(res.normalised_rms),
+            np.asarray(eqv), np.asarray(res.normalised_rms), sig,
         )
 
-    st_m, el_m, ok_m, eqv_m, nr_m = pipeline("mixed")
-    st_f, el_f, ok_f, eqv_f, nr_f = pipeline("f64")
+    st_m, el_m, ok_m, eqv_m, nr_m, sig_m = pipeline("mixed")
+    st_f, el_f, ok_f, eqv_f, nr_f, sig_f = pipeline("f64")
     both = (st_m == 1) & (st_f == 1)
     if not both.any():
         log("ACCURACY: no rows converged in both precisions (!)")
         return
-    # separate PRECISION spread from LOCAL-OPTIMUM flips: on noisy synthetic
-    # arcs a few fits are multi-modal, and the two precisions can land in
-    # different (equally chi2-valid) basins — that is seed sensitivity, not
-    # numerical error.  Same-basin = the two fits describe the same optimum
-    # (normalised RMS agrees to 1e-6).
-    same_basin = both & (np.abs(nr_m - nr_f) < 1e-6 * (1.0 + np.abs(nr_f)))
+    # separate PRECISION spread from SEED SENSITIVITY: on noisy synthetic
+    # arcs some fits are multi-modal or have flat chi2 valleys, and the two
+    # precisions' different IOD seeds can settle at different (equally
+    # chi2-valid) points — that is seed sensitivity, not numerical error.
+    # Same-basin = the two fits describe the same optimum (normalised RMS
+    # agrees to 1e-6); within it, the STATISTICALLY meaningful scale for an
+    # element difference is the fit's own formal 1-sigma.
+    d_nr = np.where(both, np.abs(nr_m - nr_f), np.inf)
+    same_basin = both & (d_nr < 1e-6 * (1.0 + np.abs(np.where(both, nr_f, 0.0))))
     rel = np.abs(el_m[same_basin] - el_f[same_basin]) / (
         1.0 + np.abs(el_f[same_basin])
+    )
+    in_sigma = np.abs(el_m[same_basin] - el_f[same_basin]) / np.maximum(
+        sig_f[same_basin], 1e-300
     )
     seed_both = ok_m & ok_f
     rel_seed = np.abs(eqv_m[seed_both] - eqv_f[seed_both]) / (
@@ -719,14 +728,16 @@ def accuracy_certificate(n_traj: int = 1024):
     log(
         f"ACCURACY CERTIFICATE (mixed vs f64, {n_traj} trajectories): "
         f"LSQ elements rel diff median {np.median(rel):.2e} "
-        f"p99 {np.percentile(rel, 99):.2e} max {rel.max():.2e} "
+        f"p99 {np.percentile(rel, 99):.2e}; in units of the fit's own "
+        f"formal 1-sigma: median {np.median(in_sigma):.2e} "
+        f"p99 {np.percentile(in_sigma, 99):.2e} max {in_sigma.max():.2e} "
         f"on {int(same_basin.sum())} same-optimum rows; "
         f"{int(both.sum())} rows converged in both precisions "
         f"({both.mean()*100:.1f}%), of which "
-        f"{int((both & ~same_basin).sum())} settled in a different local "
-        f"optimum (seed sensitivity on noisy arcs, not precision error); "
-        f"IOD seeds median {np.median(rel_seed):.2e} (seed grade; the "
-        f"correction contracts them to the LSQ figure)"
+        f"{int((both & ~same_basin).sum())} settled at a different point "
+        f"of the chi2 surface (seed sensitivity on noisy arcs, not "
+        f"precision error); IOD seeds median {np.median(rel_seed):.2e} "
+        f"(seed grade; the correction contracts them to the LSQ figure)"
     )
 
 

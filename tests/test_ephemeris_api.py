@@ -47,6 +47,7 @@ def kep():
 
 
 class TestApparentPosition:
+    @pytest.mark.slow
     def test_matches_synthesis_geocentric(self, eph, kep):
         """Ephemeris RA/Dec at epoch == the synthesis used for IOD closure."""
         eq = keplerian_to_equinoctial(kep)
@@ -70,6 +71,7 @@ class TestApparentPosition:
             assert e.value.position.dec == pytest.approx(float(dec_ref[i]), abs=1e-12)
             assert 1.0 < e.value.position.heliocentric_distance < 3.0
 
+    @pytest.mark.slow
     def test_ground_station_parallax(self, eph, kep):
         """Topocentric vs geocentric positions differ by the diurnal
         parallax, bounded by ~ Earth radius / distance."""
@@ -176,6 +178,7 @@ class TestNBodyEphemeris:
         assert diff > 0
 
 
+@pytest.mark.slow
 def test_fit_predict_closure_2015ab_per_site():
     """Mirror of tests/test_ephemeris.rs:438-466: fit the merged K09R05F
     trajectory, predict apparent positions at every observation epoch from

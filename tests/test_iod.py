@@ -143,6 +143,7 @@ class TestClosure:
         assert float(kep.inclination) == pytest.approx(0.12, abs=0.001)
         assert r.rms < 2.0
 
+    @pytest.mark.slow
     def test_noisy_data_still_converges(self, eph):
         kep_true = KeplerianElements(
             *map(jnp.float64, (57100.0, 1.8, 0.28, 0.2, 0.5, 1.2, 2.0))
@@ -215,6 +216,7 @@ class TestDeterminism:
         assert r1.rms == r2.rms
         np.testing.assert_array_equal(r1.equinoctial, r2.equinoctial)
 
+    @pytest.mark.slow
     def test_result_independent_of_dataset_composition(self, eph):
         """Parity contract: parallel == sequential == any composition
         (test_gauss_iod.rs:170-189).  Noise depends only on (seed, traj id),

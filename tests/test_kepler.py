@@ -191,6 +191,7 @@ class TestVelocityCorrection:
         assert int(res.status) == 0
         np.testing.assert_allclose(_np(res.v2_corrected), _np(v2), atol=1e-12)
 
+    @pytest.mark.slow
     def test_perturbed_velocity_converges(self):
         """Iterating the correction from a perturbed velocity converges to
         the true one (the Gauss-iteration usage pattern)."""

@@ -270,6 +270,7 @@ class TestConfig:
 
 
 class TestFixtures:
+    @pytest.mark.slow
     def test_2015ab_lsq(self, eph):
         ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
         res = fit_lsq(ds, eph, _IOD, seed=42, error_model=ErrorModel.fcct14())
@@ -838,6 +839,7 @@ class TestLsqTable:
                         err_msg=f"{tid}.iod.{f}",
                     )
 
+    @pytest.mark.slow
     def test_table_parity_mixed(self, eph):
         cfg = DifferentialCorrectionConfig()
         ref = fit_lsq(self._mixed_dataset(eph), eph, _IOD, cfg, seed=42)
