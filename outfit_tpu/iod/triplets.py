@@ -56,11 +56,14 @@ def triplet_weight32(t1, t2, t3, dtw: float):
     significant digits order the candidates identically except on
     physical near-ties, where either member is an equally good Gauss
     triplet.  Quantizing the ordering to f32 lets the device enumerator
-    run its weight sweep in native f32 instead of emulated f64 (the C(m,3)
-    grid made this the dominant real-cadence IOD cost) and pack the
-    (weight, index) pair into one f64-exact key.  Gaps are computed in f64
-    and rounded once; every subsequent op is f32, expression-identical
-    between numpy and XLA (bitwise device==numpy parity contract)."""
+    run its weight sweep in native f32 instead of emulated f64 (the
+    C(m,3) grid made this the dominant real-cadence IOD cost) and order
+    by the int32 BIT PATTERN (monotonic for non-negative floats incl.
+    +inf).  Gaps are computed in f64 and rounded once; every subsequent
+    op is f32, expression-identical between numpy and XLA (the CPU
+    device==numpy parity property tests pin it; TPU's f32 division is
+    not correctly rounded, so near-ties may order differently there —
+    deterministically)."""
     dtw32 = np.float32(dtw)
     inv32 = np.float32(1.0 / dtw)
     one32 = np.float32(1.0)
@@ -225,11 +228,12 @@ def generate_triplet_indices_device(
 ):
     """Device-side :func:`generate_triplet_indices_batch` (jitted).
 
-    Same best-K set and order: ``jax.lax.top_k`` breaks ties by lower
-    index, which equals the stable ascending-(w, a, j, k) order because
-    the combination list is enumerated in (a, j, k) lexicographic order.
-    Inputs must be device/bucketed arrays (``epochs_pad`` (T, n_max),
-    ``counts`` (T,) int32); returns (trips (T, K, 3) int32, ktrips (T,)).
+    Same best-K set and order: argmin's first-minimum rule breaks ties by
+    lower index, which equals the stable ascending-(w32, a, j, k) order
+    because the combination list is enumerated in (a, j, k) lexicographic
+    order.  Inputs must be device/bucketed arrays (``epochs_pad``
+    (T, n_max), ``counts`` (T,) int32); returns (trips (T, K, 3) int32,
+    ktrips (T,)).
     """
     import jax
 
