@@ -161,12 +161,13 @@ def _load_obscodes_file(path: str) -> dict:
 OBSCODES_URL = "https://www.minorplanetcenter.net/iau/lists/ObsCodes.html"
 
 
-def _try_fetch_obscodes(path: str) -> bool:
-    """One-shot opportunistic download of the real MPC catalog.
+def _try_fetch_url(url: str, path: str, deadline: float = 12.0) -> bool:
+    """One-shot opportunistic download of a public data file.
 
     Zero-egress degradation: any failure writes a dated marker next to
     ``path`` and is not retried for 7 days, so offline hosts pay the
-    connect timeout once, not once per process."""
+    connect timeout once, not once per process.  Shared by the MPC
+    ObsCodes catalog and the IERS finals2000A UT1 series."""
     if os.environ.get("OUTFIT_NO_DOWNLOAD") == "1":
         return False
     marker = path + ".unavailable"
@@ -191,7 +192,7 @@ def _try_fetch_obscodes(path: str) -> bool:
 
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 req = urllib.request.Request(
-                    OBSCODES_URL, headers={"User-Agent": "outfit-tpu"}
+                    url, headers={"User-Agent": "outfit-tpu"}
                 )
                 with urllib.request.urlopen(req, timeout=10) as r, open(
                     path + ".part", "wb"
@@ -204,19 +205,24 @@ def _try_fetch_obscodes(path: str) -> bool:
 
         t = threading.Thread(target=_fetch, daemon=True)
         t.start()
-        t.join(12.0)
+        t.join(deadline)
         if done.is_set():
             return True
         with open(marker, "w") as f:
-            f.write("ObsCodes fetch failed; retried weekly\n")
+            f.write("fetch failed; retried weekly\n")
         return False
     except Exception:
         try:
             with open(marker, "w") as f:
-                f.write("ObsCodes fetch failed; retried weekly\n")
+                f.write("fetch failed; retried weekly\n")
         except OSError:
             pass
         return False
+
+
+def _try_fetch_obscodes(path: str) -> bool:
+    """Opportunistic one-shot download of the real MPC catalog."""
+    return _try_fetch_url(OBSCODES_URL, path)
 
 
 def _catalog() -> dict:

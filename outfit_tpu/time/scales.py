@@ -200,6 +200,33 @@ class Ut1Provider:
     mjd: np.ndarray = field(default_factory=lambda: np.array([0.0, 1e9]))
     dut1: np.ndarray = field(default_factory=lambda: np.zeros(2))
 
+    #: official IERS rapid+final EOP series (the data the reference's
+    #: hifitime Ut1Provider consumes)
+    FINALS2000A_URL = (
+        "https://datacenter.iers.org/data/9/finals2000A.all"
+    )
+
+    @classmethod
+    def fetch(cls, cache_dir: str = None) -> "Ut1Provider":
+        """Resolve the real IERS finals2000A series: the cached copy at
+        ``<cache>/outfit_tpu/finals2000A.all`` (or $OUTFIT_FINALS2000A), a
+        one-shot download on miss (zero-egress safe: failures write a
+        weekly retry marker and fall back to the DUT1=0 provider with its
+        documented <2e-10 AU bound)."""
+        import os
+
+        path = os.environ.get("OUTFIT_FINALS2000A")
+        if not path:
+            base = cache_dir or os.path.expanduser("~/.cache/outfit_tpu")
+            path = os.path.join(base, "finals2000A.all")
+        if not os.path.exists(path):
+            from outfit_tpu.observations.observatories import _try_fetch_url
+
+            _try_fetch_url(cls.FINALS2000A_URL, path)
+        if os.path.exists(path):
+            return cls.from_finals2000a(path)
+        return cls()
+
     @classmethod
     def from_finals2000a(cls, path: str) -> "Ut1Provider":
         """Parse an IERS finals2000A.all (IAU2000) fixed-width file."""

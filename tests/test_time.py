@@ -96,3 +96,29 @@ def test_ut1_default_is_zero_dut1():
 
     ut1 = Ut1Provider()
     assert ut1.dut1_seconds(57000.0) == 0.0
+
+
+class TestUt1Fetch:
+    def test_fetch_offline_falls_back(self, monkeypatch, tmp_path):
+        """Zero-egress: fetch() degrades to the DUT1=0 provider and writes
+        a weekly retry marker instead of blocking on the network."""
+        from outfit_tpu.time.scales import Ut1Provider
+
+        monkeypatch.setenv("OUTFIT_NO_DOWNLOAD", "1")
+        monkeypatch.delenv("OUTFIT_FINALS2000A", raising=False)
+        p = Ut1Provider.fetch(cache_dir=str(tmp_path))
+        assert p.dut1_seconds(57000.0) == 0.0
+
+    def test_fetch_uses_env_file(self, monkeypatch, tmp_path):
+        from outfit_tpu.time.scales import Ut1Provider
+
+        f = tmp_path / "finals2000A.all"
+        rows = []
+        for mjd, dut in ((57000.0, -0.4), (57400.0, -0.2)):
+            rows.append(
+                " " * 7 + f"{mjd:8.2f}" + " " * 43 + f"{dut:10.7f}" + " " * 20
+            )
+        f.write_text("\n".join(rows))
+        monkeypatch.setenv("OUTFIT_FINALS2000A", str(f))
+        p = Ut1Provider.fetch()
+        assert abs(p.dut1_seconds(57200.0) + 0.3) < 1e-9
