@@ -1153,3 +1153,38 @@ class TestMinimalFetch:
             seed=42, as_table=True, minimal_fetch=True,
         )
         self._assert_contract(full, mini)
+
+
+class TestTableStatusConvention:
+    def test_from_results_uses_kernel_codes(self):
+        """LsqTable.from_results must store the SAME status convention as
+        the device path (lsq/loop.py codes: 1=OK, 2=bizarre, 3=diverged,
+        -1=never ran) — the two construction paths previously disagreed
+        (advisor round-2 finding)."""
+        from outfit_tpu.lsq.api import LsqResult
+        from outfit_tpu.lsq.table import LsqTable
+
+        results = {
+            "CONV": LsqResult(
+                "CONV", ok=True, normalised_rms=0.5, epoch=57000.0,
+                equinoctial=np.ones(6), covariance=np.eye(6),
+                uncertainties=np.ones(6),
+            ),
+            "FELL": LsqResult(
+                "FELL", ok=True, error="BizarreOrbit",
+                fell_back_to_iod=True, normalised_rms=1.0, epoch=57000.0,
+                equinoctial=np.ones(6),
+            ),
+            "DIVG": LsqResult(
+                "DIVG", ok=True, error="DifferentialCorrectionDiverged",
+                fell_back_to_iod=True, normalised_rms=2.0, epoch=57000.0,
+                equinoctial=np.ones(6),
+            ),
+            "DEAD": LsqResult("DEAD", ok=False, error="IOD failed: x"),
+        }
+        t = LsqTable.from_results(list(results), results)
+        get = lambda tid: int(t.status[t.traj_ids.index(tid)])
+        assert get("CONV") == 1  # STATUS_OK
+        assert get("FELL") == 2  # bizarre
+        assert get("DIVG") == 3  # diverged
+        assert get("DEAD") == -1  # never ran
