@@ -558,7 +558,7 @@ def _enable_compile_cache():
 
 
 def bench_e2e_stream(n_traj: int = 8192, n_datasets: int = 12,
-                     modes=("minimal", "default")):
+                     modes=("minimal", "default"), on_result=None):
     """12 x 8192 = ~1e5 trajectories end to end (the VERDICT r1 scale ask).
     Dataset-size sweep on the v5e chip (tools/minimal_ab.py, devwait via
     tools/e2e_profile.py): per-fit DEVICE cost is 24.5 us at 8192 but 32 us
@@ -575,8 +575,10 @@ def bench_e2e_stream(n_traj: int = 8192, n_datasets: int = 12,
     reference fetch.  The round-2 four-mode sweep was cut from the
     critical path (VERDICT r2 weak #1): each extra mode costs a compile
     plus a full stream pass, and the intermediate modes never win.
-    Returns {mode: fits/sec}."""
-    return _bench_e2e_stream(n_traj, n_datasets, modes)
+    ``on_result(mode, fps)`` fires as each mode finishes, so a timeout
+    mid-stage still leaves the completed modes' numbers with the
+    reporter.  Returns {mode: fits/sec}."""
+    return _bench_e2e_stream(n_traj, n_datasets, modes, on_result)
 
 
 #: fit_lsq_stream kwargs per stream-bench mode name
@@ -588,7 +590,8 @@ _STREAM_MODES = {
 }
 
 
-def _bench_e2e_stream(n_traj: int, n_datasets: int, modes=("minimal", "default")):
+def _bench_e2e_stream(n_traj: int, n_datasets: int,
+                      modes=("minimal", "default"), on_result=None):
     """Pipelined service throughput: a stream of datasets through
     fit_lsq_stream (host prep of dataset N+1 overlaps device execution of
     dataset N).  The steady-state operating mode of a fitting service."""
@@ -636,6 +639,8 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int, modes=("minimal", "default")
             f"stream ({_LABELS[mode]}): {n_done} fits over {n_datasets} "
             f"datasets in {dt:.2f}s ({fps:.0f} fits/sec/chip pipelined)"
         )
+        if on_result is not None:
+            on_result(mode, fps)
         return fps
 
     return {m: run(m) for m in modes}
@@ -886,6 +891,13 @@ def main():
         "stream", 420, bench_e2e_stream,
         n_traj=nt, n_datasets=6 if cpu_fallback else 12,
         modes=("minimal", "default"),
+        # report each mode the moment it finishes: a kill between modes
+        # must not lose the completed stream number
+        on_result=lambda mode, fps: REPORTER.report(fits_line(
+            fps,
+            "dataset->results incl. all host prep ("
+            + _MODE_LABELS[mode] + ")",
+        ), tier=2),
     )
     if stream:
         best_mode = max(stream, key=stream.get)
