@@ -271,6 +271,34 @@ class TestConfig:
 
 class TestFixtures:
     @pytest.mark.slow
+    def test_k25d50b_distant_object_with_divergence_tweak(self, eph):
+        """K25D50B (9-day arc of an a~13 AU Centaur): the default
+        divergence check misflags the routine first-step RMS overshoot of
+        a short distant-object arc, falling back to the IOD orbit — and
+        the reference documents exactly this operating point: relax
+        ``rms_divergence_ratio`` to 10 (tests/test_diff_cor.rs:50-56) plus
+        the grace iterations.  Pins that the tweak recovers a genuine LSQ
+        convergence (nRMS ~0.217, a ~13 AU)."""
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/K25D50B.obs")
+        r_default = fit_lsq(
+            ds, eph, _IOD, seed=42, error_model=ErrorModel.fcct14()
+        )["K25D50B"]
+        assert r_default.fell_back_to_iod  # the documented default outcome
+
+        cfg = DifferentialCorrectionConfig(
+            rms_divergence_ratio=10.0, divergence_grace_iterations=2
+        )
+        r = fit_lsq(
+            ObsDataset.from_mpc_80_col(f"{DATA}/K25D50B.obs"), eph, _IOD,
+            cfg, seed=42, error_model=ErrorModel.fcct14(),
+        )["K25D50B"]
+        assert r.ok and not r.fell_back_to_iod, r.error
+        assert r.normalised_rms < 0.5
+        kep = r.keplerian
+        assert 11.0 < float(kep.semi_major_axis) < 15.0
+        assert float(kep.eccentricity) < 0.5
+
+    @pytest.mark.slow
     def test_2015ab_lsq(self, eph):
         ds = ObsDataset.from_mpc_80_col(f"{DATA}/2015AB.obs")
         res = fit_lsq(ds, eph, _IOD, seed=42, error_model=ErrorModel.fcct14())
