@@ -131,6 +131,13 @@ class ErrorModel:
                 )
                 if not m0 and not m1 and cat in ("*", ""):
                     self.station_arcsec[station] = float(val)
+        # first match wins: order each station's rules most-specific first
+        # (catalog-specific before '*', time-bounded before fully open),
+        # so an open catch-all entry cannot shadow a targeted rule
+        for rules in self.station_rules.values():
+            rules.sort(
+                key=lambda r: (r[2] == "*", r[0] == -np.inf and r[1] == np.inf)
+            )
         return self
 
     def load_table(self, path: str) -> "ErrorModel":

@@ -919,3 +919,79 @@ class TestRealDE440:
         pn, _ = n.earth_ephemeris(mjd)
         ph, _ = h.earth_ephemeris(mjd)
         np.testing.assert_allclose(np.asarray(pn), np.asarray(ph), atol=1e-9)
+
+
+class TestResolverDownload:
+    """download_file / _try_fetch_url mechanics with a mocked transport
+    (no network): atomic .part rename, failure leaves no trusted file."""
+
+    def test_download_file_atomic_success(self, tmp_path, monkeypatch):
+        import io
+        import urllib.request
+
+        from outfit_tpu.ephem.resolver import download_file
+
+        class FakeResp(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        monkeypatch.setattr(
+            urllib.request, "urlopen",
+            lambda req, timeout=0: FakeResp(b"x" * 100),
+        )
+        dst = tmp_path / "sub" / "de440.bsp"
+        download_file("https://example/de440.bsp", str(dst))
+        assert dst.read_bytes() == b"x" * 100
+        assert not (tmp_path / "sub" / "de440.bsp.part").exists()
+
+    def test_download_file_failure_leaves_no_file(self, tmp_path, monkeypatch):
+        import urllib.request
+
+        from outfit_tpu.ephem.resolver import download_file
+
+        def boom(req, timeout=0):
+            raise OSError("no route")
+
+        monkeypatch.setattr(urllib.request, "urlopen", boom)
+        dst = tmp_path / "de440.bsp"
+        with pytest.raises(OSError):
+            download_file("https://example/de440.bsp", str(dst))
+        assert not dst.exists()
+
+    def test_try_fetch_url_success_and_marker(self, tmp_path, monkeypatch):
+        import io
+        import urllib.request
+
+        from outfit_tpu.observations.observatories import _try_fetch_url
+
+        monkeypatch.delenv("OUTFIT_NO_DOWNLOAD", raising=False)
+
+        class FakeResp(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        monkeypatch.setattr(
+            urllib.request, "urlopen",
+            lambda req, timeout=0: FakeResp(b"catalog"),
+        )
+        dst = tmp_path / "ObsCodes.html"
+        assert _try_fetch_url("https://example/x", str(dst))
+        assert dst.read_bytes() == b"catalog"
+
+        # failure path: marker written, not retried within the window
+        def boom(req, timeout=0):
+            raise OSError("down")
+
+        monkeypatch.setattr(urllib.request, "urlopen", boom)
+        dst2 = tmp_path / "other.dat"
+        assert not _try_fetch_url("https://example/y", str(dst2))
+        assert (tmp_path / "other.dat.unavailable").exists()
+        # second call short-circuits on the marker (urlopen would raise
+        # again anyway, but the marker path returns before threading)
+        assert not _try_fetch_url("https://example/y", str(dst2))

@@ -512,6 +512,32 @@ class TestErrorModelConstant:
         ]
         assert np.allclose(f51 / RADSEC, 0.2)
 
+    def test_rules_catalog_specific_entries(self, tmp_path):
+        """load_rules supports per-catalog time rules (the '*'-catalog
+        entries feed the flat tier too; catalog-specific ones only match
+        their flag)."""
+        from outfit_tpu.constants import RADSEC
+        from outfit_tpu.observations.error_model import ErrorModel
+
+        f = tmp_path / "rules.csv"
+        f.write_text(
+            "# station,mjd0,mjd1,catalog,arcsec\n"
+            "Z99,,,*,0.9\n"
+            "Z99,56000,57000,V,0.3\n"
+        )
+        m = ErrorModel(station_arcsec={}, station_catalog_arcsec={})
+        m.load_rules(str(f))
+        s = m.sigma_rad(
+            ["Z99", "Z99", "Z99"],
+            catalogs=["V", "V", "U"],
+            mjd=[56500.0, 57500.0, 56500.0],
+        )
+        # in-window V-catalog rule; out-of-window falls to the '*' rule;
+        # other catalogs ignore the V rule
+        np.testing.assert_allclose(s / RADSEC, [0.3, 0.9, 0.9])
+        # flat tier seeded only from the open-interval '*' entry
+        assert m.station_arcsec == {"Z99": 0.9}
+
     def test_constant_is_constant_with_catalog_tiers(self):
         """ErrorModel.constant must ignore BOTH lookup tiers (regression:
         the (station, catalog) FCCT14 table survived, silently overriding
