@@ -47,6 +47,17 @@ def triplet_weight(t1, t2, t3, dtw: float):
 #: tiny f32 floor guarding the s_gap division (1e-300 underflows in f32)
 _W32_TINY = np.float32(1e-38)
 
+#: finite cap keeping FEASIBLE weights strictly below the +inf infeasible-mask
+#: sentinel.  A zero intra-triplet gap (duplicate epochs; dt_min only bounds
+#: the span t3-t1) makes dtw32/tiny32 overflow f32 to +inf, which would
+#: collide with the mask and let argmin/stable-sort tie-breaks pick
+#: span-INFEASIBLE combinations into the first ktrips slots (the f64 path
+#: kept these finite at ~2e301).  min(w, cap) after the sum maps every
+#: overflowed lane to the same finite value (degenerate triplets tie-broken
+#: by index — they are interchangeable as Gauss inputs) while preserving the
+#: ordering of all non-overflowing weights.
+_W32_CAP = np.float32(3.0e38)
+
 
 def triplet_weight32(t1, t2, t3, dtw: float):
     """float32 SELECTION weight — the quantized ordering key shared bitwise
@@ -74,7 +85,9 @@ def triplet_weight32(t1, t2, t3, dtw: float):
             g <= dtw32, dtw32 / np.maximum(g, _W32_TINY), one32 + g * inv32
         )
 
-    return (s_gap(t2 - t1) + s_gap(t3 - t2)).astype(np.float32)
+    with np.errstate(over="ignore"):  # zero-gap overflow is clamped below
+        w = (s_gap(t2 - t1) + s_gap(t3 - t2)).astype(np.float32)
+    return np.minimum(w, _W32_CAP)
 
 
 
@@ -330,7 +343,7 @@ def _enum_device(epochs_pad, counts, *, dt_min, dt_max, dtw, max_obs,
             g <= dtw32, dtw32 / jnp.maximum(g, tiny32), one32 + g * inv32
         )
 
-    w32 = s_gap(t2 - t1) + s_gap(t3 - t2)
+    w32 = jnp.minimum(s_gap(t2 - t1) + s_gap(t3 - t2), _W32_CAP)
     w32 = jnp.where(feas, w32, jnp.float32(jnp.inf))
     wbits = jax.lax.bitcast_convert_type(w32, jnp.int32)
     # materialize the bit grid once: the K argmin passes then stream int32

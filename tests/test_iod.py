@@ -621,6 +621,74 @@ class TestTripletVectorization:
                     err_msg=f"trial {trial} traj {t}",
                 )
 
+    def test_duplicate_epochs_stay_below_mask_sentinel(self):
+        """Zero intra-triplet gaps (duplicate epochs; dt_min only bounds the
+        span t3-t1) must yield FINITE f32 weights strictly below the +inf
+        infeasible-mask sentinel — an overflow would let the argmin /
+        stable-sort tie-break pull span-infeasible combinations into the
+        first ktrips slots and diverge from the scalar enumerator, which
+        prefilters infeasibility (regression for the _W32_CAP clamp)."""
+        import jax.numpy as jnp
+
+        from outfit_tpu.iod.triplets import (
+            _W32_CAP,
+            generate_triplet_indices_batch,
+            generate_triplet_indices_device,
+            triplet_weight32,
+        )
+
+        # direct: a zero gap clamps to the cap, never +inf
+        w = triplet_weight32(
+            np.float64(5.0), np.float64(5.0), np.float64(9.0), 20.0
+        )
+        assert np.isfinite(w) and w <= _W32_CAP
+
+        rng = np.random.default_rng(91)
+        for trial in range(6):
+            T = int(rng.integers(1, 10))
+            counts = rng.integers(3, 20, T)
+            n_max = int(counts.max())
+            epochs_pad = np.zeros((T, n_max))
+            per_traj = []
+            for t in range(T):
+                base = np.sort(rng.uniform(0, 40.0, counts[t]))
+                # force duplicate epochs: several same-night pairs
+                for _ in range(int(rng.integers(1, 4))):
+                    i = int(rng.integers(0, counts[t] - 1))
+                    base[i + 1] = base[i]
+                base = np.sort(base)
+                epochs_pad[t, : counts[t]] = base
+                per_traj.append(base)
+            dt_min = float(rng.uniform(0.05, 0.5))
+            dt_max = 150.0
+            dtw = 20.0
+            kmax = int(rng.integers(2, 12))
+            trips, ktrips = generate_triplet_indices_batch(
+                epochs_pad, counts, dt_min, dt_max, dtw, 100, kmax
+            )
+            got_t, got_k = generate_triplet_indices_device(
+                jnp.asarray(epochs_pad),
+                jnp.asarray(counts.astype(np.int32)),
+                dt_min, dt_max, dtw, 100, kmax,
+            )
+            np.testing.assert_array_equal(np.asarray(got_k), ktrips)
+            for t in range(T):
+                want = generate_triplet_indices(
+                    per_traj[t], dt_min, dt_max, dtw, 100, kmax
+                )
+                got = [tuple(map(int, r)) for r in trips[t, : ktrips[t]]]
+                assert got == want, f"trial {trial} traj {t}"
+                np.testing.assert_array_equal(
+                    np.asarray(got_t)[t, : ktrips[t]],
+                    trips[t, : ktrips[t]],
+                    err_msg=f"trial {trial} traj {t}",
+                )
+                # every selected triplet satisfies the span window
+                e = per_traj[t]
+                for (a, j, k) in got:
+                    span = e[k] - e[a]
+                    assert dt_min <= span <= dt_max
+
 
 class TestStorageOrder:
     """The host-prep layout builders replace the (mjd, traj) lexsort with an
