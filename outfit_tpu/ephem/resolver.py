@@ -156,11 +156,36 @@ def os_cache_root() -> str:
     return os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
 
 
-def download_file(url: str, path: str, timeout: float = 60.0) -> None:
+def validate_ephemeris_bytes(path: str, scheme: str) -> bool:
+    """Cheap integrity check on a downloaded DE binary BEFORE caching it.
+
+    An HTTP-200 error page or captive-portal response would otherwise be
+    cached permanently (the ``.part`` + ``os.replace`` dance only guards
+    truncation).  DE kernels are 10 MB class at minimum; NAIF kernels open
+    with the DAF magic ``DAF/SPK`` (daf_header.rs parses it), Horizon
+    legacy binaries carry the three 84-char TTL title strings beginning
+    ``JPL Planetary Ephemeris`` (horizon_data.rs:123-147)."""
+    try:
+        if os.path.getsize(path) < (1 << 20):
+            return False
+        with open(path, "rb") as fh:
+            head = fh.read(256)
+    except OSError:
+        return False
+    if scheme == "naif":
+        return head.startswith(b"DAF/")
+    return b"JPL" in head and b"Ephemeris" in head
+
+
+def download_file(url: str, path: str, timeout: float = 60.0,
+                  validate=None) -> None:
     """Stream ``url`` to ``path`` (chunked; the files are 100 MB class).
 
     Writes to ``path + '.part'`` first so an interrupted fetch never leaves
-    a truncated file where the resolver would trust it."""
+    a truncated file where the resolver would trust it.  ``validate``
+    (optional) is called with the ``.part`` path before the move; returning
+    falsy deletes the download and raises ``OSError`` so the caller's
+    zero-egress degradation path reports the failure."""
     import urllib.request
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -172,6 +197,12 @@ def download_file(url: str, path: str, timeout: float = 60.0) -> None:
             if not chunk:
                 break
             f.write(chunk)
+    if validate is not None and not validate(tmp):
+        os.remove(tmp)
+        raise OSError(
+            f"downloaded content from {url} failed integrity validation "
+            "(not a JPL ephemeris binary — error page or truncated response?)"
+        )
     os.replace(tmp, path)
 
 
@@ -196,7 +227,10 @@ def resolve_ephemeris_file(
         return path
     if download and os.environ.get("OUTFIT_NO_DOWNLOAD") != "1":
         try:
-            download_file(src.url, path)
+            download_file(
+                src.url, path,
+                validate=lambda p: validate_ephemeris_bytes(p, src.scheme),
+            )
             return path
         except Exception as e:  # urllib raises a small zoo of types
             raise JPLFileNotFound(

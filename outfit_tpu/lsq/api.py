@@ -92,6 +92,10 @@ class LsqResult:
     traj_id: str
     ok: bool
     error: Optional[str] = None
+    #: kernel status code (loop.py convention: 1=STATUS_OK, 2=bizarre,
+    #: 3=diverged, 4=inversion-failed; -1 = no kernel run for this row).
+    #: Carried numerically so LsqTable never reverse-maps error strings.
+    status: int = -1
     fell_back_to_iod: bool = False
     normalised_rms: float = float("inf")
     epoch: float = 0.0
@@ -856,6 +860,7 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
             results[tid] = LsqResult(
                 tid,
                 ok=True,
+                status=status_l[t],
                 normalised_rms=rms_l[t],
                 epoch=iod.epoch,
                 equinoctial=el_rows[t],
@@ -870,6 +875,7 @@ def _build_fused_results(dataset, st, iod_fetched, lsq_fetched):
                 tid,
                 ok=True,
                 error=_status_name(status_l[t]),
+                status=status_l[t],
                 fell_back_to_iod=True,
                 normalised_rms=iod.rms,
                 epoch=iod.epoch,
@@ -1008,6 +1014,7 @@ def _fit_lsq_seeded(
             results[tid] = LsqResult(
                 tid,
                 ok=True,
+                status=status_l[t],
                 normalised_rms=rms_l[t],
                 epoch=ep_l[t],
                 equinoctial=el_rows[t],
@@ -1023,6 +1030,7 @@ def _fit_lsq_seeded(
                 tid,
                 ok=True,
                 error=_status_name(status_l[t]),
+                status=status_l[t],
                 fell_back_to_iod=True,
                 normalised_rms=float(iod.rms),
                 epoch=float(iod.epoch),

@@ -151,6 +151,7 @@ class LsqTable:
             return LsqResult(
                 traj_id,
                 ok=True,
+                status=int(self.status[i]),
                 normalised_rms=float(self.normalised_rms[i]),
                 epoch=float(self.epoch[i]),
                 equinoctial=self.equinoctial[i],
@@ -166,6 +167,7 @@ class LsqTable:
             traj_id,
             ok=True,
             error=_status_name(int(self.status[i])),
+            status=int(self.status[i]),
             fell_back_to_iod=True,
             normalised_rms=float(self.normalised_rms[i]),
             epoch=float(self.epoch[i]),
@@ -281,9 +283,13 @@ class LsqTable:
             t.fell_back_to_iod[i] = r.fell_back_to_iod
             if r.ok and r.equinoctial is not None:
                 # kernel status-code convention (see the ``status`` field
-                # doc): converged rows are STATUS_OK; fallback rows carry
-                # the failure code recovered from the error string
-                if t.converged[i]:
+                # doc): LsqResult carries the numeric code directly; the
+                # error-string reverse-map remains only for hand-built
+                # results predating the ``status`` field (drifted strings
+                # there would otherwise mislabel rows as DIVERGED)
+                if getattr(r, "status", -1) >= 0:
+                    t.status[i] = r.status
+                elif t.converged[i]:
                     t.status[i] = 1
                 else:
                     from outfit_tpu.lsq.api import _STATUS_NAMES

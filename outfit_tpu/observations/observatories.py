@@ -161,13 +161,21 @@ def _load_obscodes_file(path: str) -> dict:
 OBSCODES_URL = "https://www.minorplanetcenter.net/iau/lists/ObsCodes.html"
 
 
-def _try_fetch_url(url: str, path: str, deadline: float = 12.0) -> bool:
+def _try_fetch_url(url: str, path: str, deadline: float = 12.0,
+                   validate=None) -> bool:
     """One-shot opportunistic download of a public data file.
 
     Zero-egress degradation: any failure writes a dated marker next to
     ``path`` and is not retried for 7 days, so offline hosts pay the
     connect timeout once, not once per process.  Shared by the MPC
-    ObsCodes catalog and the IERS finals2000A UT1 series."""
+    ObsCodes catalog and the IERS finals2000A UT1 series.
+
+    ``validate`` (optional) is called with the downloaded ``.part`` path
+    BEFORE it is moved into place; returning falsy (or raising) discards
+    the download and writes the retry marker.  Without it an HTTP-200
+    error page or captive-portal response would be cached permanently —
+    the weekly marker only covers raised failures — silently degrading
+    the consumer on every subsequent run."""
     if os.environ.get("OUTFIT_NO_DOWNLOAD") == "1":
         return False
     marker = path + ".unavailable"
@@ -198,6 +206,9 @@ def _try_fetch_url(url: str, path: str, deadline: float = 12.0) -> bool:
                     path + ".part", "wb"
                 ) as f:
                     f.write(r.read())
+                if validate is not None and not validate(path + ".part"):
+                    os.remove(path + ".part")
+                    return
                 os.replace(path + ".part", path)
                 done.set()
             except Exception:
@@ -221,8 +232,15 @@ def _try_fetch_url(url: str, path: str, deadline: float = 12.0) -> bool:
 
 
 def _try_fetch_obscodes(path: str) -> bool:
-    """Opportunistic one-shot download of the real MPC catalog."""
-    return _try_fetch_url(OBSCODES_URL, path)
+    """Opportunistic one-shot download of the real MPC catalog.
+
+    A response that does not parse as an MPC catalog (a few thousand
+    fixed-width site rows; an error page yields ~0) is discarded rather
+    than cached."""
+    return _try_fetch_url(
+        OBSCODES_URL, path,
+        validate=lambda p: len(_load_obscodes_file(p)) >= 100,
+    )
 
 
 def _catalog() -> dict:
@@ -248,6 +266,13 @@ def _catalog() -> dict:
 
 _warned_codes: set = set()
 
+#: codes whose embedded coordinates were SOLVED from the repo's own fixture
+#: astrometry (tools/solve_site.py) rather than taken from an authoritative
+#: source — fine for the fixtures they were fit to, but potentially wrong
+#: for other datasets (K19/W24 come from 3 single-night observations and
+#: are globally degenerate; see the _GEODETIC comments)
+_SOLVED_FALLBACK = frozenset({"K19", "O18", "P07", "W24"})
+
 
 def get_observatory(code: str, strict: bool = False) -> Observer:
     """Look up an MPC observatory code.
@@ -263,7 +288,23 @@ def get_observatory(code: str, strict: bool = False) -> Observer:
     cat = _catalog()
     code = code.strip()
     if code in cat:
-        return cat[code]
+        obs = cat[code]
+        # one-time heads-up when a fixture-solved fallback coordinate is
+        # being used (no real ObsCodes entry overrode it): for datasets
+        # other than the fixtures it was fit to, the topocentric
+        # correction may be silently wrong
+        if obs.approx and code in _SOLVED_FALLBACK and code not in _warned_codes:
+            _warned_codes.add(code)
+            import warnings
+
+            warnings.warn(
+                f"observatory {code!r} resolved from embedded coordinates "
+                "that were SOLVED from this repo's fixture astrometry, not "
+                "an authoritative catalog; supply a real MPC ObsCodes file "
+                "($OUTFIT_OBSCODES) for accurate topocentric corrections",
+                stacklevel=2,
+            )
+        return obs
     if strict:
         from outfit_tpu.errors import UnknownObservatory
 

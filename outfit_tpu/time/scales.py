@@ -222,7 +222,12 @@ class Ut1Provider:
         if not os.path.exists(path):
             from outfit_tpu.observations.observatories import _try_fetch_url
 
-            _try_fetch_url(cls.FINALS2000A_URL, path)
+            # an HTTP-200 error page must not be cached as the EOP series:
+            # require a real finals2000A parse (decades of daily rows)
+            _try_fetch_url(
+                cls.FINALS2000A_URL, path,
+                validate=lambda p: cls.from_finals2000a(p).mjd.size >= 1000,
+            )
         if os.path.exists(path):
             return cls.from_finals2000a(path)
         return cls()
