@@ -47,6 +47,7 @@ class NBodyResult(NamedTuple):
     dpos_delem: jnp.ndarray  # (..., 6, 3)
     dvel_delem: jnp.ndarray  # (..., 6, 3)
     status: jnp.ndarray  # 0 ok
+    n_steps: jnp.ndarray  # accepted DOP853 steps per lane (bench metric)
 
 
 def _perturber_gms(config: NBodyConfig) -> jnp.ndarray:
@@ -196,5 +197,6 @@ def propagate_nbody(
     dpos = jnp.where(tiny[..., None, None], init.dpos_delem, dpos)
     dvel = jnp.where(tiny[..., None, None], init.dvel_delem, dvel)
     status = jnp.where(tiny, 0, res.status).astype(jnp.int32)
+    n_steps = jnp.where(tiny, 0, res.n_steps).astype(jnp.int32)
 
-    return NBodyResult(pos1, vel1, dpos, dvel, status)
+    return NBodyResult(pos1, vel1, dpos, dvel, status, n_steps)
