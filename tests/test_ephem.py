@@ -995,3 +995,80 @@ class TestResolverDownload:
         # second call short-circuits on the marker (urlopen would raise
         # again anyway, but the marker path returns before threading)
         assert not _try_fetch_url("https://example/y", str(dst2))
+
+
+@pytest.mark.slow
+class TestBinaryFileE2E:
+    """End-to-end IOD+LSQ through an ephemeris PARSED FROM A BINARY FILE
+    (VERDICT r3 next-round #6: the binary parse path was byte-oracle-tested
+    but never fed the production pipeline).  The analytic Chebyshev tables
+    are written into a real classic-layout DE binary, parsed back through
+    ``JPLEphem.new(path=...)``, and must drive the full 8467 fixture fit to
+    BITWISE-identical results vs the in-memory analytic tables: the parsed
+    ``BodyTable`` arrays round-trip exactly (f64 bytes; block/granule
+    arithmetic on exactly-representable MJDs), so any pipeline difference
+    would indicate a facade/parse defect."""
+
+    def test_fit_lsq_from_horizon_file_bitwise(self, tmp_path):
+        from outfit_tpu.ephem.analytic import build_analytic_tables
+        from outfit_tpu.ephem.horizon import write_synthetic_horizon
+        from outfit_tpu.iod.params import IODParams
+        from outfit_tpu.lsq.api import fit_lsq
+        from outfit_tpu.lsq.config import DifferentialCorrectionConfig
+        from outfit_tpu.observations.dataset import ObsDataset
+
+        # 3 x 32-day blocks covering the 8467 fixture arc (60647-60687);
+        # EMB granule 16 d -> ns=2, MOON granule 4 d -> ns=8, zero SUN
+        # table (the analytic source is heliocentric)
+        t0, t1 = 60640.0, 60736.0
+        tables = build_analytic_tables(t0, t1)
+        emb, moon = tables[Body.EMB], tables[Body.MOON]
+        sun = BodyTable(emb.t0, emb.granule_days, jnp.zeros_like(emb.coeffs))
+        eph_a = JPLEphem(
+            {Body.EMB: emb, Body.MOON: moon}, kind="analytic"
+        )
+
+        path = str(tmp_path / "pipeline.de")
+        # au_km = 2^27: the format stores km (writer multiplies, parser
+        # divides by the header's AU); a power-of-two scale makes that
+        # genuine unit round trip an exponent shift, so the parsed
+        # coefficients are BITWISE the written ones (with the real
+        # 1.496e8 the round trip costs 1 ulp on ~8% of entries)
+        write_synthetic_horizon(
+            path, {2: (emb, 2), 9: (moon, 8), 10: (sun, 2)}, au_km=2.0**27
+        )
+        eph_h = JPLEphem.new("horizon:SYN", path=path)
+
+        # the parsed tables must be bitwise equal to what was written
+        for body in (Body.EMB, Body.MOON):
+            src = tables[body]
+            got = eph_h.tables[body]
+            assert float(got.t0) == float(src.t0)
+            assert float(got.granule_days) == float(src.granule_days)
+            np.testing.assert_array_equal(
+                np.asarray(got.coeffs), np.asarray(src.coeffs)
+            )
+        assert eph_h.emrat == eph_a.emrat
+
+        ds = ObsDataset.from_mpc_80_col(
+            os.path.join(os.path.dirname(__file__), "data", "8467.obs")
+        )
+        params = IODParams(n_noise_realizations=2)
+        cfg = DifferentialCorrectionConfig()
+        r_a = fit_lsq(ds, eph_a, params, cfg, seed=42)["8467"]
+        # fresh dataset object: the fit must not depend on shared state
+        ds2 = ObsDataset.from_mpc_80_col(
+            os.path.join(os.path.dirname(__file__), "data", "8467.obs")
+        )
+        r_h = fit_lsq(ds2, eph_h, params, cfg, seed=42)["8467"]
+
+        assert r_a.ok and r_h.ok
+        assert r_h.status == r_a.status
+        assert float(r_h.normalised_rms) == float(r_a.normalised_rms)
+        np.testing.assert_array_equal(
+            np.asarray(r_h.equinoctial), np.asarray(r_a.equinoctial)
+        )
+        if r_a.covariance is not None:
+            np.testing.assert_array_equal(
+                np.asarray(r_h.covariance), np.asarray(r_a.covariance)
+            )
