@@ -778,15 +778,19 @@ def accuracy_certificate(n_traj: int = 1024):
     # element difference is the fit's own formal 1-sigma.
     nr_m_s = np.where(both, nr_m, 0.0)  # mask BEFORE subtracting: inf-inf
     nr_f_s = np.where(both, nr_f, 0.0)  # on unconverged rows warns as nan
-    same_basin = both & (
-        np.abs(nr_m_s - nr_f_s) < 1e-6 * (1.0 + np.abs(nr_f_s))
-    )
+    # same-optimum classification is by PARAMETER-SPACE distance: two fits
+    # describe the same chi2 point when every element agrees within half
+    # its own formal 1-sigma.  (Rounds 1-3 classified by nRMS agreement at
+    # 1e-6, which misclassified same-optimum rows whose Newton loops
+    # stopped at different residual FLOORS — measured dnRMS ~3e-6 on
+    # identical-element rows — as "flips".)
+    all_sig = np.abs(el_m - el_f) / np.maximum(sig_f, 1e-300)
+    all_sig = np.where(both[:, None], all_sig, np.inf)
+    same_basin = both & (all_sig.max(axis=1) < 0.5)
     rel = np.abs(el_m[same_basin] - el_f[same_basin]) / (
         1.0 + np.abs(el_f[same_basin])
     )
-    in_sigma = np.abs(el_m[same_basin] - el_f[same_basin]) / np.maximum(
-        sig_f[same_basin], 1e-300
-    )
+    in_sigma = all_sig[same_basin]
     seed_both = ok_m & ok_f
     rel_seed = np.abs(eqv_m[seed_both] - eqv_f[seed_both]) / (
         1.0 + np.abs(eqv_f[seed_both])
@@ -806,6 +810,27 @@ def accuracy_certificate(n_traj: int = 1024):
         f"precision error); IOD seeds median {np.median(rel_seed):.2e} "
         f"(seed grade; the correction contracts them to the LSQ figure)"
     )
+    # quantify the FLIP rows (VERDICT r3 next-round #2): are the different
+    # optima mixed mode settles in statistically as good as the f64 ones?
+    # dnRMS = nRMS(mixed) - nRMS(f64) per flip row: <= 0 means mixed found
+    # an equal-or-BETTER chi2 point; the certificate prints the
+    # distribution and the fraction meaningfully worse (> 0.1 in nRMS,
+    # i.e. a visible quality loss on the sqrt-reduced-chi2 scale)
+    flip = both & ~same_basin
+    if flip.any():
+        dn = nr_m_s[flip] - nr_f_s[flip]
+        worse = float((dn > 0.1).mean())
+        log(
+            f"FLIP-ROW QUALITY ({int(flip.sum())} rows at genuinely "
+            f"different chi2 points): dnRMS(mixed-f64) "
+            f"median {np.median(dn):+.2e}, p5 {np.percentile(dn, 5):+.2e}, "
+            f"p95 {np.percentile(dn, 95):+.2e}, max {dn.max():+.2e}; "
+            f"{(dn <= 0).mean()*100:.1f}% of flips land on an "
+            f"equal-or-better chi2 point, {worse*100:.2f}% are worse by "
+            f"> 0.1 nRMS; the zero-noise regression (tests/test_lsq.py) "
+            f"pins flip count == 0 when the chi2 surface is not "
+            f"seed-degenerate"
+        )
 
 
 def _backend_usable(timeout_s: int = 90):

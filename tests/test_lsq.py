@@ -145,6 +145,88 @@ class TestClosure:
         assert float(kep.periapsis_argument) == pytest.approx(0.7, abs=1e-8)
         assert r.uncertainties is not None and (r.uncertainties > 0).all()
 
+    @pytest.mark.slow
+    def test_zero_noise_no_precision_flips(self, eph):
+        """Mixed-vs-f64 optimum flips vanish when the chi2 surface is not
+        seed-degenerate (VERDICT r3 next-round #2).  The bench's accuracy
+        certificate reports ~37% of NOISY synthetic rows settling at a
+        different chi2 point between precisions, attributed to seed
+        sensitivity in flat valleys rather than precision error.  This
+        pins that attribution: with ZERO observation noise every arc has
+        a unique sharp optimum (the truth), so the two precisions MUST
+        land on the same optimum for every trajectory — flip count == 0
+        by the certificate's own same-basin criterion
+        (|dnRMS| < 1e-6 * (1 + nRMS))."""
+        rng = np.random.default_rng(20)
+        ds = None
+        truths = {}
+        for i in range(16):
+            kep = KeplerianElements(*map(jnp.float64, (
+                57000.0,
+                float(rng.uniform(1.3, 3.2)),
+                float(rng.uniform(0.02, 0.3)),
+                float(rng.uniform(0.02, 0.5)),
+                float(rng.uniform(0, 2 * np.pi)),
+                float(rng.uniform(0, 2 * np.pi)),
+                float(rng.uniform(0, 2 * np.pi)),
+            )))
+            tid = f"Z{i:02d}"
+            truths[tid] = kep
+            ds = _synth_dataset(
+                eph, kep, _EPOCHS + float(rng.uniform(0, 0.5)),
+                tid=tid, ds=ds,
+            )
+        p = IODParams(n_noise_realizations=2)
+        # grace=2: tolerate the routine transient RMS overshoot of the
+        # first Newton step from a Gauss seed (the bench production config)
+        r64 = fit_lsq(
+            ds, eph, p,
+            DifferentialCorrectionConfig(
+                precision="f64", divergence_grace_iterations=2
+            ),
+            seed=9,
+        )
+        rmx = fit_lsq(
+            ds, eph, IODParams(n_noise_realizations=2, precision="mixed"),
+            DifferentialCorrectionConfig(
+                precision="mixed", divergence_grace_iterations=2
+            ),
+            seed=9,
+        )
+        flips = []
+        for tid in truths:
+            a, b = r64[tid], rmx[tid]
+            assert a.ok and not a.fell_back_to_iod, f"{tid}: {a.error}"
+            assert b.ok and not b.fell_back_to_iod, f"{tid}: {b.error}"
+            # same-basin: the certificate's criterion, extended for the
+            # zero-residual regime — with no noise both fits drive nRMS
+            # to ~0 but stop at different residual FLOORS under the same
+            # step-norm threshold (measured: 1e-6 vs 1e-10), which is the
+            # same optimum, not a flip
+            same = (
+                abs(b.normalised_rms - a.normalised_rms)
+                < 1e-6 * (1.0 + abs(a.normalised_rms))
+            ) or (a.normalised_rms < 1e-4 and b.normalised_rms < 1e-4)
+            if not same:
+                flips.append((tid, a.normalised_rms, b.normalised_rms))
+            # same optimum means same ORBIT at polish grade.  The two
+            # precisions may seed from different IOD triplets, so the LSQ
+            # reference epochs can differ; (a, h, k, p, q) are
+            # epoch-invariant, and the mean longitudes must agree after
+            # advancing to a common epoch at the fitted mean motion
+            # n = k_gauss / a^1.5
+            ea, eb = np.asarray(a.equinoctial), np.asarray(b.equinoctial)
+            np.testing.assert_allclose(
+                eb[:5], ea[:5], rtol=1e-8, atol=1e-10, err_msg=tid
+            )
+            from outfit_tpu.constants import GAUSS_GRAV
+
+            n_mot = GAUSS_GRAV / float(ea[0]) ** 1.5
+            lam_b_at_a = eb[5] + n_mot * (a.epoch - b.epoch)
+            dlam = (lam_b_at_a - ea[5] + np.pi) % (2 * np.pi) - np.pi
+            assert abs(dlam) < 1e-7, f"{tid}: dlambda {dlam:.2e}"
+        assert not flips, f"precision flips on zero-noise arcs: {flips}"
+
     def test_noisy_recovery_within_uncertainty(self, eph):
         kep_true = KeplerianElements(*map(jnp.float64, _KEP_TRUE))
         ds = _synth_dataset(eph, kep_true, _EPOCHS, noise=11)
