@@ -625,13 +625,47 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
         ra, dec, sra, sdec, helio = (
             x.astype(jnp.float32) for x in (ra, dec, sra, sdec, helio)
         )
-    obs_mjd = mjd[lane_traj][:, None, :]  # (L, 1, N)
-    obs_ra = ra[lane_traj][:, None, :]
-    obs_dec = dec[lane_traj][:, None, :]
-    obs_sra = sra[lane_traj][:, None, :]
-    obs_sdec = sdec[lane_traj][:, None, :]
-    obs_helio = helio[lane_traj][:, None, :, :]
-    wmask = window_mask[:, None, :]
+    N = mjd.shape[1]
+    S = int(params.selection_subsample)
+    subsampled = 0 < S < N
+    if subsampled:
+        # SELECTION-window subsample (opt-in; see IODParams docstring):
+        # the window mask is contiguous over the left-packed valid
+        # observations (epoch-interval form, _assemble_lanes), so a
+        # uniform-with-edges pick over [wlo, wlo+cnt-1] mirrors the
+        # triplet downsampler's policy (index_generator.rs:66-75).  When
+        # cnt <= S the subsample IS the window (bitwise-identical
+        # scoring); otherwise S distinct indices (the floor-division
+        # steps are >= 1 when cnt-1 >= S-1).
+        wlo = jnp.argmax(window_mask, axis=-1).astype(jnp.int32)  # (L,)
+        cnt = jnp.sum(window_mask, axis=-1).astype(jnp.int32)
+        s_ar = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+        j = jnp.where(
+            cnt[:, None] <= S,
+            s_ar,
+            s_ar * (cnt[:, None] - 1) // (S - 1),
+        )
+        pos = wlo[:, None] + jnp.minimum(j, jnp.maximum(cnt[:, None] - 1, 0))
+        pos = jnp.minimum(pos, N - 1)
+        sub_mask = s_ar < cnt[:, None]
+        sub = lambda x: jnp.take_along_axis(x[lane_traj], pos, axis=1)
+        obs_mjd = sub(mjd)[:, None, :]  # (L, 1, S)
+        obs_ra = sub(ra)[:, None, :]
+        obs_dec = sub(dec)[:, None, :]
+        obs_sra = sub(sra)[:, None, :]
+        obs_sdec = sub(sdec)[:, None, :]
+        obs_helio = jnp.take_along_axis(
+            helio[lane_traj], pos[..., None], axis=1
+        )[:, None, :, :]
+        wmask = sub_mask[:, None, :]
+    else:
+        obs_mjd = mjd[lane_traj][:, None, :]  # (L, 1, N)
+        obs_ra = ra[lane_traj][:, None, :]
+        obs_dec = dec[lane_traj][:, None, :]
+        obs_sra = sra[lane_traj][:, None, :]
+        obs_sdec = sdec[lane_traj][:, None, :]
+        obs_helio = helio[lane_traj][:, None, :, :]
+        wmask = window_mask[:, None, :]
 
     rms = rms_orbit_error(
         eq, obs_mjd, obs_ra, obs_dec, obs_sra, obs_sdec, obs_helio, wmask
@@ -666,6 +700,14 @@ def _iod_kernel(tri: GaussTriplets, obs_arrays, lane_traj, window_mask, params: 
     rms_t = jnp.where(has, seg_min.astype(jnp.float64), jnp.inf)
 
     if not mixed:
+        if subsampled:
+            # the REPORTED RMS is always full-window: rescore only the
+            # winning lane per trajectory (T rows, not L*K)
+            eq_t = EquinoctialElements(*(gather(f) for f in eq))
+            rms_full = rms_orbit_error(
+                eq_t, mjd, ra, dec, sra, sdec, helio, window_mask[sel]
+            )
+            rms_t = jnp.where(has & jnp.isfinite(rms_full), rms_full, jnp.inf)
         return (
             rms_t,
             gather(kind),

@@ -57,6 +57,23 @@ class IODParams:
     #: f64 correction iterations in the mixed-precision polish pass.
     polish_max_it: int = 12
 
+    #: opt-in SELECTION-window subsampling (0 = off, reference-parity
+    #: selection).  When > 0, the per-candidate RMS used to SELECT among
+    #: the max_tested_solutions Gauss candidates (and among Monte-Carlo
+    #: lanes) is computed on a uniform-with-edges subsample of at most
+    #: this many window observations; the selected winner is then
+    #: rescored on the FULL window (the mixed-precision f64 polish
+    #: already does this; the f64 path adds a winner-only full rescore),
+    #: so the REPORTED RMS is always the full-window value.  On real
+    #: survey arcs (mean ~76 obs) candidate scoring is a large share of
+    #: the IOD dispatch (~130 ms of ~512 ms, docs/DESIGN.md round 3);
+    #: subsampling trades it for a possible selection-order deviation on
+    #: near-tie candidates (either member of such a tie is an equally
+    #: good seed — the LSQ stage refines whichever wins).  Arcs whose
+    #: window is already <= the subsample produce BITWISE-identical
+    #: results (tests/test_iod.py::TestSelectionSubsample).
+    selection_subsample: int = 0
+
     def __str__(self) -> str:
         """Pretty printer (parity: IODParams Display, mod.rs:632-789)."""
         lines = ["IODParams {"]
@@ -70,7 +87,8 @@ class IODParams:
             ("solvers", ["aberth_max_iter", "aberth_eps", "kepler_eps",
              "max_tested_solutions", "newton_eps", "newton_max_it",
              "root_imag_eps"]),
-            ("tpu execution", ["precision", "polish_max_it"]),
+            ("tpu execution", ["precision", "polish_max_it",
+             "selection_subsample"]),
         ]:
             lines.append(f"  # {section}")
             for k in keys:
@@ -102,4 +120,8 @@ class IODParams:
             raise InvalidIODParameter("precision must be 'f64' or 'mixed'")
         if self.batch_size < 0:
             raise InvalidIODParameter("batch_size must be >= 0 (0 = single batch)")
+        if self.selection_subsample < 0 or self.selection_subsample == 1:
+            raise InvalidIODParameter(
+                "selection_subsample must be 0 (off) or >= 2"
+            )
         return self

@@ -255,6 +255,89 @@ class TestDeterminism:
         assert r_a.rms == pytest.approx(r_ab.rms, abs=1e-13)
 
 
+class TestSelectionSubsample:
+    """Opt-in subsampled selection-window scoring
+    (IODParams.selection_subsample; docs/DESIGN.md round 4)."""
+
+    def test_small_window_bitwise_identical(self, eph):
+        """Arcs whose RMS window fits inside the subsample must produce
+        BITWISE-identical results: the subsample IS the window, and the
+        winner rescore recomputes the same full-window RMS."""
+        kep_true = KeplerianElements(
+            *map(jnp.float64, (57000.0, 2.3, 0.15, 0.12, 1.1, 0.7, 0.3))
+        )
+        epochs = 57000.0 + np.array([0.0, 2.0, 5.0, 9.0, 14.0, 20.0, 27.0, 35.0])
+        ds = _synthesize(eph, kep_true, epochs)
+        for precision in ("f64", "mixed"):
+            base = fit_full_iod(
+                ds, eph,
+                IODParams(n_noise_realizations=2, precision=precision),
+                seed=1,
+            )["SYNTH"]
+            sub = fit_full_iod(
+                ds, eph,
+                IODParams(
+                    n_noise_realizations=2, precision=precision,
+                    selection_subsample=32,
+                ),
+                seed=1,
+            )["SYNTH"]
+            assert sub.ok == base.ok, precision
+            assert sub.rms == base.rms, precision
+            np.testing.assert_array_equal(
+                np.asarray(sub.equinoctial), np.asarray(base.equinoctial),
+                err_msg=precision,
+            )
+
+    @pytest.mark.slow
+    def test_wide_window_seed_quality(self, eph):
+        """With more window observations than the subsample, the selected
+        seed may differ on near-ties but must stay seed-grade: the fit
+        converges and the reported RMS is the FULL-window score of the
+        selected orbit (not the subsampled selection score)."""
+        from outfit_tpu.iod.scoring import rms_orbit_error as _unused  # noqa
+
+        kep_true = KeplerianElements(
+            *map(jnp.float64, (57000.0, 1.9, 0.2, 0.25, 0.8, 1.4, 0.6))
+        )
+        # 48 observations over 60 days: window (extf<0 -> full arc) is
+        # wider than the 16-obs subsample
+        rng = np.random.default_rng(6)
+        epochs = 57000.0 + np.sort(rng.uniform(0, 60, 48))
+        ds = _synthesize(eph, kep_true, epochs, noise=3)
+        for precision in ("f64", "mixed"):
+            base = fit_full_iod(
+                ds, eph,
+                IODParams(n_noise_realizations=2, precision=precision),
+                seed=1,
+            )["SYNTH"]
+            sub = fit_full_iod(
+                ds, eph,
+                IODParams(
+                    n_noise_realizations=2, precision=precision,
+                    selection_subsample=16,
+                ),
+                seed=1,
+            )["SYNTH"]
+            assert sub.ok, precision
+            # full-window RMS of an equally good seed: same quality class
+            assert sub.rms <= 1.5 * base.rms + 1e-9, precision
+            kep = equinoctial_to_keplerian(
+                EquinoctialElements(
+                    sub.epoch, *map(jnp.float64, sub.equinoctial)
+                )
+            )
+            assert float(kep.semi_major_axis) == pytest.approx(1.9, abs=0.05)
+
+    def test_validation(self):
+        with pytest.raises(Exception):
+            IODParams(selection_subsample=1).validated()
+        with pytest.raises(Exception):
+            IODParams(selection_subsample=-3).validated()
+        IODParams(selection_subsample=0).validated()
+        IODParams(selection_subsample=24).validated()
+
+
 class TestMixedPrecision:
     """The mixed-precision path (f32 iterate + f64 polish, IODParams.precision)
     must match the f64 path at seed grade: same success set, same selected
