@@ -126,6 +126,27 @@ def _install_flush_guards():
             pass
 
 
+#: per-process XLA compile accounting [count, total_seconds]; fed by a
+#: jax.monitoring listener (installed in main) and reported per stage so
+#: compile-shape growth is visible in every bench log (VERDICT r3 #7: a
+#: cold driver cache must not silently re-approach the rc=124 budget)
+_COMPILES = [0, 0.0]
+
+
+def _install_compile_tracker():
+    try:
+        import jax.monitoring as mon
+
+        def _on_duration(key, dur, **kw):
+            if key == "/jax/core/compile/backend_compile_duration":
+                _COMPILES[0] += 1
+                _COMPILES[1] += dur
+
+        mon.register_event_duration_secs_listener(_on_duration)
+    except Exception as e:  # tracking is best-effort
+        log(f"compile tracker unavailable ({type(e).__name__}: {e})")
+
+
 def _stage(name, cost_s, fn, *args, **kwargs):
     """Run a bench stage only if its historical cost fits the remaining
     budget (with 20% headroom); log skip/failure, never raise."""
@@ -136,13 +157,18 @@ def _stage(name, cost_s, fn, *args, **kwargs):
         )
         return None
     t0 = time.time()
+    c0, s0 = _COMPILES
     try:
         out = fn(*args, **kwargs)
-        log(f"stage {name}: {time.time()-t0:.1f}s")
+        log(
+            f"stage {name}: {time.time()-t0:.1f}s "
+            f"({_COMPILES[0]-c0} XLA compiles, {_COMPILES[1]-s0:.1f}s)"
+        )
         return out
     except Exception as e:
         log(f"stage {name} FAILED after {time.time()-t0:.1f}s "
-            f"({type(e).__name__}: {e})")
+            f"({type(e).__name__}: {e}; {_COMPILES[0]-c0} XLA compiles, "
+            f"{_COMPILES[1]-s0:.1f}s)")
         return None
 
 
@@ -899,6 +925,7 @@ def main():
     import jax
 
     _enable_compile_cache()
+    _install_compile_tracker()
 
     log(f"devices: {jax.devices()}  (elapsed {_elapsed():.0f}s of "
         f"{_BUDGET_S:.0f}s budget)")
