@@ -66,6 +66,8 @@ _FACADE = {
     # differential correction
     "fit_lsq": "outfit_tpu.lsq.api",
     "fit_lsq_stream": "outfit_tpu.lsq.api",
+    "fit_lsq_stream_escalating": "outfit_tpu.lsq.api",
+    "fit_lsq_escalating": "outfit_tpu.lsq.api",
     "LsqResult": "outfit_tpu.lsq.api",
     "LsqTable": "outfit_tpu.lsq.table",
     "DifferentialCorrectionOutput": "outfit_tpu.lsq.api",

@@ -17,4 +17,5 @@ from outfit_tpu.lsq.api import (  # noqa: F401
     fit_lsq_escalating,
     fit_lsq_finalize,
     fit_lsq_stream,
+    fit_lsq_stream_escalating,
 )

@@ -1180,6 +1180,129 @@ def fit_lsq_stream(
             ex.shutdown(wait=False, cancel_futures=True)
 
 
+def fit_lsq_stream_escalating(
+    datasets,
+    ephem,
+    stages,
+    seed: int = 0,
+    ut1: Optional[Ut1Provider] = None,
+    error_model: Optional[ErrorModel] = None,
+    mesh="auto",
+    retry_if=None,
+    flush_every: int = 4,
+    **stream_kw,
+):
+    """Pipelined tiered fitting: the LEAN stage streams every dataset
+    (:func:`fit_lsq_stream`), and trajectories that fail it are re-fit
+    with the richer stages in BATCHED passes spanning up to
+    ``flush_every`` datasets' failures at once.
+
+    Rationale: on real survey workloads a lean IOD profile converges
+    ~99.9+% of arcs at ~1.5x the rich profile's stream throughput (the
+    round-4 real-cadence measurement, docs/DESIGN.md), and the rich
+    kernels are LATENCY-bound — a re-fit of 8 stragglers costs nearly
+    the same dispatch as 4096 — so per-dataset escalation would erase
+    the win.  Batching the failures of several datasets into one rich
+    pass amortizes that latency to near zero at the stream's failure
+    rates (~1 per few thousand arcs).
+
+    Yields ``(dataset, results)`` in input order, with failed rows
+    PATCHED by the richer stages before their dataset is yielded
+    (results are buffered up to ``flush_every`` datasets).  Requires the
+    columnar path (``as_table=True``, the default here) or plain dict
+    results.  Determinism: per-trajectory seeds make each re-fit
+    independent of which other trajectories escalated with it; escalated
+    rows draw their noise from the buffer-position-prefixed id
+    ("<k>|<tid>", k = dataset index modulo ``flush_every``), so a fixed
+    stream is reproducible, but an escalated row's realization differs
+    from a standalone ``fit_lsq_escalating`` run of the same dataset.
+    """
+    if not stages:
+        raise ValueError("needs at least one (params, config) stage")
+    if retry_if is None:
+        retry_if = lambda r: (not r.ok) or r.fell_back_to_iod  # noqa: E731
+    stream_kw.setdefault("as_table", True)
+    params0, cfg0 = stages[0]
+
+    held = []  # [(dataset, results, [failed tids])]
+
+    def _failed_tids(ds, res):
+        if isinstance(res, dict):
+            return [tid for tid, r in res.items() if retry_if(r)]
+        # columnar: use the cheap vector mask first, materialize only fails
+        mask = ~np.asarray(res.converged)
+        return [
+            tid
+            for tid in np.asarray(res.traj_ids, object)[mask]
+            if retry_if(res.result(tid))
+        ]
+
+    def _flush():
+        """One batched rich pass per remaining stage over the held
+        datasets' accumulated failures; patch and yield in order."""
+        import dataclasses
+
+        from outfit_tpu.observations.dataset import ObsDataset
+
+        # one failure subset per held dataset (subset preserves every
+        # column — catalog codes, biases — unlike re-pushing Observation
+        # views), concatenated with held-index-prefixed ids so identical
+        # fixture ids from different datasets stay distinct
+        parts = []
+        held_map = []  # parallel: held index per part
+        for hi, (ds, res, fails) in enumerate(held):
+            if not fails:
+                continue
+            rows = [
+                g for tid, g in ds.trajectory_groups()
+                if tid in set(fails) and g.size
+            ]
+            if rows:
+                parts.append(ds.subset(np.concatenate(rows)))
+                held_map.append(hi)
+        if parts:
+            cur = ObsDataset.concat(
+                parts, rename=lambda k, tid: f"{held_map[k]}|{tid}"
+            )
+            for k, (p, c) in enumerate(stages[1:], start=1):
+                res_k = fit_lsq(
+                    cur, ephem, p, c, seed=seed, ut1=ut1,
+                    error_model=error_model, mesh=mesh,
+                )
+                for mtid, r in res_k.items():
+                    hi_s, tid = mtid.split("|", 1)
+                    tgt = held[int(hi_s)][1]
+                    rr = dataclasses.replace(r, traj_id=tid)
+                    if isinstance(tgt, dict):
+                        tgt[tid] = rr
+                    else:
+                        tgt.patch_row(tid, rr)
+                if k == len(stages) - 1:
+                    break
+                retry = {t for t, r in res_k.items() if retry_if(r)}
+                if not retry:
+                    break
+                rows = [
+                    g for t, g in cur.trajectory_groups()
+                    if t in retry and g.size
+                ]
+                if not rows:
+                    break
+                cur = cur.subset(np.concatenate(rows))
+        out = [(ds, res) for ds, res, _ in held]
+        held.clear()
+        return out
+
+    for ds, res in fit_lsq_stream(
+        datasets, ephem, params0, cfg0, seed=seed, ut1=ut1,
+        error_model=error_model, mesh=mesh, **stream_kw,
+    ):
+        held.append((ds, res, _failed_tids(ds, res)))
+        if len(held) >= max(flush_every, 1):
+            yield from _flush()
+    yield from _flush()
+
+
 def fit_lsq_escalating(
     dataset,
     ephem,

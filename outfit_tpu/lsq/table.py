@@ -255,65 +255,94 @@ class LsqTable:
             n_active_obs=np.zeros(N, np.int32),
             total_newton_iterations=np.zeros(N, np.int32),
         )
-        tril_i, tril_j = np.tril_indices(6)
         for i, tid in enumerate(tids):
             r = results.get(tid)
             if r is None:
                 continue
-            iod = r.iod
-            if iod is not None:
-                t.iod_ok[i] = iod.ok
-                if iod.ok:
-                    t.iod_error_code[i] = IOD_OK
-                    t.iod_rms[i] = iod.rms
-                    t.iod_kind[i] = iod.kind
-                    t.iod_corrected[i] = iod.corrected
-                    t.iod_epoch[i] = iod.epoch
-                    t.iod_elements[i] = iod.elements
-                    t.iod_equinoctial[i] = iod.equinoctial
-                elif iod.error:
-                    t.host_errors[tid] = iod.error
-            t.kept[i] = r.equinoctial is not None or (
-                iod is not None and iod.ok
-            )
-            t.ok[i] = r.ok
-            t.converged[i] = r.ok and not r.fell_back_to_iod and (
-                r.covariance is not None
-            )
-            t.fell_back_to_iod[i] = r.fell_back_to_iod
-            if r.ok and r.equinoctial is not None:
-                # kernel status-code convention (see the ``status`` field
-                # doc): LsqResult carries the numeric code directly; the
-                # error-string reverse-map remains only for hand-built
-                # results predating the ``status`` field (drifted strings
-                # there would otherwise mislabel rows as DIVERGED)
-                if getattr(r, "status", -1) >= 0:
-                    t.status[i] = r.status
-                elif t.converged[i]:
-                    t.status[i] = 1
-                else:
-                    from outfit_tpu.lsq.api import _STATUS_NAMES
-
-                    t.status[i] = next(
-                        (
-                            c
-                            for c, name in _STATUS_NAMES.items()
-                            if name is not None and name == r.error
-                        ),
-                        3,
-                    )
-                t.normalised_rms[i] = r.normalised_rms
-                t.epoch[i] = r.epoch
-                t.equinoctial[i] = r.equinoctial
-                t.n_active_obs[i] = r.n_active_obs
-                t.total_newton_iterations[i] = r.total_newton_iterations
-                if r.covariance is not None:
-                    t.covariance_tri[i] = np.asarray(r.covariance)[
-                        tril_i, tril_j
-                    ]
-                if r.uncertainties is not None:
-                    t.uncertainties[i] = r.uncertainties
+            t._fill_row(i, tid, r)
         return t
+
+    def patch_row(self, traj_id, r) -> None:
+        """Overwrite one row from an ``LsqResult`` — the escalation path
+        (``fit_lsq_stream_escalating``) re-fits failed trajectories with a
+        richer stage and patches their rows in place."""
+        i = self._row_index(traj_id)
+        # reset the LSQ-stage fields the filler only writes conditionally
+        self.ok[i] = False
+        self.converged[i] = False
+        self.fell_back_to_iod[i] = False
+        self.status[i] = -1
+        self.normalised_rms[i] = np.nan
+        self.epoch[i] = np.nan
+        self.equinoctial[i] = np.nan
+        self.covariance_tri[i] = np.nan
+        self.uncertainties[i] = np.nan
+        self.n_active_obs[i] = 0
+        self.total_newton_iterations[i] = 0
+        self.host_errors.pop(traj_id, None)
+        self._fill_row(i, traj_id, r)
+
+    def _fill_row(self, i, tid, r) -> None:
+        """Populate row ``i`` from an ``LsqResult`` (shared by
+        ``from_results`` and ``patch_row``)."""
+        t = self
+        iod = r.iod
+        if iod is not None:
+            t.iod_ok[i] = iod.ok
+            if iod.ok:
+                t.iod_error_code[i] = IOD_OK
+                t.iod_rms[i] = iod.rms
+                t.iod_kind[i] = iod.kind
+                t.iod_corrected[i] = iod.corrected
+                t.iod_epoch[i] = iod.epoch
+                t.iod_elements[i] = iod.elements
+                t.iod_equinoctial[i] = iod.equinoctial
+            elif iod.error:
+                t.host_errors[tid] = iod.error
+        t.kept[i] = r.equinoctial is not None or (
+            iod is not None and iod.ok
+        )
+        t.ok[i] = r.ok
+        t.converged[i] = r.ok and not r.fell_back_to_iod and (
+            r.covariance is not None
+        )
+        t.fell_back_to_iod[i] = r.fell_back_to_iod
+        if r.ok and r.equinoctial is not None:
+            # kernel status-code convention (see the ``status`` field
+            # doc): LsqResult carries the numeric code directly; the
+            # error-string reverse-map remains only for hand-built
+            # results predating the ``status`` field (drifted strings
+            # there would otherwise mislabel rows as DIVERGED)
+            if getattr(r, "status", -1) >= 0:
+                t.status[i] = r.status
+            elif t.converged[i]:
+                t.status[i] = 1
+            else:
+                from outfit_tpu.lsq.api import _STATUS_NAMES
+
+                t.status[i] = next(
+                    (
+                        c
+                        for c, name in _STATUS_NAMES.items()
+                        if name is not None and name == r.error
+                    ),
+                    3,
+                )
+            t.normalised_rms[i] = r.normalised_rms
+            t.epoch[i] = r.epoch
+            t.equinoctial[i] = r.equinoctial
+            t.n_active_obs[i] = r.n_active_obs
+            t.total_newton_iterations[i] = r.total_newton_iterations
+            if r.covariance is not None:
+                t.covariance_tri[i] = np.asarray(r.covariance)[
+                    _TRIL_I_IDX, _TRIL_J_IDX
+                ]
+            if r.uncertainties is not None:
+                t.uncertainties[i] = r.uncertainties
+
+
+#: lower-triangle index pair for covariance packing (built once)
+_TRIL_I_IDX, _TRIL_J_IDX = np.tril_indices(6)
 
 
 #: index map expanding a 21-slot lower triangle to a flat 6x6 row-major

@@ -446,6 +446,52 @@ class ObsDataset:
         )
         return ds
 
+    @classmethod
+    def concat(cls, datasets, rename=None) -> "ObsDataset":
+        """Concatenate datasets preserving every column (catalog codes,
+        magnitudes, biases).  ``rename(k, tid)`` maps the k-th input's
+        trajectory id to the output id — required when the same id occurs
+        in several inputs (e.g. the escalation path merging failures of
+        a dataset stream); default keeps ids unchanged."""
+        datasets = list(datasets)
+        if not datasets:
+            return cls()
+        out = cls()
+        n_obs = [len(d) for d in datasets]
+        total = sum(n_obs)
+        for f in ("mjd_tt", "ra", "dec", "ra_error", "dec_error"):
+            setattr(out, f, np.concatenate([getattr(d, f) for d in datasets]))
+        # optional per-observation columns: keep only if every input has
+        # them aligned (a half-populated column would misalign the rest)
+        if all(len(d.mag) == n for d, n in zip(datasets, n_obs)):
+            out.mag = np.concatenate([d.mag for d in datasets])
+        if all(len(d.catalog) == n for d, n in zip(datasets, n_obs)):
+            out.catalog = np.concatenate([d.catalog for d in datasets])
+        if any(d.bias_ra is not None for d in datasets):
+            out.bias_ra = np.concatenate([
+                d.bias_ra if d.bias_ra is not None else np.zeros(n)
+                for d, n in zip(datasets, n_obs)
+            ])
+            out.bias_dec = np.concatenate([
+                d.bias_dec if d.bias_dec is not None else np.zeros(n)
+                for d, n in zip(datasets, n_obs)
+            ])
+        tidx, oidx = [], []
+        for k, d in enumerate(datasets):
+            t_off = len(out.traj_ids)
+            o_off = len(out.observers)
+            out.traj_ids.extend(
+                tid if rename is None else rename(k, tid)
+                for tid in d.traj_ids
+            )
+            out.observers.extend(d.observers)
+            tidx.append(d.traj_index + t_off)
+            oidx.append(d.observer_index + o_off)
+        out.traj_index = np.concatenate(tidx) if tidx else out.traj_index
+        out.observer_index = np.concatenate(oidx) if oidx else out.observer_index
+        assert len(out) == total
+        return out
+
     def get_observation(self, i: int) -> Observation:
         return Observation(
             index=i,

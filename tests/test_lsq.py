@@ -891,6 +891,61 @@ class TestEscalation:
                 tiered[tid].equinoctial, plain[tid].equinoctial, rtol=0, atol=0
             )
 
+    @pytest.mark.slow
+    def test_stream_escalating_patches_failures(self, eph):
+        """fit_lsq_stream_escalating: the lean stage streams, failures
+        from several datasets are re-fit in ONE batched rich pass and
+        patched into the yielded tables.  With n_noise_realizations=0
+        the fits are seed-path-independent, so every escalated row must
+        equal a direct rich fit of that trajectory alone (the batch-
+        isolation contract across the cross-dataset failure merge)."""
+        from outfit_tpu.lsq import fit_lsq_stream_escalating
+
+        def build(shift):
+            ds = _synth_dataset(
+                eph, KeplerianElements(*map(jnp.float64, _KEP_TRUE)),
+                _EPOCHS + shift, noise=int(5 + shift * 100), tid="A",
+            )
+            kep_b = KeplerianElements(
+                *map(jnp.float64, (57000.0, 1.7, 0.25, 0.3, 2.2, 0.4, 1.5))
+            )
+            return _synth_dataset(
+                eph, kep_b, _EPOCHS + 0.37 + shift,
+                noise=int(9 + shift * 100), tid="B", ds=ds,
+            )
+
+        datasets = [build(0.0), build(0.05), build(0.11)]
+        # stage 0 rejects A (q ~ 1.96 AU) via the perihelion cap; B passes
+        lean = IODParams(n_noise_realizations=0, max_perihelion_au=1.6)
+        rich = IODParams(n_noise_realizations=0)
+        cfg = DifferentialCorrectionConfig()
+
+        out = list(fit_lsq_stream_escalating(
+            [build(0.0), build(0.05), build(0.11)], eph,
+            [(lean, cfg), (rich, cfg)], seed=42, flush_every=2,
+        ))
+        assert len(out) == 3
+        for k, (ds_out, res) in enumerate(out):
+            assert list(ds_out.traj_ids) == ["A", "B"]
+            ra = res["A"] if isinstance(res, dict) else res.result("A")
+            rb = res["B"] if isinstance(res, dict) else res.result("B")
+            assert ra.ok and rb.ok
+            # escalated A == direct rich solo fit (bitwise-grade)
+            a_idx = datasets[k].trajectory_obs_indices("A")
+            solo = fit_lsq(
+                datasets[k].subset(a_idx), eph, rich, cfg, seed=42
+            )["A"]
+            np.testing.assert_allclose(
+                np.asarray(ra.equinoctial), np.asarray(solo.equinoctial),
+                rtol=0, atol=1e-11,
+            )
+            # B must be untouched lean output
+            lean_b = fit_lsq(datasets[k], eph, lean, cfg, seed=42)["B"]
+            np.testing.assert_allclose(
+                np.asarray(rb.equinoctial), np.asarray(lean_b.equinoctial),
+                rtol=0, atol=1e-11,
+            )
+
 
 class TestLsqTable:
     """Columnar results (``as_table=True``) must materialize EXACTLY the
