@@ -266,6 +266,21 @@ def bench_iod_lsq(n_traj: int, repeats: int = 3):
 
 _radec_jit = None
 
+_BENCH_EPH = None
+
+
+def bench_eph():
+    """ONE analytic ephemeris shared by every stage.  The ephemeris tables
+    trace into the jitted kernels as constants, so a fresh JPLEphem per
+    stage forces full retraces (measured: a re-created eph turned a warm
+    1.8s real-cadence stream pass into 27s of re-tracing)."""
+    global _BENCH_EPH
+    if _BENCH_EPH is None:
+        from outfit_tpu.ephem import JPLEphem
+
+        _BENCH_EPH = JPLEphem.analytic(53500.0, 61500.0)
+    return _BENCH_EPH
+
 
 def synthetic_dataset_ragged(n_traj: int, eph, seed: int = 0,
                              n_obs_range=(8, 23)):
@@ -452,7 +467,7 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
     from outfit_tpu.lsq.config import DifferentialCorrectionConfig
     from outfit_tpu.observer.cache import ObserverCache
 
-    eph = JPLEphem.analytic(53500.0, 61500.0)
+    eph = bench_eph()
     params = IODParams(
         n_noise_realizations=3, precision="mixed", newton_max_it=20,
         max_triplets=2,
@@ -619,7 +634,7 @@ def bench_dop853_nbody(n_lanes: int = 4096, repeats: int = 3):
     from outfit_tpu.ephem import JPLEphem
     from outfit_tpu.propagator import NBodyConfig, propagate_nbody
 
-    eph = JPLEphem.analytic(53500.0, 61500.0)
+    eph = bench_eph()
     cfg = NBodyConfig.with_planets()
     rng = np.random.default_rng(3)
     B = n_lanes
@@ -722,7 +737,7 @@ def _bench_e2e_stream(n_traj: int, n_datasets: int,
     from outfit_tpu.lsq import fit_lsq_stream
     from outfit_tpu.lsq.config import DifferentialCorrectionConfig
 
-    eph = JPLEphem.analytic(53500.0, 61500.0)
+    eph = bench_eph()
     params = IODParams(
         n_noise_realizations=3, precision="mixed", newton_max_it=20,
         max_triplets=2,
@@ -1084,7 +1099,7 @@ def main():
     if not cpu_fallback and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED"):
         from outfit_tpu.ephem import JPLEphem
 
-        _eph = JPLEphem.analytic(53500.0, 61500.0)
+        _eph = bench_eph()
         rag = _stage(
             "e2e-ragged", 240, bench_e2e, n_traj=8192,
             builder=lambda seed: synthetic_dataset_ragged(8192, _eph, seed=seed),
