@@ -528,11 +528,14 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
         kw = dict(slim_fetch=True, as_table=True, minimal_fetch=True)
         if escalate:
             # lean tier streams; failures of ALL datasets re-fit in one
-            # batched rich pass (flush_every covers the whole stream)
+            # batched rich pass (flush_every covers the whole stream).
+            # depth=3: the real-cadence A/B measured 7.3k median vs 6.6k
+            # at the default depth=2 (one more dataset in flight hides
+            # the per-dataset host prep behind the deeper device queue)
             def streamer(dss, n):
                 return fit_lsq_stream_escalating(
                     dss, eph, [(lean_params, cfg), (rich_params, cfg)],
-                    seed=7, flush_every=max(n, 1), **kw,
+                    seed=7, flush_every=max(n, 1), depth=3, **kw,
                 )
         else:
             def streamer(dss, n):
@@ -1112,7 +1115,7 @@ def main():
                 f"12.5k/chip target"
             )
         real = _stage(
-            "e2e-real-cadence", 300, bench_e2e, n_traj=4096,
+            "e2e-real-cadence", 300, bench_e2e, n_traj=4096, repeats=6,
             builder=lambda seed: real_cadence_dataset(4096, seed=seed),
             tag="e2e-real-cadence", stream=True, escalate=True,
         )
