@@ -544,15 +544,18 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
         for _ in streamer([ds], 1):
             pass
         if escalate:
-            # warm the rich-refit shapes: the warm dataset may have zero
-            # lean failures, leaving the refit bucket (8-row floor, the
-            # failing families' width buckets) to compile INSIDE the
-            # timed region on its first real failure
+            # warm the rich-refit shapes at the PINNED composition the
+            # escalation wrapper uses (refit_fill=8 rows per obs-width
+            # bucket; the real-cadence builder is round-robin over 3
+            # families, so the first 24 trajectories are 8 per bucket) —
+            # the warm dataset may have zero lean failures, which would
+            # otherwise leave the refit kernels to compile INSIDE the
+            # timed region on the first real failure
             import numpy as _np
 
             rows = []
             for k, (_tid, g) in enumerate(ds.trajectory_groups()):
-                if k >= 6:
+                if k >= 24:
                     break
                 rows.append(g)
             if rows:

@@ -1190,12 +1190,24 @@ def fit_lsq_stream_escalating(
     mesh="auto",
     retry_if=None,
     flush_every: int = 4,
+    refit_fill: int = 8,
     **stream_kw,
 ):
     """Pipelined tiered fitting: the LEAN stage streams every dataset
     (:func:`fit_lsq_stream`), and trajectories that fail it are re-fit
     with the richer stages in BATCHED passes spanning up to
     ``flush_every`` datasets' failures at once.
+
+    ``refit_fill``: the refit pass's compile shapes are COMPOSITION
+    dependent (which obs-width buckets the failures span, and the width
+    coalescer's merge decision over them) — left alone, every new
+    failure mix compiles new kernels, and a cold one inside a service's
+    steady state costs minutes (measured: 27 XLA compiles / 177 s on a
+    6-dataset real-cadence stream whose warm pass had seen one mix).
+    Topping the refit up to ``refit_fill`` trajectories per obs-width
+    bucket PRESENT IN THE HELD DATASETS with sacrificial rows (their
+    results are discarded, never patched) pins the refit composition —
+    and therefore its kernels — to one shape per workload.  0 disables.
 
     Rationale: on real survey workloads a lean IOD profile converges
     ~99.9+% of arcs at ~1.5x the rich profile's stream throughput (the
@@ -1249,20 +1261,63 @@ def fit_lsq_stream_escalating(
         # views), concatenated with held-index-prefixed ids so identical
         # fixture ids from different datasets stay distinct
         parts = []
-        held_map = []  # parallel: held index per part
+        prefixes = []  # parallel: patch-back prefix per part
+        n_fail_bucket = {}  # obs-width bucket -> failing-row count
+        from outfit_tpu.iod.api import _bucket_width
+
         for hi, (ds, res, fails) in enumerate(held):
             if not fails:
                 continue
-            rows = [
-                g for tid, g in ds.trajectory_groups()
-                if tid in set(fails) and g.size
-            ]
+            fset = set(fails)
+            rows = []
+            for tid, g in ds.trajectory_groups():
+                if tid in fset and g.size:
+                    rows.append(g)
+                    b = int(_bucket_width(g.size))
+                    n_fail_bucket[b] = n_fail_bucket.get(b, 0) + 1
             if rows:
                 parts.append(ds.subset(np.concatenate(rows)))
-                held_map.append(hi)
+                prefixes.append(str(hi))
+        if parts and refit_fill:
+            # sacrificial filler rows pin the refit composition (see the
+            # refit_fill doc): refit_fill rows in EVERY width bucket the
+            # held datasets contain, failures included
+            want = {}
+            for hi, (ds, _res, fails) in enumerate(held):
+                counts = np.bincount(
+                    np.asarray(ds.traj_index, np.int64),
+                    minlength=len(ds.traj_ids),
+                )
+                for b in set(int(x) for x in _bucket_width(counts)):
+                    want.setdefault(b, refit_fill)
+            fill_rows = []
+            need = {
+                b: max(n - n_fail_bucket.get(b, 0), 0)
+                for b, n in want.items()
+            }
+            for hi, (ds, _res, fails) in enumerate(held):
+                if not any(need.values()):
+                    break
+                fset = set(fails)
+                for tid, g in ds.trajectory_groups():
+                    if tid in fset or not g.size:
+                        continue
+                    b = int(_bucket_width(g.size))
+                    if need.get(b, 0) > 0:
+                        need[b] -= 1
+                        fill_rows.append((hi, g))
+            if fill_rows:
+                by_hi = {}
+                for hi, g in fill_rows:
+                    by_hi.setdefault(hi, []).append(g)
+                for hi, gs in by_hi.items():
+                    parts.append(held[hi][0].subset(np.concatenate(gs)))
+                    # hi kept in the prefix: the same trajectory id can
+                    # occur in several held datasets
+                    prefixes.append(f"~fill{hi}")
         if parts:
             cur = ObsDataset.concat(
-                parts, rename=lambda k, tid: f"{held_map[k]}|{tid}"
+                parts, rename=lambda k, tid: f"{prefixes[k]}|{tid}"
             )
             for k, (p, c) in enumerate(stages[1:], start=1):
                 res_k = fit_lsq(
@@ -1271,6 +1326,8 @@ def fit_lsq_stream_escalating(
                 )
                 for mtid, r in res_k.items():
                     hi_s, tid = mtid.split("|", 1)
+                    if hi_s.startswith("~fill"):
+                        continue  # sacrificial shape filler, discard
                     tgt = held[int(hi_s)][1]
                     rr = dataclasses.replace(r, traj_id=tid)
                     if isinstance(tgt, dict):
