@@ -1057,7 +1057,7 @@ def main():
     # known-best mode first so its number lands even if the budget dies
     # mid-stage; the bit-parity reference mode follows for the record
     stream = _stage(
-        "stream", 420, bench_e2e_stream,
+        "stream", 200, bench_e2e_stream,
         n_traj=nt, n_datasets=6 if cpu_fallback else 12,
         modes=("minimal", "default"),
         # report each mode the moment it finishes: a kill between modes
@@ -1077,15 +1077,44 @@ def main():
             + _MODE_LABELS[best_mode] + ")",
         ), tier=2)
 
-    # --- stage 4: accuracy certificate (stderr; VERDICT r2 #7) ------------
-    _stage("accuracy-certificate", 300, accuracy_certificate,
+    # --- stage 4: ragged + real-cadence workloads (VERDICT focus) ---------
+    if not cpu_fallback and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED"):
+        from outfit_tpu.ephem import JPLEphem
+
+        _eph = bench_eph()
+        rag = _stage(
+            "e2e-ragged", 90, bench_e2e, n_traj=8192,
+            builder=lambda seed: synthetic_dataset_ragged(8192, _eph, seed=seed),
+            tag="e2e-ragged", stream=True,
+        )
+        if rag:
+            log(
+                f"END-TO-END RAGGED pipelined (n_obs ~ U[8,23]): {rag:.0f} "
+                f"fits/sec/chip = {rag / target_per_chip:.2f}x the "
+                f"12.5k/chip target"
+            )
+        real = _stage(
+            "e2e-real-cadence", 150, bench_e2e, n_traj=4096, repeats=6,
+            builder=lambda seed: real_cadence_dataset(4096, seed=seed),
+            tag="e2e-real-cadence", stream=True, escalate=True,
+        )
+        if real:
+            log(
+                f"END-TO-END REAL-CADENCE pipelined escalating (real MPC "
+                f"arcs tiled, mean 75.7 obs/traj; lean stream + batched "
+                f"rich refit of failures): {real:.0f} fits/sec/chip = "
+                f"{real / target_per_chip:.2f}x the 12.5k/chip target"
+            )
+
+    # --- stage 5: accuracy certificate (stderr; VERDICT r2 #7) ------------
+    _stage("accuracy-certificate", 120, accuracy_certificate,
            256 if cpu_fallback else 1024)
 
-    # --- stage 4b: DOP853 N-body steps/sec (second BASELINE.md metric) ----
+    # --- stage 6: DOP853 N-body steps/sec (second BASELINE.md metric) -----
     # printed as its OWN JSON line (the driver parses the LAST line, which
     # the final flush keeps as the fits/sec headline; this line rides in
     # the recorded tail as the secondary metric)
-    dop = _stage("dop853-nbody", 150,
+    dop = _stage("dop853-nbody", 60,
                  bench_dop853_nbody, 1024 if cpu_fallback else 4096)
     if dop:
         log(
@@ -1101,34 +1130,6 @@ def main():
             "vs_baseline": 0.0,
         }), flush=True)
 
-    # --- stage 5: informational secondary workloads (stderr only) ---------
-    if not cpu_fallback and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED"):
-        from outfit_tpu.ephem import JPLEphem
-
-        _eph = bench_eph()
-        rag = _stage(
-            "e2e-ragged", 240, bench_e2e, n_traj=8192,
-            builder=lambda seed: synthetic_dataset_ragged(8192, _eph, seed=seed),
-            tag="e2e-ragged", stream=True,
-        )
-        if rag:
-            log(
-                f"END-TO-END RAGGED pipelined (n_obs ~ U[8,23]): {rag:.0f} "
-                f"fits/sec/chip = {rag / target_per_chip:.2f}x the "
-                f"12.5k/chip target"
-            )
-        real = _stage(
-            "e2e-real-cadence", 300, bench_e2e, n_traj=4096, repeats=6,
-            builder=lambda seed: real_cadence_dataset(4096, seed=seed),
-            tag="e2e-real-cadence", stream=True, escalate=True,
-        )
-        if real:
-            log(
-                f"END-TO-END REAL-CADENCE pipelined escalating (real MPC "
-                f"arcs tiled, mean 75.7 obs/traj; lean stream + batched "
-                f"rich refit of failures): {real:.0f} fits/sec/chip = "
-                f"{real / target_per_chip:.2f}x the 12.5k/chip target"
-            )
 
     if not REPORTER.flush("final: re-printing the headline metric line"):
         # nothing measured at all — emit an explicit failure marker rather
