@@ -559,9 +559,11 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
                     break
                 rows.append(g)
             if rows:
+                # compact_observers: match the refit's kernel shapes (the
+                # wrapper compacts the merged failure dataset)
                 fit_lsq(
-                    ds.subset(_np.concatenate(rows)), eph, rich_params,
-                    cfg, seed=7,
+                    ds.subset(_np.concatenate(rows)).compact_observers(),
+                    eph, rich_params, cfg, seed=7,
                 )
         log(f"{tag} stream compile+first run: {time.time()-t0:.1f}s")
         n_ds = max(repeats, 3)

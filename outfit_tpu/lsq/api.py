@@ -1318,7 +1318,7 @@ def fit_lsq_stream_escalating(
         if parts:
             cur = ObsDataset.concat(
                 parts, rename=lambda k, tid: f"{prefixes[k]}|{tid}"
-            )
+            ).compact_observers()
             for k, (p, c) in enumerate(stages[1:], start=1):
                 res_k = fit_lsq(
                     cur, ephem, p, c, seed=seed, ut1=ut1,

@@ -492,6 +492,28 @@ class ObsDataset:
         assert len(out) == total
         return out
 
+    def compact_observers(self) -> "ObsDataset":
+        """New dataset keeping only the REFERENCED observers (order of
+        first reference).  ``subset``/``concat`` keep the full observer
+        lists so indices stay valid cheaply, but downstream kernel shapes
+        bucket on the observer-table length — a merged escalation-refit
+        dataset would otherwise change compile shape with the number of
+        datasets that contributed parts."""
+        import dataclasses
+
+        seen = {}
+        new_index = np.empty(len(self.observer_index), np.int64)
+        for j, oi in enumerate(np.asarray(self.observer_index, np.int64)):
+            k = seen.get(int(oi))
+            if k is None:
+                k = seen[int(oi)] = len(seen)
+            new_index[j] = k
+        observers = [self.observers[oi] for oi in seen]
+        out = dataclasses.replace(self)
+        out.observer_index = new_index
+        out.observers = observers
+        return out.invalidate_caches()
+
     def get_observation(self, i: int) -> Observation:
         return Observation(
             index=i,
