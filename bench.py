@@ -559,10 +559,10 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
                     break
                 rows.append(g)
             if rows:
-                # compact_observers: match the refit's kernel shapes (the
-                # wrapper compacts the merged failure dataset)
+                # subset keeps the full observer table, matching the
+                # refit's (concat dedupes identical observers)
                 fit_lsq(
-                    ds.subset(_np.concatenate(rows)).compact_observers(),
+                    ds.subset(_np.concatenate(rows)),
                     eph, rich_params, cfg, seed=7,
                 )
         log(f"{tag} stream compile+first run: {time.time()-t0:.1f}s")

@@ -1316,9 +1316,12 @@ def fit_lsq_stream_escalating(
                     # occur in several held datasets
                     prefixes.append(f"~fill{hi}")
         if parts:
+            # concat dedupes identical observers, so the merged table's
+            # length (a kernel-shape bucket) matches any one input's —
+            # the warm shapes of a plain per-dataset fit cover the refit
             cur = ObsDataset.concat(
                 parts, rename=lambda k, tid: f"{prefixes[k]}|{tid}"
-            ).compact_observers()
+            )
             for k, (p, c) in enumerate(stages[1:], start=1):
                 res_k = fit_lsq(
                     cur, ephem, p, c, seed=seed, ut1=ut1,

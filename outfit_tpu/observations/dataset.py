@@ -477,16 +477,27 @@ class ObsDataset:
                 for d, n in zip(datasets, n_obs)
             ])
         tidx, oidx = [], []
+        obs_seen: dict = {}  # Observer (frozen dataclass) -> merged index
         for k, d in enumerate(datasets):
             t_off = len(out.traj_ids)
-            o_off = len(out.observers)
             out.traj_ids.extend(
                 tid if rename is None else rename(k, tid)
                 for tid in d.traj_ids
             )
-            out.observers.extend(d.observers)
+            # dedupe identical observers by VALUE: datasets from the same
+            # catalog share their site lists, and downstream kernel shapes
+            # bucket on the observer-table length — naive concatenation
+            # would make the merged table (and its compiled cache-build
+            # shape) grow with the number of inputs
+            remap = np.empty(len(d.observers), np.int64)
+            for j, o in enumerate(d.observers):
+                m = obs_seen.get(o)
+                if m is None:
+                    m = obs_seen[o] = len(out.observers)
+                    out.observers.append(o)
+                remap[j] = m
             tidx.append(d.traj_index + t_off)
-            oidx.append(d.observer_index + o_off)
+            oidx.append(remap[np.asarray(d.observer_index, np.int64)])
         out.traj_index = np.concatenate(tidx) if tidx else out.traj_index
         out.observer_index = np.concatenate(oidx) if oidx else out.observer_index
         assert len(out) == total
