@@ -543,6 +543,10 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
         t0 = time.time()
         for _ in streamer([ds], 1):
             pass
+        # second warm pass: the first timed pass after a single warm still
+        # ran ~30% under steady state (lazy executable/transfer warmup)
+        for _ in streamer([ds], 1):
+            pass
         if escalate:
             # warm the rich-refit shapes at the PINNED composition the
             # escalation wrapper uses (refit_fill=8 rows per obs-width
