@@ -597,3 +597,73 @@ class TestDatasetRobustness:
         assert len(empty) == 0 and len(empty.observers) > 0
         cache = ObserverCache.build(empty, eph)
         assert cache.n == 0
+
+
+class TestConcatAndCompact:
+    """ObsDataset.concat / compact_observers (the escalation-refit merge
+    path; compile-shape pinning contract, docs/DESIGN.md round 4)."""
+
+    def _fixture(self, name):
+        import os
+
+        data = os.path.join(os.path.dirname(__file__), "data")
+        return ObsDataset.from_mpc_80_col(f"{data}/{name}.obs")
+
+    def test_concat_preserves_columns_and_dedupes_observers(self):
+        a = self._fixture("8467")
+        b = self._fixture("8467")
+        c = self._fixture("2015AB")
+        m = ObsDataset.concat([a, b, c], rename=lambda k, t: f"{k}|{t}")
+        assert len(m) == len(a) + len(b) + len(c)
+        assert sorted(m.traj_ids) == sorted(
+            ["0|8467", "1|8467", "2|K09R05F"]
+        )
+        # identical observers deduped BY VALUE: the merged table is the
+        # union, not the concatenation (kernel shapes bucket on its length)
+        assert len(m.observers) <= len(a.observers) + len(c.observers)
+        assert len(set(map(id, m.observers))) == len(m.observers)
+        # every observation still points at an equal observer
+        off = 0
+        for src in (a, b, c):
+            for j in (0, len(src) // 2, len(src) - 1):
+                assert (
+                    m.observers[m.observer_index[off + j]]
+                    == src.observers[src.observer_index[j]]
+                )
+            off += len(src)
+        # per-observation columns rode along
+        np.testing.assert_array_equal(m.mjd_tt[: len(a)], a.mjd_tt)
+        np.testing.assert_array_equal(m.catalog[-len(c):], c.catalog)
+
+    def test_concat_fit_matches_solo_fits(self, eph):
+        """Fits over a concat of two fixture datasets must equal the solo
+        fits (batch isolation + the dedup remap must not corrupt
+        observer resolution)."""
+        from outfit_tpu.iod import IODParams
+        from outfit_tpu.lsq import DifferentialCorrectionConfig, fit_lsq
+
+        a = self._fixture("8467")
+        b = self._fixture("2015AB")
+        m = ObsDataset.concat([a, b], rename=lambda k, t: f"{k}|{t}")
+        p = IODParams(n_noise_realizations=0)
+        cfg = DifferentialCorrectionConfig()
+        merged = fit_lsq(m, eph, p, cfg, seed=3)
+        solo_a = fit_lsq(self._fixture("8467"), eph, p, cfg, seed=3)["8467"]
+        ra = merged["0|8467"]
+        assert ra.ok == solo_a.ok
+        np.testing.assert_allclose(
+            np.asarray(ra.equinoctial), np.asarray(solo_a.equinoctial),
+            rtol=0, atol=1e-11,
+        )
+
+    def test_compact_observers(self):
+        a = self._fixture("33803")
+        sub = a.subset(a.trajectory_obs_indices("33803")[:5])
+        compacted = sub.compact_observers()
+        used = {int(i) for i in compacted.observer_index}
+        assert used == set(range(len(compacted.observers)))
+        for j in range(len(sub)):
+            assert (
+                compacted.observers[compacted.observer_index[j]]
+                == sub.observers[sub.observer_index[j]]
+            )
