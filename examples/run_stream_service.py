@@ -28,6 +28,11 @@ def main():
     # (cached persistently afterwards) — keep batch shapes uniform
     ap.add_argument("--traj-per-batch", type=int, default=8192)
     ap.add_argument("--seed", type=int, default=42)
+    # tiered service mode: a lean IOD profile streams every batch and the
+    # rare failures are re-fit with a rich profile in batched passes
+    # (fit_lsq_stream_escalating; docs/DESIGN.md round 4 — on real MPC
+    # arc mixes ~1.4x the flat rich throughput at equal convergence)
+    ap.add_argument("--escalate", action="store_true")
     args = ap.parse_args()
 
     import bench  # synthetic survey workload builders
@@ -36,7 +41,11 @@ def main():
 
     from outfit_tpu.ephem import JPLEphem
     from outfit_tpu.iod.params import IODParams
-    from outfit_tpu.lsq import DifferentialCorrectionConfig, fit_lsq_stream
+    from outfit_tpu.lsq import (
+        DifferentialCorrectionConfig,
+        fit_lsq_stream,
+        fit_lsq_stream_escalating,
+    )
 
     eph = JPLEphem.analytic(53500.0, 61500.0)
     iod_params = IODParams(
@@ -57,9 +66,19 @@ def main():
     quality = []
     n_done = 0
     t0 = time.time()
-    for i, (ds, results) in enumerate(
-        fit_lsq_stream(batches(), eph, iod_params, cfg, seed=args.seed)
-    ):
+    if args.escalate:
+        rich = IODParams(
+            n_noise_realizations=7, precision="mixed", max_triplets=8
+        )
+        stream = fit_lsq_stream_escalating(
+            batches(), eph, [(iod_params, cfg), (rich, cfg)],
+            seed=args.seed, as_table=False,
+        )
+    else:
+        stream = fit_lsq_stream(
+            batches(), eph, iod_params, cfg, seed=args.seed
+        )
+    for i, (ds, results) in enumerate(stream):
         for r in results.values():
             if not r.ok:
                 outcomes[f"error:{(r.error or '?').split('(')[0]}"] += 1
