@@ -7,16 +7,34 @@ vs_baseline is the ratio against the BASELINE.json target of 1e5 full
 IOD+LSQ fits/sec on a v5e-8, scaled to a single chip (1e5/8 = 12500
 fits/sec/chip); the reference itself publishes no numbers (BASELINE.md).
 
-Robustness contract (round-2 postmortem: the driver run timed out before
-the first stage finished logging, BENCH_r02.json rc=124/parsed=null):
+Robustness contract (round-4 postmortem: the axon tunnel wedged at the
+FIRST EXECUTABLE LAUNCH after a successful ``jax.devices()`` — the bench
+process sat at ~0% CPU for the whole budget and ``BENCH_r04.json`` came
+back empty with rc=3; round 2 lost its record the same way to a timeout,
+rc=124.  A wedged dispatch must cost ONE STAGE, not the round):
 
-* a watchdog thread flushes the best-so-far line and exits the process
-  just before the wall budget (``$OUTFIT_BENCH_BUDGET_S``, default 1380 s)
-  — a hung XLA compile cannot block it the way it blocks signal handlers;
-* SIGTERM/SIGINT handlers re-print the best-so-far line, so even an
-  external ``timeout`` kill leaves a parsed JSON line in the tail;
+* the bench is a SUPERVISOR: the parent process never imports jax; each
+  stage runs in its own child process (``python bench.py --stage NAME``)
+  that writes result lines to a file the parent tails.  A child that
+  stops producing output for ``$OUTFIT_BENCH_STALL_S`` (default 240 s —
+  the wedge signature is indefinite silence at 0% CPU) or exceeds its
+  per-stage cap is SIGKILLed (whole process group) and the supervisor
+  CONTINUES with the next stage on a fresh client;
+* the done-bar stages (headline stream, real-cadence escalating, DOP853)
+  get one retry on a wedge kill when the budget allows — a parallel
+  fresh process was measured to run fine during a reproduced wedge;
+* the parent keeps the tiered best-so-far Reporter, so the last JSON
+  line survives any child death; a watchdog thread flushes it and exits
+  just before the wall budget (``$OUTFIT_BENCH_BUDGET_S``, default
+  1380 s), and SIGTERM/SIGINT re-print it, so even an external
+  ``timeout`` kill leaves a parsed JSON line in the tail;
 * every stage checks the remaining budget before starting and is skipped
-  (never started) when its historical cost would not fit.
+  (never started) when its historical cost would not fit;
+* the wedge defense is itself tested: a hidden ``wedge`` stage sleeps
+  forever, and tests/test_bench_supervisor.py proves the supervisor
+  kills it and still exits rc=0 with a valid metric line
+  (``OUTFIT_BENCH_FORCE_WEDGE=<stage>`` wedges any real stage the same
+  way).
 
 The workload mirrors examples/run_full_iod_parallel.rs: K synthetic
 trajectories (12 observations each) pushed through the batched Gauss-IOD
@@ -94,12 +112,26 @@ class Reporter:
 
 REPORTER = Reporter()
 
+#: pid of the live stage child (its own session/process group), killed by
+#: the watchdog/signal paths so an exiting supervisor never orphans a
+#: wedged child on the tunnel
+_CHILD_PID = [None]
+
+
+def _kill_child():
+    pid = _CHILD_PID[0]
+    if pid is not None:
+        try:
+            os.killpg(pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError, OSError):
+            pass
+
 
 def _install_flush_guards():
     """Watchdog thread + signal handlers that keep the metric-line contract
-    under timeouts.  The watchdog is the reliable path: a long-running XLA
-    compile holds the main thread in C++ where Python signal handlers are
-    deferred, but daemon threads keep running."""
+    under timeouts.  The watchdog is the reliable path even in-child: a
+    long-running XLA compile holds the main thread in C++ where Python
+    signal handlers are deferred, but daemon threads keep running."""
 
     def _watchdog():
         while True:
@@ -107,6 +139,7 @@ def _install_flush_guards():
             if rem <= 10.0:
                 break
             time.sleep(min(rem - 10.0, 15.0))
+        _kill_child()
         had = REPORTER.flush(
             f"watchdog: wall budget {_BUDGET_S:.0f}s nearly exhausted - "
             "flushing best-so-far metric and exiting"
@@ -116,6 +149,7 @@ def _install_flush_guards():
     threading.Thread(target=_watchdog, daemon=True, name="bench-watchdog").start()
 
     def _on_signal(signum, frame):
+        _kill_child()
         REPORTER.flush(f"signal {signum}: flushing best-so-far metric")
         os._exit(0)
 
@@ -147,29 +181,6 @@ def _install_compile_tracker():
         log(f"compile tracker unavailable ({type(e).__name__}: {e})")
 
 
-def _stage(name, cost_s, fn, *args, **kwargs):
-    """Run a bench stage only if its historical cost fits the remaining
-    budget (with 20% headroom); log skip/failure, never raise."""
-    if _remaining() < cost_s * 1.2:
-        log(
-            f"SKIP stage {name}: needs ~{cost_s:.0f}s, "
-            f"{_remaining():.0f}s left of the {_BUDGET_S:.0f}s budget"
-        )
-        return None
-    t0 = time.time()
-    c0, s0 = _COMPILES
-    try:
-        out = fn(*args, **kwargs)
-        log(
-            f"stage {name}: {time.time()-t0:.1f}s "
-            f"({_COMPILES[0]-c0} XLA compiles, {_COMPILES[1]-s0:.1f}s)"
-        )
-        return out
-    except Exception as e:
-        log(f"stage {name} FAILED after {time.time()-t0:.1f}s "
-            f"({type(e).__name__}: {e}; {_COMPILES[0]-c0} XLA compiles, "
-            f"{_COMPILES[1]-s0:.1f}s)")
-        return None
 
 
 def bench_iod_lsq(n_traj: int, repeats: int = 3, precision: str = "mixed"):
@@ -967,9 +978,393 @@ _MODE_LABELS = {
 }
 
 
-def main():
+# --------------------------------------------------------------------------
+# Supervisor / child architecture (round-5 hang-hardening: a wedged stage
+# dispatch costs one stage, not the round)
+# --------------------------------------------------------------------------
+
+TARGET_PER_CHIP = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on a v5e-8
+
+
+class _Ctx:
+    """Per-run workload sizing shared by the parent and every stage child
+    (derived from env, so no argument plumbing can drift between them)."""
+
+    def __init__(self):
+        self.cpu_fallback = os.environ.get("OUTFIT_BENCH_CPU_FALLBACK") == "1"
+        self.tiny = os.environ.get("OUTFIT_BENCH_TINY") == "1"
+        if self.tiny:
+            self.nt = 128
+        elif self.cpu_fallback:
+            self.nt = 1024
+        else:
+            self.nt = 8192
+        self.tag = (
+            " (CPU FALLBACK - TPU backend unreachable)"
+            if self.cpu_fallback else ""
+        )
+
+    def fits_line(self, value, desc):
+        return {
+            "metric": "full IOD+LSQ fits/sec/chip, " + desc + self.tag,
+            "value": round(value, 2),
+            "unit": "fits/sec/chip",
+            "vs_baseline": round(value / TARGET_PER_CHIP, 4),
+        }
+
+
+class _Emitter:
+    """Child-side result channel: JSON lines appended (line-buffered) to
+    the result file, so a SIGKILLed child still leaves every completed
+    sub-result for the parent to collect."""
+
+    def __init__(self, path):
+        self._f = open(path, "a", buffering=1)
+
+    def ranked(self, tier, result):
+        self._write({"kind": "ranked", "tier": tier, "result": result})
+
+    def extra(self, result):
+        self._write({"kind": "extra", "result": result})
+
+    def _write(self, obj):
+        line = json.dumps(obj)
+        self._f.write(line + "\n")
+        log("RESULT " + line)
+
+
+def _stage_prop(emit, C):
+    prop = bench_propagation_fallback()
+    emit.ranked(0, {
+        "metric": "batched two-body propagation steps/sec/chip "
+                  "(provisional fallback)" + C.tag,
+        "value": round(prop, 2),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 0.0,
+    })
+
+
+def _stage_kernels(emit, C):
+    # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
+    # latency-bound and nearly flat in batch size, so production batches
+    # this large are the steady-state operating point
+    kern = bench_iod_lsq(C.nt)
+    log(
+        f"KERNELS ONLY (warm device dispatch): {kern:.0f} fits/sec/chip"
+        f" = {kern / TARGET_PER_CHIP:.2f}x the 12.5k/chip target"
+    )
+    emit.ranked(1, C.fits_line(
+        kern, "warm device dispatch only (provisional - host prep "
+        "excluded; later stages include it)",
+    ))
+
+
+def _stage_stream(emit, C):
+    # known-best mode first so its number lands even if the stage dies
+    # mid-run; the bit-parity reference mode follows for the record
+    bench_e2e_stream(
+        n_traj=C.nt,
+        n_datasets=2 if C.tiny else (6 if C.cpu_fallback else 12),
+        modes=("minimal", "default"),
+        # emit each mode the moment it finishes: a kill between modes
+        # must not lose the completed stream number
+        on_result=lambda mode, fps: emit.ranked(2, C.fits_line(
+            fps, "dataset->results incl. all host prep ("
+            + _MODE_LABELS[mode] + ")",
+        )),
+    )
+
+
+def _stage_e2e_seq(emit, C):
+    e2e = bench_e2e(C.nt)
+    log(
+        f"END-TO-END sequential (dataset->results incl. ALL host prep): "
+        f"{e2e:.0f} fits/sec/chip = {e2e / TARGET_PER_CHIP:.2f}x the "
+        f"12.5k/chip target"
+    )
+    # an e2e number REPLACES the kernels-only provisional even when
+    # smaller (tier 2 > tier 1): the honest headline includes host costs
+    emit.ranked(2, C.fits_line(
+        e2e, "dataset->results incl. all host prep (sequential mode)",
+    ))
+
+
+def _stage_ragged(emit, C):
+    eph = bench_eph()
+    nt = 1024 if C.tiny else 8192
+    rag = bench_e2e(
+        n_traj=nt,
+        builder=lambda seed: synthetic_dataset_ragged(nt, eph, seed=seed),
+        tag="e2e-ragged", stream=True,
+    )
+    log(
+        f"END-TO-END RAGGED pipelined (n_obs ~ U[8,23]): {rag:.0f} "
+        f"fits/sec/chip = {rag / TARGET_PER_CHIP:.2f}x the 12.5k/chip target"
+    )
+    # its own driver-visible JSON line: a different workload must not
+    # compete with the fixed-shape headline in the Reporter ranking
+    emit.extra({
+        "metric": "full IOD+LSQ fits/sec/chip, RAGGED workload "
+                  "(n_obs ~ U[8,23]; dataset->results incl. all host "
+                  "prep, pipelined)" + C.tag,
+        "value": round(rag, 2),
+        "unit": "fits/sec/chip",
+        "vs_baseline": round(rag / TARGET_PER_CHIP, 4),
+    })
+
+
+def _stage_real(emit, C):
+    nt = 512 if C.tiny else 4096
+    real = bench_e2e(
+        n_traj=nt, repeats=6,
+        builder=lambda seed: real_cadence_dataset(nt, seed=seed),
+        tag="e2e-real-cadence", stream=True, escalate=True,
+    )
+    log(
+        f"END-TO-END REAL-CADENCE pipelined escalating (real MPC "
+        f"arcs tiled, mean 75.7 obs/traj; lean stream + batched "
+        f"rich refit of failures): {real:.0f} fits/sec/chip = "
+        f"{real / TARGET_PER_CHIP:.2f}x the 12.5k/chip target"
+    )
+    emit.extra({
+        "metric": "full IOD+LSQ fits/sec/chip, REAL-CADENCE workload "
+                  "(real MPC arcs tiled, mean 75.7 obs/traj; escalating "
+                  "lean stream + batched rich refit)" + C.tag,
+        "value": round(real, 2),
+        "unit": "fits/sec/chip",
+        "vs_baseline": round(real / TARGET_PER_CHIP, 4),
+    })
+
+
+def _stage_f64(emit, C):
+    # the mode that carries the reference's 1e-10 oracles; round-4
+    # decomposition in docs/DESIGN.md (IOD at exactly the ~10x emulation
+    # bound, LSQ within 1.3x of mixed)
+    f64k = bench_iod_lsq(
+        128 if C.tiny else (1024 if C.cpu_fallback else C.nt),
+        precision="f64")
+    log(
+        f"KERNELS ONLY, PURE-F64 PARITY MODE: {f64k:.0f} fits/sec/chip"
+        f" = {f64k / TARGET_PER_CHIP:.2f}x the 12.5k/chip target"
+    )
+    emit.extra({
+        "metric": "full IOD+LSQ fits/sec/chip, warm device dispatch "
+                  "only, PURE-F64 reference-parity mode "
+                  "(informational; the headline uses the opt-in "
+                  "mixed mode)" + C.tag,
+        "value": round(f64k, 2),
+        "unit": "fits/sec/chip",
+        "vs_baseline": round(f64k / TARGET_PER_CHIP, 4),
+    })
+
+
+def _stage_dop(emit, C):
+    dop = bench_dop853_nbody(128 if C.tiny else
+                             (1024 if C.cpu_fallback else 4096))
+    log(
+        f"DOP853 N-BODY (42-state STM, full planets): {dop:.0f} "
+        "accepted steps/sec/chip"
+    )
+    emit.extra({
+        "metric": "batched DOP853 N-body propagation accepted "
+                  "steps/sec/chip (42-state STM, full planet "
+                  "perturbers; secondary BASELINE.md metric)" + C.tag,
+        "value": round(dop, 2),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 0.0,
+    })
+
+
+def _stage_accuracy(emit, C):
+    accuracy_certificate(256 if (C.cpu_fallback or C.tiny) else 1024)
+
+
+def _stage_noop(emit, C):
+    """Test-only stage: emits a constant metric without touching jax, so
+    supervisor-mechanism tests (kill-and-continue, final-line contract)
+    run in seconds."""
+    emit.ranked(0, {
+        "metric": "noop (supervisor test stage)",
+        "value": 1.0, "unit": "none", "vs_baseline": 0.0,
+    })
+
+
+def _stage_wedge(emit, C):
+    """Test-only stage: wedges forever so tests/test_bench_supervisor.py
+    can prove the supervisor kills it and carries on (the same failure
+    shape as the round-2/round-4 tunnel wedges)."""
+    log("wedge stage: sleeping forever (supervisor kill test)")
+    time.sleep(10 ** 9)
+
+
+#: (name, historical cost s, hard cap s, retry-on-wedge, runner); order is
+#: the execution order — the done-bar stages (headline stream, escalating
+#: real-cadence, DOP853) run before the informational ones so a shrinking
+#: budget sheds the right stages first
+_STAGE_DEFS = [
+    ("prop-fallback", 60, 240, False, _stage_prop),
+    ("kernels-only", 150, 420, False, _stage_kernels),
+    ("stream", 150, 480, True, _stage_stream),
+    ("e2e-real-cadence", 160, 480, True, _stage_real),
+    ("dop853-nbody", 90, 300, True, _stage_dop),
+    ("e2e-sequential", 180, 420, False, _stage_e2e_seq),
+    ("e2e-ragged", 120, 360, False, _stage_ragged),
+    ("kernels-f64-parity", 150, 420, False, _stage_f64),
+    ("accuracy-certificate", 150, 420, False, _stage_accuracy),
+    ("wedge", 5, 60, False, _stage_wedge),  # test-only, never in default order
+    ("noop", 2, 30, False, _stage_noop),  # test-only, never in default order
+]
+
+#: stages excluded from the default execution order (test fixtures)
+_TEST_ONLY_STAGES = ("wedge", "noop")
+
+
+def child_main(stage_name, result_path):
+    """Entry for ``python bench.py --stage NAME --result-file PATH``."""
+    defs = {d[0]: d for d in _STAGE_DEFS}
+    if stage_name not in defs:
+        log(f"unknown stage {stage_name!r}")
+        return 2
+    C = _Ctx()
+    emit = _Emitter(result_path)
+    if os.environ.get("OUTFIT_BENCH_FORCE_WEDGE") == stage_name:
+        log(f"FORCE_WEDGE: stage {stage_name} sleeping forever (test mode)")
+        time.sleep(10 ** 9)
+    runner = defs[stage_name][4]
+    if stage_name not in _TEST_ONLY_STAGES:
+        _enable_compile_cache()
+        _install_compile_tracker()
+    t0 = time.time()
+    try:
+        runner(emit, C)
+    except Exception as e:
+        log(f"stage {stage_name} FAILED after {time.time()-t0:.1f}s "
+            f"({type(e).__name__}: {e}; {_COMPILES[0]} XLA compiles, "
+            f"{_COMPILES[1]:.1f}s)")
+        return 1
+    log(f"stage {stage_name}: {time.time()-t0:.1f}s "
+        f"({_COMPILES[0]} XLA compiles, {_COMPILES[1]:.1f}s)")
+    return 0
+
+
+#: extra (non-ranked) metric lines already printed by the parent, plus the
+#: order they arrived in (the final-flush fallback when no ranked stage
+#: completed)
+_EXTRAS_PRINTED = {}
+
+
+def _drain_results(rpath, offset, last_activity=None):
+    """Feed complete result-file lines past ``offset`` into the parent
+    Reporter; returns the new consumed byte offset.  Partial trailing
+    lines (a child killed mid-write) are left for the next drain."""
+    try:
+        with open(rpath, "r") as f:
+            f.seek(offset)
+            chunk = f.read()
+    except OSError:
+        return offset
+    end = chunk.rfind("\n")
+    if end < 0:
+        return offset
+    for line in chunk[: end + 1].splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if last_activity is not None:
+            last_activity[0] = time.time()
+        try:
+            obj = json.loads(line)
+            result = obj["result"]
+        except (ValueError, KeyError, TypeError):
+            log(f"unparseable result line: {line[:200]}")
+            continue
+        if obj.get("kind") == "ranked":
+            REPORTER.report(result, tier=int(obj.get("tier", 0)))
+        else:
+            key = json.dumps(result, sort_keys=True)
+            if key not in _EXTRAS_PRINTED:
+                _EXTRAS_PRINTED[key] = result
+                print(json.dumps(result), flush=True)
+    return offset + end + 1
+
+
+def _run_stage_child(name, cap_s, stall_s, child_env):
+    """Run one stage in its own process group, tailing its result file and
+    merged output.  Returns True when the child was KILLED for a stall or
+    cap overrun (the wedge signature), False otherwise."""
+    import subprocess
+    import tempfile
+
+    fd, rpath = tempfile.mkstemp(prefix=f"outfit_bench_{name}_",
+                                 suffix=".jsonl")
+    os.close(fd)
+    last_activity = [time.time()]
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", name,
+         "--result-file", rpath],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=child_env, start_new_session=True, text=True,
+    )
+    _CHILD_PID[0] = p.pid
+
+    def _pump():
+        # any stray child stdout rides the parent's stderr: the parent owns
+        # the metric-line stdout protocol
+        for line in p.stdout:
+            last_activity[0] = time.time()
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    pump = threading.Thread(target=_pump, daemon=True,
+                            name=f"pump-{name}")
+    pump.start()
+
+    consumed = 0
+    t0 = time.time()
+    killed = None
+    while True:
+        consumed = _drain_results(rpath, consumed, last_activity)
+        if p.poll() is not None:
+            break
+        now = time.time()
+        if now - t0 > cap_s:
+            killed = f"exceeded its {cap_s:.0f}s cap"
+        elif now - last_activity[0] > stall_s:
+            killed = (f"produced no output for {stall_s:.0f}s "
+                      "(wedge signature: indefinite silence)")
+        if killed:
+            log(f"stage {name}: KILLED after {now-t0:.1f}s - {killed}; "
+                "continuing with the next stage on a fresh client")
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            p.wait()
+            break
+        time.sleep(1.0)
+    _CHILD_PID[0] = None
+    pump.join(timeout=5.0)
+    consumed = _drain_results(rpath, consumed)
+    if killed is None:
+        rc = p.returncode
+        if rc != 0:
+            log(f"stage {name}: child exited rc={rc} "
+                f"({time.time()-t0:.1f}s wall)")
+        else:
+            log(f"stage {name}: done ({time.time()-t0:.1f}s wall)")
+    try:
+        os.unlink(rpath)
+    except OSError:
+        pass
+    return killed is not None
+
+
+def supervisor_main():
     _install_flush_guards()
+
     cpu_fallback = os.environ.get("OUTFIT_BENCH_CPU_FALLBACK") == "1"
+    child_env = dict(os.environ)
     if not cpu_fallback and os.environ.get("OUTFIT_BENCH_SKIP_PROBE") != "1":
         # 150 s: cold tunnel inits were measured at ~120-180 s; a shorter
         # probe risks a false CPU fallback, a longer one eats the budget
@@ -978,27 +1373,14 @@ def main():
             int(os.environ.get("OUTFIT_BENCH_PROBE_TIMEOUT", "150"))
         )
         if not ok:
-            log(f"ambient backend unusable ({detail}); re-exec on CPU")
-            env = dict(os.environ)
-            env.update(
+            log(f"ambient backend unusable ({detail}); stages run on CPU")
+            child_env.update(
                 PALLAS_AXON_POOL_IPS="",
                 JAX_PLATFORMS="cpu",
                 OUTFIT_BENCH_CPU_FALLBACK="1",
             )
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-    import jax
-
-    _enable_compile_cache()
-    _install_compile_tracker()
-
-    log(f"devices: {jax.devices()}  (elapsed {_elapsed():.0f}s of "
-        f"{_BUDGET_S:.0f}s budget)")
-    target_per_chip = 1e5 / 8.0  # BASELINE.json: 1e5 fits/sec on v5e-8
-    # CPU fallback: bounded workload (the full 8k-trajectory stream would
-    # run for tens of minutes on a host CPU) + an honest metric label
-    nt = 1024 if cpu_fallback else 8192
-    tag = " (CPU FALLBACK - TPU backend unreachable)" if cpu_fallback else ""
+            os.environ["OUTFIT_BENCH_CPU_FALLBACK"] = "1"
+            cpu_fallback = True
     if cpu_fallback:
         log(
             "NOTE: the TPU relay was unreachable at bench time, so this run "
@@ -1008,164 +1390,71 @@ def main():
             "README.md / docs/DESIGN.md)."
         )
 
-    def fits_line(value, desc):
-        return {
-            "metric": "full IOD+LSQ fits/sec/chip, " + desc + tag,
-            "value": round(value, 2),
-            "unit": "fits/sec/chip",
-            "vs_baseline": round(value / target_per_chip, 4),
-        }
+    names = os.environ.get("OUTFIT_BENCH_STAGES")
+    if names:
+        order = [n.strip() for n in names.split(",") if n.strip()]
+    else:
+        order = [d[0] for d in _STAGE_DEFS
+                 if d[0] not in _TEST_ONLY_STAGES]
+        if cpu_fallback or os.environ.get("OUTFIT_BENCH_SKIP_RAGGED"):
+            order = [n for n in order
+                     if n not in ("e2e-ragged", "e2e-real-cadence")]
+    defs = {d[0]: d for d in _STAGE_DEFS}
+    stall_s = float(os.environ.get("OUTFIT_BENCH_STALL_S", "240"))
+    reserve_s = 20.0
+    retries_left = 2  # total wedge-retry budget across the whole run
+    retried = set()
 
-    # --- stage 0: a measured line within ~1 min even on a cold cache ------
-    # (the watchdog/SIGTERM flush needs SOMETHING honest to print; this is
-    # the designated fallback metric and its kernel compiles in seconds)
-    prop = _stage("prop-fallback", 120, bench_propagation_fallback)
-    if prop:
-        REPORTER.report({
-            "metric": "batched two-body propagation steps/sec/chip "
-                      "(provisional fallback)" + tag,
-            "value": round(prop, 2),
-            "unit": "steps/sec/chip",
-            "vs_baseline": 0.0,
-        }, tier=0)
-
-    # --- stage 1: kernels-only fits/sec (provisional headline) ------------
-    # 8192 trajectories (~65k IOD lanes): the LSQ while-loops are
-    # latency-bound and nearly flat in batch size, so production batches
-    # this large are the steady-state operating point
-    kern = _stage("kernels-only", 180 if cpu_fallback else 150,
-                  bench_iod_lsq, nt)
-    if kern:
-        log(
-            f"KERNELS ONLY (warm device dispatch): {kern:.0f} fits/sec/chip"
-            f" = {kern / target_per_chip:.2f}x the 12.5k/chip target"
-        )
-        REPORTER.report(fits_line(
-            kern, "warm device dispatch only (provisional - host prep "
-            "excluded; later stages include it)",
-        ), tier=1)
-
-    # --- stage 2: end-to-end sequential (dataset -> results) --------------
-    e2e = _stage("e2e-sequential", 240, bench_e2e, nt)
-    if e2e:
-        log(
-            f"END-TO-END sequential (dataset->results incl. ALL host prep): "
-            f"{e2e:.0f} fits/sec/chip = {e2e / target_per_chip:.2f}x the "
-            f"12.5k/chip target"
-        )
-        # an e2e number REPLACES the kernels-only provisional even when
-        # smaller (tier 2 > tier 1): the honest headline includes host costs
-        REPORTER.report(fits_line(
-            e2e, "dataset->results incl. all host prep (sequential mode)",
-        ), tier=2)
-
-    # --- stage 3: the pipelined service stream (the headline) -------------
-    # known-best mode first so its number lands even if the budget dies
-    # mid-stage; the bit-parity reference mode follows for the record
-    stream = _stage(
-        "stream", 200, bench_e2e_stream,
-        n_traj=nt, n_datasets=6 if cpu_fallback else 12,
-        modes=("minimal", "default"),
-        # report each mode the moment it finishes: a kill between modes
-        # must not lose the completed stream number
-        on_result=lambda mode, fps: REPORTER.report(fits_line(
-            fps,
-            "dataset->results incl. all host prep ("
-            + _MODE_LABELS[mode] + ")",
-        ), tier=2),
-    )
-    if stream:
-        best_mode = max(stream, key=stream.get)
-        value = stream[best_mode]
-        REPORTER.report(fits_line(
-            value,
-            "dataset->results incl. all host prep ("
-            + _MODE_LABELS[best_mode] + ")",
-        ), tier=2)
-
-    # --- stage 4: ragged + real-cadence workloads (VERDICT focus) ---------
-    if not cpu_fallback and not os.environ.get("OUTFIT_BENCH_SKIP_RAGGED"):
-        from outfit_tpu.ephem import JPLEphem
-
-        _eph = bench_eph()
-        rag = _stage(
-            "e2e-ragged", 90, bench_e2e, n_traj=8192,
-            builder=lambda seed: synthetic_dataset_ragged(8192, _eph, seed=seed),
-            tag="e2e-ragged", stream=True,
-        )
-        if rag:
+    queue = list(order)
+    while queue:
+        name = queue.pop(0)
+        d = defs.get(name)
+        if d is None:
+            log(f"SKIP unknown stage {name!r}")
+            continue
+        _n, cost_s, cap_s, retryable, _fn = d
+        if _remaining() < cost_s * 1.2 + reserve_s:
             log(
-                f"END-TO-END RAGGED pipelined (n_obs ~ U[8,23]): {rag:.0f} "
-                f"fits/sec/chip = {rag / target_per_chip:.2f}x the "
-                f"12.5k/chip target"
+                f"SKIP stage {name}: needs ~{cost_s:.0f}s, "
+                f"{_remaining():.0f}s left of the {_BUDGET_S:.0f}s budget"
             )
-        real = _stage(
-            "e2e-real-cadence", 150, bench_e2e, n_traj=4096, repeats=6,
-            builder=lambda seed: real_cadence_dataset(4096, seed=seed),
-            tag="e2e-real-cadence", stream=True, escalate=True,
-        )
-        if real:
-            log(
-                f"END-TO-END REAL-CADENCE pipelined escalating (real MPC "
-                f"arcs tiled, mean 75.7 obs/traj; lean stream + batched "
-                f"rich refit of failures): {real:.0f} fits/sec/chip = "
-                f"{real / target_per_chip:.2f}x the 12.5k/chip target"
-            )
-
-    # --- stage 5: accuracy certificate (stderr; VERDICT r2 #7) ------------
-    _stage("accuracy-certificate", 120, accuracy_certificate,
-           256 if cpu_fallback else 1024)
-
-    # --- stage 6: DOP853 N-body steps/sec (second BASELINE.md metric) -----
-    # printed as its OWN JSON line (the driver parses the LAST line, which
-    # the final flush keeps as the fits/sec headline; this line rides in
-    # the recorded tail as the secondary metric)
-    # --- stage 6b: pure-f64 parity-mode kernels (informational) -----------
-    # the mode that carries the reference's 1e-10 oracles; round-4
-    # decomposition in docs/DESIGN.md (IOD at exactly the ~10x emulation
-    # bound, LSQ within 1.3x of mixed)
-    f64k = _stage("kernels-f64-parity", 120, bench_iod_lsq,
-                  1024 if cpu_fallback else nt, precision="f64")
-    if f64k:
-        log(
-            f"KERNELS ONLY, PURE-F64 PARITY MODE: {f64k:.0f} fits/sec/chip"
-            f" = {f64k / target_per_chip:.2f}x the 12.5k/chip target"
-        )
-        print(json.dumps({
-            "metric": "full IOD+LSQ fits/sec/chip, warm device dispatch "
-                      "only, PURE-F64 reference-parity mode "
-                      "(informational; the headline uses the opt-in "
-                      "mixed mode)" + tag,
-            "value": round(f64k, 2),
-            "unit": "fits/sec/chip",
-            "vs_baseline": round(f64k / target_per_chip, 4),
-        }), flush=True)
-
-    dop = _stage("dop853-nbody", 60,
-                 bench_dop853_nbody, 1024 if cpu_fallback else 4096)
-    if dop:
-        log(
-            f"DOP853 N-BODY (42-state STM, full planets): {dop:.0f} "
-            "accepted steps/sec/chip"
-        )
-        print(json.dumps({
-            "metric": "batched DOP853 N-body propagation accepted "
-                      "steps/sec/chip (42-state STM, full planet "
-                      "perturbers; secondary BASELINE.md metric)" + tag,
-            "value": round(dop, 2),
-            "unit": "steps/sec/chip",
-            "vs_baseline": 0.0,
-        }), flush=True)
-
+            continue
+        cap = min(cap_s, _remaining() - reserve_s)
+        wedged = _run_stage_child(name, cap, stall_s, child_env)
+        if (wedged and retryable and retries_left > 0
+                and name not in retried
+                and _remaining() > cost_s * 2 + reserve_s):
+            log(f"stage {name}: wedge-retrying once on a fresh client "
+                f"({retries_left - 1} retries left after this)")
+            retries_left -= 1
+            retried.add(name)
+            queue.insert(0, name)
 
     if not REPORTER.flush("final: re-printing the headline metric line"):
-        # nothing measured at all — emit an explicit failure marker rather
-        # than leaving the driver with no JSON to parse
+        if _EXTRAS_PRINTED:
+            # no ranked stage completed but a secondary metric did (e.g.
+            # only DOP853 survived): the tail must end with a real number
+            last = list(_EXTRAS_PRINTED.values())[-1]
+            log("final: no ranked stage completed; re-printing the last "
+                "secondary metric line")
+            print(json.dumps(last), flush=True)
+            return 0
         print(json.dumps({
             "metric": "bench produced no measurement (all stages failed)",
             "value": 0.0, "unit": "none", "vs_baseline": 0.0,
         }), flush=True)
+        return 3
+    return 0
+
+
+def main():
+    """Back-compat entry: the supervisor."""
+    sys.exit(supervisor_main())
 
 
 if __name__ == "__main__":
-    main()
+    if "--stage" in sys.argv:
+        i = sys.argv.index("--stage")
+        j = sys.argv.index("--result-file")
+        sys.exit(child_main(sys.argv[i + 1], sys.argv[j + 1]))
+    sys.exit(supervisor_main())
