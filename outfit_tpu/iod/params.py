@@ -72,6 +72,13 @@ class IODParams:
     #: good seed — the LSQ stage refines whichever wins).  Arcs whose
     #: window is already <= the subsample produce BITWISE-identical
     #: results (tests/test_iod.py::TestSelectionSubsample).
+    #: EXTRA FAILURE MODE (f64 path): when the subsample-selected winner
+    #: scores non-finite on the full-window rescore (its orbit fails to
+    #: propagate to an out-of-subsample epoch), the trajectory is
+    #: reported FAILED even though a different candidate might have
+    #: scored finite on the full window — the winner-only rescore cannot
+    #: re-rank.  Such orbits are near-degenerate seeds; full scoring
+    #: (subsample off) is the recovery path if they matter.
     selection_subsample: int = 0
 
     def __str__(self) -> str:

@@ -1231,6 +1231,7 @@ def fit_lsq_stream_escalating(
     """
     if not stages:
         raise ValueError("needs at least one (params, config) stage")
+    user_retry = retry_if is not None
     if retry_if is None:
         retry_if = lambda r: (not r.ok) or r.fell_back_to_iod  # noqa: E731
     stream_kw.setdefault("as_table", True)
@@ -1241,13 +1242,16 @@ def fit_lsq_stream_escalating(
     def _failed_tids(ds, res):
         if isinstance(res, dict):
             return [tid for tid, r in res.items() if retry_if(r)]
-        # columnar: use the cheap vector mask first, materialize only fails
-        mask = ~np.asarray(res.converged)
-        return [
-            tid
-            for tid in np.asarray(res.traj_ids, object)[mask]
-            if retry_if(res.result(tid))
-        ]
+        # columnar: the DEFAULT predicate retries exactly rows whose
+        # converged flag is down, so the cheap vector mask pre-filters;
+        # a USER predicate may escalate converged rows too (e.g. high
+        # nRMS), so it must see every row — parity with
+        # fit_lsq_escalating, which applies retry_if to all results
+        if user_retry:
+            tids = np.asarray(res.traj_ids, object)
+        else:
+            tids = np.asarray(res.traj_ids, object)[~np.asarray(res.converged)]
+        return [tid for tid in tids if retry_if(res.result(tid))]
 
     def _flush():
         """One batched rich pass per remaining stage over the held
@@ -1339,7 +1343,14 @@ def fit_lsq_stream_escalating(
                         tgt.patch_row(tid, rr)
                 if k == len(stages) - 1:
                     break
-                retry = {t for t, r in res_k.items() if retry_if(r)}
+                # sacrificial '~fill' shape-pinning rows never escalate:
+                # their results are discarded, and re-fitting them would
+                # waste device work and make later-stage compile
+                # composition depend on filler outcomes
+                retry = {
+                    t for t, r in res_k.items()
+                    if not t.startswith("~fill") and retry_if(r)
+                }
                 if not retry:
                     break
                 rows = [

@@ -267,7 +267,20 @@ class LsqTable:
         (``fit_lsq_stream_escalating``) re-fits failed trajectories with a
         richer stage and patches their rows in place."""
         i = self._row_index(traj_id)
-        # reset the LSQ-stage fields the filler only writes conditionally
+        # reset EVERY conditionally-written field — including the IOD
+        # columns and ``kept``: _fill_row writes iod_* only when the refit
+        # result carries an IOD, so stale lean-stage values would
+        # otherwise mix stages in one row (iod_ok=False rows reporting
+        # IOD_OK codes with the lean seed's elements)
+        self.kept[i] = False
+        self.iod_ok[i] = False
+        self.iod_error_code[i] = IOD_HOST_SCREENED
+        self.iod_rms[i] = np.nan
+        self.iod_kind[i] = -1
+        self.iod_corrected[i] = False
+        self.iod_epoch[i] = np.nan
+        self.iod_elements[i] = np.nan
+        self.iod_equinoctial[i] = np.nan
         self.ok[i] = False
         self.converged[i] = False
         self.fell_back_to_iod[i] = False

@@ -947,6 +947,47 @@ class TestEscalation:
             )
 
 
+    def test_stream_escalating_user_retry_if_sees_converged_rows(self, eph):
+        """A user-supplied retry_if must be applied to EVERY row — the
+        columnar fast path may only pre-filter with the converged mask for
+        the DEFAULT predicate (ADVICE r4: a predicate escalating converged
+        rows, e.g. on high nRMS, was never consulted for them).  Stage 1
+        here rejects A at the perihelion cap, so the patched row must
+        become a failed row with the lean stage's IOD columns fully
+        cleared (LsqTable.patch_row resets iod_* to inert fill)."""
+        from outfit_tpu.lsq import fit_lsq_stream_escalating
+        from outfit_tpu.lsq.table import IOD_OK, LsqTable
+
+        ds = self._two_traj(eph)
+        lean = IODParams(n_noise_realizations=0)
+        reject_a = IODParams(n_noise_realizations=0, max_perihelion_au=1.6)
+        cfg = DifferentialCorrectionConfig()
+
+        # sanity: A converges under the lean stage — the predicate must
+        # have seen a CONVERGED row to escalate it
+        lean_res = fit_lsq(self._two_traj(eph), eph, lean, cfg, seed=42)
+        assert lean_res["A"].ok and not lean_res["A"].fell_back_to_iod
+
+        out = list(fit_lsq_stream_escalating(
+            [ds], eph, [(lean, cfg), (reject_a, cfg)], seed=42,
+            retry_if=lambda r: r.traj_id == "A",
+        ))
+        assert len(out) == 1
+        _ds_out, res = out[0]
+        assert isinstance(res, LsqTable)
+        ra = res.result("A")
+        assert not ra.ok  # stage 1 rejected A's perihelion: IOD failed
+        i = res.traj_ids.index("A")
+        assert not res.iod_ok[i]
+        assert res.iod_error_code[i] != IOD_OK
+        assert not res.kept[i]
+        assert np.isnan(res.iod_elements[i]).all()
+        assert np.isnan(res.equinoctial[i]).all()
+        # B converged lean and was not escalated by the predicate
+        rb = res.result("B")
+        assert rb.ok and not rb.fell_back_to_iod
+
+
 class TestLsqTable:
     """Columnar results (``as_table=True``) must materialize EXACTLY the
     dict-mode results — including error strings, fallback semantics, and
@@ -1353,3 +1394,39 @@ class TestTableStatusConvention:
         assert get("FELL") == 2  # bizarre
         assert get("DIVG") == 3  # diverged
         assert get("DEAD") == -1  # never ran
+
+
+class TestPatchRow:
+    def test_patch_row_clears_stale_iod_columns(self):
+        """patch_row must reset the IOD columns and ``kept`` before
+        refilling: a refit result without an IOD stage (r.iod is None)
+        must not inherit the lean stage's iod_* values (ADVICE r4: rows
+        mixing stages — iod_ok staying True with IOD_OK code and stale
+        elements under a failed refit)."""
+        from outfit_tpu.iod.api import FitResult
+        from outfit_tpu.lsq.api import LsqResult
+        from outfit_tpu.lsq.table import IOD_HOST_SCREENED, IOD_OK, LsqTable
+
+        good = LsqResult(
+            "A", ok=True, status=1, normalised_rms=1.0, epoch=57000.0,
+            equinoctial=np.arange(6.0), covariance=np.eye(6),
+            uncertainties=np.ones(6), n_active_obs=10,
+            total_newton_iterations=3,
+            iod=FitResult(
+                "A", ok=True, rms=0.5, corrected=True, epoch=57000.0,
+                kind=1, elements=np.arange(6.0), equinoctial=np.arange(6.0),
+            ),
+        )
+        t = LsqTable.from_results(["A"], {"A": good})
+        assert t.iod_ok[0] and t.iod_error_code[0] == IOD_OK and t.kept[0]
+
+        t.patch_row("A", LsqResult("A", ok=False, error="refit failed"))
+        assert not t.iod_ok[0]
+        assert t.iod_error_code[0] == IOD_HOST_SCREENED
+        assert not t.kept[0]
+        assert np.isnan(t.iod_rms[0])
+        assert np.isnan(t.iod_elements[0]).all()
+        assert np.isnan(t.iod_equinoctial[0]).all()
+        assert t.iod_kind[0] == -1
+        assert not t.iod_corrected[0]
+        assert not t.result("A").ok
