@@ -10,9 +10,12 @@ correction (SURVEY 2.12).  This package re-provides that surface:
   ObsCodes.html parser),
 * :mod:`error_model` — FCCT14-style per-station astrometric errors + batch
   RMS correction,
+* :mod:`debias` — star-catalog astrometric debiasing from the published
+  Eggl et al. (2020) HEALPix tables (``$OUTFIT_DEBIAS``),
 * :mod:`dataset` — the ObsDataset container (struct-of-arrays, TPU-ready).
 """
 
 from outfit_tpu.observations.dataset import ObsDataset, Observation  # noqa: F401
 from outfit_tpu.observations.observatories import Observer, get_observatory  # noqa: F401
 from outfit_tpu.observations.error_model import ErrorModel  # noqa: F401
+from outfit_tpu.observations.debias import DebiasTable  # noqa: F401

@@ -67,6 +67,19 @@ class ObsDataset:
         self.bias_dec = bias_dec
         return self
 
+    def apply_debias(self, table=None) -> "ObsDataset":
+        """Attach star-catalog debiasing biases for every observation
+        from a published Eggl et al. (2020) table (see
+        :mod:`outfit_tpu.observations.debias`); ``table=None`` loads the
+        file ``$OUTFIT_DEBIAS`` points at.  The LSQ pipeline subtracts
+        the biases from the residuals (parity:
+        single_iteration.rs:196-207)."""
+        from outfit_tpu.observations.debias import DebiasTable
+
+        if table is None:
+            table = DebiasTable.load()
+        return table.apply(self)
+
     # -- construction ---------------------------------------------------------
 
     @classmethod

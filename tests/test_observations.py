@@ -667,3 +667,214 @@ class TestConcatAndCompact:
                 compacted.observers[compacted.observer_index[j]]
                 == sub.observers[sub.observer_index[j]]
             )
+
+
+# ---------------------------------------------------------------------------
+# Star-catalog debiasing (Eggl et al. 2020 table format; $OUTFIT_DEBIAS)
+# ---------------------------------------------------------------------------
+
+def _pix2ang_ring(nside, pix):
+    """Inverse HEALPix RING transform (pixel centers) — independent test
+    oracle for ang2pix_ring, the standard pix2ang algorithm transcribed
+    separately from the forward one."""
+    pix = np.asarray(pix, np.int64)
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    z = np.empty(pix.shape, np.float64)
+    phi = np.empty(pix.shape, np.float64)
+
+    north = pix < ncap
+    ip = pix[north] + 1
+    hip = ip / 2.0
+    fihip = np.floor(hip)
+    iring = np.floor(np.sqrt(hip - np.sqrt(fihip))).astype(np.int64) + 1
+    iphi = ip - 2 * iring * (iring - 1)
+    z[north] = 1.0 - iring**2 / (3.0 * nside**2)
+    phi[north] = (iphi - 0.5) * np.pi / (2.0 * iring)
+
+    belt = (pix >= ncap) & (pix < npix - ncap)
+    ipb = pix[belt] - ncap
+    iringb = ipb // (4 * nside) + nside
+    iphib = ipb % (4 * nside) + 1
+    fodd = 0.5 * (1 + ((iringb + nside) & 1))
+    z[belt] = (2 * nside - iringb) * 2.0 / (3.0 * nside)
+    phi[belt] = (iphib - fodd) * np.pi / (2.0 * nside)
+
+    south = pix >= npix - ncap
+    ips = npix - pix[south]
+    hips = ips / 2.0
+    fihips = np.floor(hips)
+    irings = np.floor(np.sqrt(hips - np.sqrt(fihips))).astype(np.int64) + 1
+    iphis = 4 * irings + 1 - (ips - 2 * irings * (irings - 1))
+    z[south] = -1.0 + irings**2 / (3.0 * nside**2)
+    phi[south] = (iphis - 0.5) * np.pi / (2.0 * irings)
+
+    return np.arcsin(np.clip(z, -1, 1)), np.mod(phi, 2 * np.pi)
+
+
+class TestHealpix:
+    @pytest.mark.parametrize("nside", [1, 4, 64])
+    def test_pixel_center_round_trip(self, nside):
+        """ang2pix(center(p)) == p for EVERY pixel — any ring/offset
+        error in either transform breaks this for some pixel class."""
+        from outfit_tpu.observations.debias import ang2pix_ring
+
+        pix = np.arange(12 * nside * nside)
+        dec, ra = _pix2ang_ring(nside, pix)
+        np.testing.assert_array_equal(ang2pix_ring(nside, ra, dec), pix)
+
+    def test_region_membership(self):
+        """Cap/belt membership with safe margins: the z = ±2/3 boundary
+        itself is NOT a pixel boundary (ring ``nside`` straddles it), so
+        the assertions stay clear of it by one ring."""
+        from outfit_tpu.observations.debias import ang2pix_ring
+
+        nside = 16
+        ncap = 2 * nside * (nside - 1)
+        npix = 12 * nside * nside
+        rng = np.random.default_rng(0)
+        ra = rng.uniform(0, 2 * np.pi, 4000)
+        z = rng.uniform(-1, 1, 4000)
+        dec = np.arcsin(z)
+        pix = ang2pix_ring(nside, ra, dec)
+        assert (pix >= 0).all() and (pix < npix).all()
+        # ring nside-1 (last pure-cap ring) ends near 1-(nside-1)^2/3n^2;
+        # 0.75 keeps one full ring of margin at nside=16
+        assert (pix[z > 0.75] < ncap).all()
+        assert (pix[z < -0.75] >= npix - ncap).all()
+        belt = np.abs(z) < 0.6
+        assert ((pix[belt] >= ncap) & (pix[belt] < npix - ncap)).all()
+
+    def test_equal_area_occupancy(self):
+        """HEALPix pixels are equal-area: uniform sky points occupy all
+        pixels near-uniformly (5-sigma Poisson band)."""
+        from outfit_tpu.observations.debias import ang2pix_ring
+
+        nside = 4
+        npix = 12 * nside * nside
+        n = 400 * npix
+        rng = np.random.default_rng(1)
+        ra = rng.uniform(0, 2 * np.pi, n)
+        dec = np.arcsin(rng.uniform(-1, 1, n))
+        counts = np.bincount(ang2pix_ring(nside, ra, dec), minlength=npix)
+        expect = n / npix
+        assert counts.min() > 0
+        assert np.abs(counts - expect).max() < 5 * np.sqrt(expect)
+
+
+def _write_tiny_debias(path, nside=1, catalogs=("a", "t")):
+    """Synthetic bias.dat in the published format: catalog 'a' biased by
+    (1.0", -0.5") + (100, 50) mas/yr proper motion, 't' exactly zero."""
+    npix = 12 * nside * nside
+    with open(path, "w") as f:
+        f.write("! Synthetic debias table (test fixture)\n")
+        f.write(f"! HEALPix NSIDE= {nside} RING scheme\n")
+        f.write("! " + " ".join(catalogs) + "\n")
+        for _ in range(npix):
+            row = []
+            for c in catalogs:
+                if c == "a":
+                    row += [1.0, -0.5, 100.0, 50.0]
+                else:
+                    row += [0.0, 0.0, 0.0, 0.0]
+            f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+
+
+class TestDebiasTable:
+    def test_load_and_bias_values(self, tmp_path):
+        from outfit_tpu.observations.debias import DebiasTable
+
+        p = tmp_path / "bias.dat"
+        _write_tiny_debias(p)
+        t = DebiasTable.load(str(p))
+        assert t.nside == 1 and t.catalogs == ["a", "t"]
+        assert t.dra.shape == (12, 2)
+
+        # +10 Julian years after J2000, dec = 30 deg
+        mjd = 51544.5 + 3652.5
+        dec = np.deg2rad(30.0)
+        bra, bdec = t.bias_radians(
+            np.array([1.0, 1.0, 1.0]),
+            np.array([dec, dec, dec]),
+            np.array([mjd, mjd, mjd]),
+            np.array(["a", "t", "x"]),
+        )
+        # catalog 'a': (1.0 + 0.1*10) arcsec * RADSEC / cos(dec) in RA,
+        # (-0.5 + 0.05*10) arcsec in dec
+        exp_ra = 2.0 * RADSEC / np.cos(dec)
+        exp_dec = 0.0 * RADSEC
+        np.testing.assert_allclose(bra[0], exp_ra, rtol=1e-12)
+        np.testing.assert_allclose(bdec[0], exp_dec, atol=1e-18)
+        # 't' present-but-zero, 'x' absent: both zero bias
+        assert bra[1] == 0.0 and bdec[1] == 0.0
+        assert bra[2] == 0.0 and bdec[2] == 0.0
+
+    def test_apply_sets_dataset_bias(self, tmp_path):
+        from outfit_tpu.observations.debias import DebiasTable
+
+        p = tmp_path / "bias.dat"
+        _write_tiny_debias(p)
+        t = DebiasTable.load(str(p))
+
+        ds = ObsDataset()
+        geo = Observer.geocenter()
+        for i, tt in enumerate(np.linspace(0, 30, 6)):
+            ds.push_observation(
+                "D", 57000.0 + tt, 1.0 + 0.01 * i, 0.4, 1e-6, 1e-6, geo
+            )
+        ds.catalog = np.array(["a", "a", "t", "x", "a", "t"])
+        out = ds.apply_debias(t)
+        assert out is ds
+        exp_ra, exp_dec = t.bias_radians(ds.ra, ds.dec, ds.mjd_tt, ds.catalog)
+        np.testing.assert_array_equal(ds.bias_ra, exp_ra)
+        np.testing.assert_array_equal(ds.bias_dec, exp_dec)
+        assert (ds.bias_ra[[0, 1, 4]] != 0).all()
+        assert (ds.bias_ra[[2, 3, 5]] == 0).all()
+
+    def test_env_loading_and_errors(self, tmp_path, monkeypatch):
+        from outfit_tpu.observations.debias import DebiasTable
+
+        monkeypatch.delenv("OUTFIT_DEBIAS", raising=False)
+        with pytest.raises(FileNotFoundError):
+            DebiasTable.load()
+        p = tmp_path / "bias.dat"
+        _write_tiny_debias(p)
+        monkeypatch.setenv("OUTFIT_DEBIAS", str(p))
+        t = DebiasTable.load()
+        assert t.catalogs == ["a", "t"]
+        # truncated table: loud, not silent
+        bad = tmp_path / "bad.dat"
+        bad.write_text("! a t\n1 2 3 4 5 6 7 8\n")
+        with pytest.raises(ValueError, match="expected"):
+            DebiasTable.load(str(bad))
+        # missing catalog header line
+        noh = tmp_path / "noh.dat"
+        noh.write_text("1 2 3 4\n" * 12)
+        with pytest.raises(ValueError, match="catalog-code"):
+            DebiasTable.load(str(noh))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.environ.get("OUTFIT_DEBIAS", "")),
+    reason="$OUTFIT_DEBIAS not set / file absent (zero-egress build): "
+    "point it at the published bias.dat (Eggl et al. 2020) to validate",
+)
+class TestRealDebiasTable:
+    """Armed validation of a REAL published debiasing table (self-skips
+    hermetically; first network-enabled run settles it)."""
+
+    def test_published_table_sanity(self):
+        from outfit_tpu.observations.debias import DebiasTable
+
+        t = DebiasTable.load()
+        assert t.nside == 64  # published resolution (49152 pixels)
+        assert len(t.catalogs) >= 10
+        assert np.isfinite(t.dra).all() and np.isfinite(t.ddec).all()
+        # corrections are sub-arcsec-to-arcsec scale systematics
+        assert np.abs(t.dra).max() < 10.0 and np.abs(t.ddec).max() < 10.0
+        assert (t.dra != 0).any()
+        # applying to a real fixture produces finite, small biases
+        ds = ObsDataset.from_mpc_80_col(f"{DATA}/8467.obs")
+        ds.apply_debias(t)
+        assert np.isfinite(ds.bias_ra).all()
+        assert np.abs(ds.bias_dec).max() < 10 * 4.8e-6  # < 10 arcsec
