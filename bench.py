@@ -1219,6 +1219,47 @@ _STAGE_DEFS = [
 _TEST_ONLY_STAGES = ("wedge", "noop")
 
 
+#: main-thread frame names that mean "an XLA compile is in flight" —
+#: compile-specific entry points of jax's dispatch path (execution blocks
+#: under different frames: pjit call / executable execute)
+_COMPILE_FRAME_NAMES = frozenset((
+    "backend_compile",
+    "compile_or_get_cached",
+    "_cached_compilation",
+    "backend_compile_and_load",
+    "compile_unloaded",
+    "from_hlo",
+))
+
+
+def _install_compile_heartbeat(stage_name, interval_s=60.0):
+    """Daemon thread that logs a heartbeat ONLY while the main thread is
+    blocked inside an XLA compile (stack inspection): cold compiles
+    through the tunnel are silent for minutes and must not trip the
+    supervisor's stall detector, while a WEDGED device dispatch (the
+    round-2/round-4 failure) blocks under execute frames, gets no
+    heartbeat, and is still killed at the stall timeout."""
+    import sys as _sys
+
+    main_id = threading.main_thread().ident
+
+    def _beat():
+        while True:
+            time.sleep(interval_s)
+            f = _sys._current_frames().get(main_id)
+            names = []
+            while f is not None and len(names) < 60:
+                names.append(f.f_code.co_name)
+                f = f.f_back
+            hit = next((n for n in names if n in _COMPILE_FRAME_NAMES), None)
+            if hit is not None:
+                log(f"stage {stage_name}: XLA compile in flight "
+                    f"({hit}; heartbeat)")
+
+    threading.Thread(target=_beat, daemon=True,
+                     name="compile-heartbeat").start()
+
+
 def child_main(stage_name, result_path):
     """Entry for ``python bench.py --stage NAME --result-file PATH``."""
     defs = {d[0]: d for d in _STAGE_DEFS}
@@ -1234,6 +1275,7 @@ def child_main(stage_name, result_path):
     if stage_name not in _TEST_ONLY_STAGES:
         _enable_compile_cache()
         _install_compile_tracker()
+        _install_compile_heartbeat(stage_name)
     t0 = time.time()
     try:
         runner(emit, C)
