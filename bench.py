@@ -837,12 +837,18 @@ def accuracy_certificate(n_traj: int = 1024):
         jnp.ones((n_traj, n_obs), bool),
     )
 
+    def run_lsq(seed_eq, seed_ep, precision, **cfg_kw):
+        cfg_kw.setdefault("divergence_grace_iterations", 2)
+        cfg = DifferentialCorrectionConfig(precision=precision, **cfg_kw)
+        res = jax.jit(
+            lambda e, t, o: run_differential_correction(e, t, o, cfg)
+        )(jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs)
+        jax.block_until_ready(res)
+        return res
+
     def pipeline(precision):
         params = IODParams(
             n_noise_realizations=3, precision=precision, newton_max_it=20
-        )
-        cfg = DifferentialCorrectionConfig(
-            divergence_grace_iterations=2, precision=precision
         )
         out = jax.jit(
             lambda t, o, lt, w: _iod_kernel(t, o, lt, w, params)
@@ -853,20 +859,18 @@ def accuracy_certificate(n_traj: int = 1024):
         ok = np.isfinite(np.asarray(_rms)) & np.isfinite(seed_eq).all(axis=1)
         seed_eq = np.where(ok[:, None], seed_eq, np.array([2.0, 0, 0, 0, 0, 1.0]))
         seed_ep = np.where(ok, seed_ep, 57000.0)
-        res = jax.jit(
-            lambda e, t, o: run_differential_correction(e, t, o, cfg)
-        )(jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs)
-        jax.block_until_ready(res)
+        res = run_lsq(seed_eq, seed_ep, precision)
         sig = np.sqrt(np.maximum(np.asarray(
             jnp.diagonal(res.covariance, axis1=-2, axis2=-1)
         ), 0.0))
         return (
             np.asarray(res.status), np.asarray(res.elements), ok,
             np.asarray(eqv), np.asarray(res.normalised_rms), sig,
+            seed_eq, seed_ep,
         )
 
-    st_m, el_m, ok_m, eqv_m, nr_m, sig_m = pipeline("mixed")
-    st_f, el_f, ok_f, eqv_f, nr_f, sig_f = pipeline("f64")
+    st_m, el_m, ok_m, eqv_m, nr_m, sig_m, sd_eq_m, sd_ep_m = pipeline("mixed")
+    st_f, el_f, ok_f, eqv_f, nr_f, sig_f, sd_eq_f, sd_ep_f = pipeline("f64")
     both = (st_m == 1) & (st_f == 1)
     if not both.any():
         log("ACCURACY: no rows converged in both precisions (!)")
@@ -933,6 +937,53 @@ def accuracy_certificate(n_traj: int = 1024):
             f"pins flip count == 0 when the chi2 surface is not "
             f"seed-degenerate"
         )
+
+    # --- four-class row accounting + one-precision-only recovery ----------
+    # (VERDICT r4 #4: ~8% of rows converge in only ONE precision; a
+    # mixed-precision user needs the direction split and whether the
+    # escalating tier recovers them.)  The recovery probes are the
+    # kernel-level expressible parts of the escalating tier: (a) the rich
+    # CORRECTION budget (deeper Newton/prewarm + extra grace), and (b) the
+    # OTHER precision's IOD seed (is the failure seed-driven or
+    # arithmetic-driven?).
+    mixed_only = (st_m == 1) & (st_f != 1)  # the f64 side failed
+    f64_only = (st_f == 1) & (st_m != 1)  # the mixed side failed
+    neither = (st_m != 1) & (st_f != 1)
+
+    def _recover(side_mask, precision, seed_eq, seed_ep, x_eq, x_ep):
+        """(n_rich, n_xseed, n_either) rows of ``side_mask`` recovered by
+        the rich correction budget / the cross-precision seed."""
+        if not side_mask.any():
+            return 0, 0, 0
+        rich = run_lsq(
+            seed_eq, seed_ep, precision,
+            divergence_grace_iterations=3,
+            max_newton_iterations=8, prewarm_max_iterations=32,
+        )
+        xseed = run_lsq(x_eq, x_ep, precision)
+        ok_r = (np.asarray(rich.status) == 1) & side_mask
+        ok_x = (np.asarray(xseed.status) == 1) & side_mask
+        return int(ok_r.sum()), int(ok_x.sum()), int((ok_r | ok_x).sum())
+
+    # mixed-only rows: retry the FAILING f64 side; f64-only rows: retry
+    # the failing mixed side
+    rf, xf, ef = _recover(mixed_only, "f64", sd_eq_f, sd_ep_f,
+                          sd_eq_m, sd_ep_m)
+    rm, xm, em = _recover(f64_only, "mixed", sd_eq_m, sd_ep_m,
+                          sd_eq_f, sd_ep_f)
+    log(
+        f"PRECISION ROW CLASSES ({n_traj} rows): "
+        f"{int(same_basin.sum())} both/same-optimum, "
+        f"{int(flip.sum())} both/flip, "
+        f"{int(mixed_only.sum())} mixed-only (f64 side failed: rich "
+        f"correction budget recovers {rf}, mixed's seed recovers {xf}, "
+        f"either {ef}), "
+        f"{int(f64_only.sum())} f64-only (mixed side failed: rich budget "
+        f"recovers {rm}, f64's seed recovers {xm}, either {em}), "
+        f"{int(neither.sum())} neither (underdetermined noisy arcs); "
+        f"unrecovered one-precision rows are candidates for the "
+        f"escalating tier's rich-IOD refit (fit_lsq_stream_escalating)"
+    )
 
 
 def _backend_usable(timeout_s: int = 90):
