@@ -507,9 +507,25 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
     # ~1.5x the rich stream throughput — round 3's "K-count is nearly
     # free" stops holding at K4, where the wide-gap triplets that drive
     # the deepest universal-Kepler/f-g lanes drop out of the best-K set
+    # newton_max_it=10: the round-4 decomposition measured the f-g
+    # correction cap at 10 converging 100.00% of this workload with
+    # ~11 ms less dense-IOD device wall (docs/DESIGN.md per-kernel table)
     lean_params = IODParams(
-        n_noise_realizations=0, precision="mixed", newton_max_it=20,
+        n_noise_realizations=0, precision="mixed", newton_max_it=10,
         max_triplets=4, max_obs_for_triplets=32,
+    )
+    # round-5 corrector A/B (tools/fixed_depth_ab.py, docs/DESIGN.md): the
+    # while-outer outlier ladder at the default 10-pass cap burns ~60 ms
+    # of the 475 ms real-cadence device wall re-entering for a tiny
+    # minority of selection-churning lanes; capping at 3 passes runs the
+    # captured LSQ chunk at 58% of baseline with 99.2% of rows inside
+    # half their own 1-sigma of the 10-pass fit (9/2731 worse by > 1e-2
+    # nRMS).  Fixed-depth fori correctors measured SLOWER than the capped
+    # while at equal quality — the early exit earns its keep.
+    lean_cfg = DifferentialCorrectionConfig(
+        divergence_grace_iterations=2, precision="mixed",
+        max_newton_iterations=4, prewarm_max_iterations=16,
+        max_outlier_rejection_passes=3,
     )
 
     if rich:
@@ -545,7 +561,7 @@ def bench_e2e(n_traj: int, repeats: int = 3, builder=None, tag="e2e",
             # the per-dataset host prep behind the deeper device queue)
             def streamer(dss, n):
                 return fit_lsq_stream_escalating(
-                    dss, eph, [(lean_params, cfg), (rich_params, cfg)],
+                    dss, eph, [(lean_params, lean_cfg), (rich_params, cfg)],
                     seed=7, flush_every=max(n, 1), depth=3, **kw,
                 )
         else:

@@ -323,8 +323,12 @@ def run_fixed(elements0, epoch, obs, cfg, ephem, P, D, R):
         return new_sel, changes
 
     for outer_pass in range(R):
+        entered = (st.status == STATUS_RUNNING) & ~st.outer_done
         st, inner_conv = inner_fixed(st)
-        st = st._replace(converged=inner_conv)
+        # a lane's convergence flag reflects its LAST entered pass only
+        st = st._replace(
+            converged=jnp.where(entered, inner_conv, st.converged)
+        )
         running = st.status == STATUS_RUNNING
         clean = (
             (outer_pass == 0)
@@ -353,11 +357,11 @@ def run_fixed(elements0, epoch, obs, cfg, ephem, P, D, R):
         last_normal=jnp.where(k2, res.normal_matrix, st.last_normal),
         last_m=jnp.where(keep, res.num_measurements, st.last_m),
     )
-    # a lane is OK only if its LAST pass's Newton converged (no
-    # batch-convergence condition certified it otherwise)
+    # SAME terminal semantics as the baseline (loop.py:432-435): every
+    # still-RUNNING lane is OK — quality parity is judged on nRMS/elements
+    # by the caller; st.converged rides along as the strict diagnostic
     status = jnp.where(
-        (st.status == STATUS_RUNNING) & st.converged, STATUS_OK,
-        jnp.where(st.status == STATUS_RUNNING, STATUS_DIVERGED, st.status),
+        st.status == STATUS_RUNNING, STATUS_OK, st.status
     ).astype(jnp.int32)
 
     n_free = int(sum(cfg.free_elements))
@@ -368,15 +372,23 @@ def run_fixed(elements0, epoch, obs, cfg, ephem, P, D, R):
         jnp.where(st.last_rms > 1.0, st.last_rms * factor, factor), 1.0,
     )
     mu2 = (mu * mu)[:, None, None]
-    return st.elements, status, jnp.where(st.last_rms < _BIG, st.last_rms, jnp.inf), st.last_cov * mu2
+    return (
+        st.elements, status,
+        jnp.where(st.last_rms < _BIG, st.last_rms, jnp.inf),
+        st.last_cov * mu2, st.converged,
+    )
 
 
 def main():
+    import dataclasses
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-traj", type=int, default=4096)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--depths", default="16,4,2 12,4,2 10,3,2 8,3,2 8,2,2 6,3,1",
-                    help="space-separated P,D,R combos")
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--depths", default="16,4,3 12,3,2 10,3,2",
+                    help="space-separated P,D,R fori combos")
+    ap.add_argument("--passes", default="2,3",
+                    help="comma list of while-outer caps to include")
     args = ap.parse_args()
 
     import jax
@@ -385,41 +397,92 @@ def main():
     el, ep, obs, cfg, eph = _capture_lsq_args(args.n_traj)
     from outfit_tpu.lsq.loop import run_differential_correction
 
-    def timeit(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(out)
-        best = np.inf
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
-            best = min(best, time.perf_counter() - t0)
-        return best, out
-
-    base_fn = jax.jit(lambda e, t, o: run_differential_correction(
-        e, t, o, cfg, ephem=eph))
-    t_base, out_base = timeit(base_fn, el, ep, obs)
-    st_b = np.asarray(out_base.status)
-    el_b = np.asarray(out_base.elements)
-    conv_b = (st_b == 1).mean()
-    print(f"BASELINE while-ladder: {t_base*1e3:7.1f} ms  "
-          f"conv {conv_b*100:6.2f}%", flush=True)
-
+    # ---- build every variant, compile up front --------------------------
+    variants = []  # (label, fn, kind)
+    variants.append((
+        "WHILE passes=10 (baseline)",
+        jax.jit(lambda e, t, o: run_differential_correction(
+            e, t, o, cfg, ephem=eph)),
+        "while",
+    ))
+    for p in (int(x) for x in args.passes.split(",") if x):
+        cfg_p = dataclasses.replace(cfg, max_outlier_rejection_passes=p)
+        variants.append((
+            f"WHILE passes={p}",
+            jax.jit(lambda e, t, o, c=cfg_p: run_differential_correction(
+                e, t, o, c, ephem=eph)),
+            "while",
+        ))
     for combo in args.depths.split():
         P, D, R = (int(x) for x in combo.split(","))
-        fn = jax.jit(lambda e, t, o, P=P, D=D, R=R: run_fixed(
-            e, t, o, cfg, eph, P, D, R))
-        t0c = time.time()
-        t, out = timeit(fn, el, ep, obs)
-        st_f = np.asarray(out[1])
-        el_f = np.asarray(out[0])
-        conv_f = (st_f == 1).mean()
-        both = (st_b == 1) & (st_f == 1)
-        dmax = float(np.max(np.abs(el_f[both] - el_b[both]))) if both.any() else np.nan
+        variants.append((
+            f"FORI  P={P:2d} D={D} R={R}",
+            jax.jit(lambda e, t, o, P=P, D=D, R=R: run_fixed(
+                e, t, o, cfg, eph, P, D, R)),
+            "fori",
+        ))
+
+    outs = []
+    for label, fn, kind in variants:
+        t0 = time.time()
+        out = fn(el, ep, obs)
+        jax.block_until_ready(out)
+        outs.append(out)
+        print(f"compiled {label} ({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- INTERLEAVED timing: tunnel throughput drifts across minutes, so
+    # cross-variant comparisons must alternate within one process
+    # (rep-medians; the operational lesson from rounds 3-4)
+    times = [[] for _ in variants]
+    for rep in range(args.reps):
+        for i, (label, fn, kind) in enumerate(variants):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(el, ep, obs))
+            times[i].append(time.perf_counter() - t0)
+
+    base_out = outs[0]
+    st_b = np.asarray(base_out.status)
+    el_b = np.asarray(base_out.elements)
+    nr_b = np.asarray(base_out.normalised_rms)
+    from outfit_tpu.lsq.api import uncertainties_from_covariance
+
+    sig_b = np.asarray(uncertainties_from_covariance(base_out.covariance))
+    real = st_b == 1  # pad/benign rows never reach OK in the baseline
+    t_base = float(np.median(times[0]))
+    print(f"\n{len(st_b)} rows, {real.sum()} real; baseline median "
+          f"{t_base*1e3:.1f} ms over {args.reps} interleaved reps",
+          flush=True)
+
+    for i, (label, fn, kind) in enumerate(variants):
+        out = outs[i]
+        if kind == "while":
+            el_f = np.asarray(out.elements)
+            st_f = np.asarray(out.status)
+            nr_f = np.asarray(out.normalised_rms)
+        else:
+            el_f = np.asarray(out[0])
+            st_f = np.asarray(out[1])
+            nr_f = np.asarray(out[2])
+        t = float(np.median(times[i]))
+        ok_f = real & (st_f == 1)
+        # same-basin vs baseline: every element within 0.5 of the
+        # baseline fit's own 1-sigma (the certificate's basin metric) —
+        # rows outside it mostly reflect a different outlier selection
+        with np.errstate(invalid="ignore", divide="ignore"):
+            basin = ok_f & (
+                (np.abs(el_f - el_b) / np.maximum(sig_b, 1e-300)).max(axis=1)
+                < 0.5
+            )
+        off = real & ~basin
+        dn_off = (nr_f - nr_b)[off]
+        worse = off & ((nr_f - nr_b) > 1e-2)
         print(
-            f"FIXED P={P:2d} D={D} R={R}: {t*1e3:7.1f} ms  "
-            f"conv {conv_f*100:6.2f}%  sweep {100*(conv_b-conv_f):+5.2f}pp  "
-            f"max|dEl| vs base on both-conv {dmax:.2e}  "
-            f"(compile+first {time.time()-t0c-args.reps*t:.0f}s)",
+            f"{label}: {t*1e3:7.1f} ms ({t/t_base*100:3.0f}%)  "
+            f"OK {ok_f.sum()}/{real.sum()}  "
+            f"same-basin {basin.sum()/max(real.sum(),1)*100:5.1f}%  "
+            f"off-basin {off.sum()} (dnRMS p50 "
+            f"{np.median(dn_off) if off.any() else 0:+.1e}, "
+            f"worse>1e-2 {worse.sum()})",
             flush=True,
         )
 
