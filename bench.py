@@ -712,6 +712,71 @@ def bench_dop853_nbody(n_lanes: int = 4096, repeats: int = 3):
     return steps / best
 
 
+def bench_ephemeris_gen(n_orbits: int = 4096, n_epochs: int = 64,
+                        repeats: int = 3):
+    """Batched apparent-ephemeris generation entries/sec/chip — the
+    BASELINE.json config class "Ephemeris generation ... phase angle /
+    elongation / aberration" (reference tests/test_ephemeris.rs), which
+    previously had no bench line.
+
+    Workload: ``n_orbits`` random bound orbits x ``n_epochs`` daily
+    epochs from a geocentric observer, SECOND-order aberration (two
+    Keplerian retro-propagation passes, aberration.rs:197 parity) and
+    the Combined output (apparent RA/Dec/distances + phase angle,
+    elongation, radial velocity, sky motion).  The device core is
+    ``compute_apparent`` (ephemeris/compute.py) — the same kernel the
+    public ``EphemerisRequest`` path dispatches per entry batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from outfit_tpu.elements.types import EquinoctialElements
+    from outfit_tpu.ephemeris.compute import compute_apparent
+    from outfit_tpu.ephemeris.config import AberrationOrder
+
+    eph = bench_eph()
+    rng = np.random.default_rng(5)
+    B, E = n_orbits, n_epochs
+    a = rng.uniform(1.2, 3.5, B)
+    ecc = rng.uniform(0.0, 0.35, B)
+    pom = rng.uniform(0, 2 * np.pi, B)
+    Om = rng.uniform(0, 2 * np.pi, B)
+    tani2 = np.tan(rng.uniform(0.0, 0.3, B))
+    eq = EquinoctialElements(
+        jnp.full((B, 1), 57000.0),
+        jnp.asarray(a)[:, None],
+        jnp.asarray(ecc * np.sin(pom))[:, None],
+        jnp.asarray(ecc * np.cos(pom))[:, None],
+        jnp.asarray(tani2 * np.sin(Om))[:, None],
+        jnp.asarray(tani2 * np.cos(Om))[:, None],
+        jnp.asarray(rng.uniform(0, 2 * np.pi, B))[:, None],
+    )
+    epochs = jnp.asarray(
+        57000.0 + np.arange(E)[None, :] + rng.uniform(0, 1, (B, E))
+    )
+
+    def gen(eq, t):
+        obs_pos, obs_vel = eph.earth_ephemeris(t)
+        return compute_apparent(
+            eq, t, obs_pos, obs_vel, aberration=AberrationOrder.SECOND,
+        )
+
+    fn = jax.jit(gen)
+    t0 = time.time()
+    out = fn(eq, epochs)
+    jax.block_until_ready(out)
+    log(f"ephemeris-gen compile+first run: {time.time()-t0:.1f}s")
+    ok = float(np.asarray(out.ok).mean())
+    best = min(
+        _timed(lambda: jax.block_until_ready(fn(eq, epochs)))
+        for _ in range(repeats)
+    )
+    log(
+        f"ephemeris-gen warm: {best*1e3:.1f} ms for {B} orbits x {E} "
+        f"epochs (2nd-order aberration + full geometry; {ok*100:.2f}% ok)"
+    )
+    return B * E / best
+
+
 def _unit(rng, n):
     x = rng.normal(size=(n, 3))
     return x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -1242,6 +1307,22 @@ def _stage_dop(emit, C):
     })
 
 
+def _stage_ephemeris(emit, C):
+    n = 256 if C.tiny else (1024 if C.cpu_fallback else 4096)
+    ephg = bench_ephemeris_gen(n, 16 if C.tiny else 64)
+    log(f"EPHEMERIS GENERATION: {ephg:.0f} entries/sec/chip "
+        "(position + geometry, 2nd-order aberration)")
+    emit.extra({
+        "metric": "apparent ephemeris entries/sec/chip (batched "
+                  "position + geometry, 2nd-order aberration; "
+                  "BASELINE.json ephemeris-generation config class)"
+                  + C.tag,
+        "value": round(ephg, 2),
+        "unit": "entries/sec/chip",
+        "vs_baseline": 0.0,
+    })
+
+
 def _stage_accuracy(emit, C):
     accuracy_certificate(256 if (C.cpu_fallback or C.tiny) else 1024)
 
@@ -1269,15 +1350,19 @@ def _stage_wedge(emit, C):
 #: real-cadence, DOP853) run before the informational ones so a shrinking
 #: budget sheds the right stages first
 _STAGE_DEFS = [
+    # costs = measured round-5 warm-cache stage walls + margin (prop 52,
+    # kernels 45, stream 104, real 60-226, dop 15, ephgen 31, seq 174,
+    # ragged 27, f64 44, accuracy 61-220); caps bound a wedge's damage
     ("prop-fallback", 60, 240, False, _stage_prop),
-    ("kernels-only", 150, 420, False, _stage_kernels),
+    ("kernels-only", 120, 420, False, _stage_kernels),
     ("stream", 150, 480, True, _stage_stream),
     ("e2e-real-cadence", 160, 480, True, _stage_real),
-    ("dop853-nbody", 90, 300, True, _stage_dop),
-    ("e2e-sequential", 180, 420, False, _stage_e2e_seq),
-    ("e2e-ragged", 120, 360, False, _stage_ragged),
-    ("kernels-f64-parity", 150, 420, False, _stage_f64),
-    ("accuracy-certificate", 150, 420, False, _stage_accuracy),
+    ("dop853-nbody", 60, 300, True, _stage_dop),
+    ("ephemeris-gen", 60, 240, False, _stage_ephemeris),
+    ("e2e-sequential", 200, 420, False, _stage_e2e_seq),
+    ("e2e-ragged", 90, 360, False, _stage_ragged),
+    ("kernels-f64-parity", 120, 420, False, _stage_f64),
+    ("accuracy-certificate", 180, 480, False, _stage_accuracy),
     ("wedge", 5, 60, False, _stage_wedge),  # test-only, never in default order
     ("noop", 2, 30, False, _stage_noop),  # test-only, never in default order
 ]
