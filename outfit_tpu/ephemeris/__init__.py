@@ -18,3 +18,8 @@ from outfit_tpu.ephemeris.request import (  # noqa: F401
 from outfit_tpu.ephemeris.result import EphemerisEntry, EphemerisResult  # noqa: F401
 from outfit_tpu.ephemeris.compute import ApparentPosition, BodyGeometry  # noqa: F401
 from outfit_tpu.ephemeris.api import compute_ephemeris  # noqa: F401
+from outfit_tpu.ephemeris.api import compute_ephemerides_for_results  # noqa: F401
+from outfit_tpu.ephemeris.batch import (  # noqa: F401
+    EphemerisTable,
+    compute_ephemerides_batch,
+)

@@ -37,23 +37,12 @@ class EphemerisValue:
     geometry: BodyGeometry
 
 
-def compute_ephemeris(
-    elements: Union[EquinoctialElements, KeplerianElements],
-    request: EphemerisRequest,
-    ephem,
-    ut1: Optional[Ut1Provider] = None,
-) -> EphemerisResult:
-    """Compute apparent positions + geometry for every (observer, epoch)."""
-    if isinstance(elements, KeplerianElements):
-        eq = keplerian_to_equinoctial(elements)
-    else:
-        eq = elements
-    if ut1 is None:
-        ut1 = Ut1Provider()
-
-    # flatten (observer, epoch) pairs; the observer-fixed vectors are
-    # computed ONCE per observer entry and broadcast over its epochs
-    # (ObserverFixedCache parity, mod.rs:258)
+def _request_pairs(request: EphemerisRequest, ephem, ut1):
+    """Flatten a request into (observer, epoch) pairs + the observers'
+    heliocentric states.  The observer-fixed vectors are computed ONCE per
+    observer entry and broadcast over its epochs (ObserverFixedCache
+    parity, mod.rs:258).  Returns ``None`` for an empty request, else
+    ``(pairs, epochs, obs_pos, obs_vel, unknown)``."""
     pairs = []
     fp_rows, fv_rows = [], []
     for entry in request.entries:
@@ -69,17 +58,7 @@ def compute_ephemeris(
             np.broadcast_to(np.asarray(earth_fixed_velocity(o)), (len(eps), 3))
         )
     if not pairs:
-        return EphemerisResult([])
-
-    # precheck (mod.rs:223): non-elliptic orbits error every entry
-    ecc = float(np.hypot(float(eq.h), float(eq.k)))
-    if ecc >= 1.0:
-        return EphemerisResult(
-            [
-                EphemerisEntry(t, o, error=str(InvalidOrbit(f"InvalidOrbit(e={ecc:.3f} >= 1)")))
-                for o, t in pairs
-            ]
-        )
+        return None
 
     # unknown observatory codes carry geocenter placeholder coordinates (up
     # to ~6400 km observer error) — per-entry error, never a silent geocenter
@@ -96,6 +75,37 @@ def compute_ephemeris(
     )
     obs_pos = helio_position(ephem, epochs, geo_pos)
     obs_vel = helio_velocity(ephem, epochs, geo_vel)
+    return pairs, epochs, obs_pos, obs_vel, unknown
+
+
+def compute_ephemeris(
+    elements: Union[EquinoctialElements, KeplerianElements],
+    request: EphemerisRequest,
+    ephem,
+    ut1: Optional[Ut1Provider] = None,
+) -> EphemerisResult:
+    """Compute apparent positions + geometry for every (observer, epoch)."""
+    if isinstance(elements, KeplerianElements):
+        eq = keplerian_to_equinoctial(elements)
+    else:
+        eq = elements
+    if ut1 is None:
+        ut1 = Ut1Provider()
+
+    flat = _request_pairs(request, ephem, ut1)
+    if flat is None:
+        return EphemerisResult([])
+    pairs, epochs, obs_pos, obs_vel, unknown = flat
+
+    # precheck (mod.rs:223): non-elliptic orbits error every entry
+    ecc = float(np.hypot(float(eq.h), float(eq.k)))
+    if ecc >= 1.0:
+        return EphemerisResult(
+            [
+                EphemerisEntry(t, o, error=str(InvalidOrbit(f"InvalidOrbit(e={ecc:.3f} >= 1)")))
+                for o, t in pairs
+            ]
+        )
 
     out = compute_apparent(
         eq,

@@ -1,0 +1,266 @@
+"""ONE-dispatch bulk ephemeris generation over whole fit-result sets.
+
+The reference's bulk entry (``FullOrbitResultExt::compute_ephemerides``,
+``src/ephemeris/batch.rs:73``) iterates trajectories — fine on a CPU,
+but a per-orbit device dispatch costs a full tunnel round trip (~25 ms)
+plus per-dispatch kernel latency, so generating ephemerides for a
+100k-orbit survey catalog the reference's way spends ~45 minutes in
+dispatch overhead alone.  TPU-first shape: when every trajectory shares
+one request grid (the survey case — same observers, same epochs), stack
+the orbit rows and evaluate ALL of them in ONE ``compute_apparent``
+call over a ``(n_orbits, n_pairs)`` batch, returning columnar arrays.
+
+``compute_ephemerides_for_results`` (api.py) remains the
+reference-parity per-trajectory path; this module is the batch-first
+alternative, ~``n_orbits``x fewer dispatches.  Measured on the v5e chip
+the underlying kernel sustains ~5.2M entries/sec (bench.py
+ephemeris-gen stage).
+
+Rows whose fit failed, whose orbit is non-elliptic, or whose observer is
+unknown ride along as masked lanes (benign elements, ``ok=False``) so
+one bad row never costs a recompile or a batch abort — the same
+errors-as-data posture as the fit kernels.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from outfit_tpu.elements.types import EquinoctialElements
+from outfit_tpu.ephemeris.api import EphemerisValue, _request_pairs
+from outfit_tpu.ephemeris.compute import (
+    ApparentPosition,
+    BodyGeometry,
+    compute_apparent,
+)
+from outfit_tpu.ephemeris.request import (
+    Combined,
+    EphemerisRequest,
+    Geometry,
+    Position,
+)
+from outfit_tpu.ephemeris.result import EphemerisEntry, EphemerisResult
+from outfit_tpu.errors import InvalidOrbit
+from outfit_tpu.time.scales import Ut1Provider
+
+__all__ = ["EphemerisTable", "compute_ephemerides_batch"]
+
+#: position/geometry column names, in NamedTuple field order
+_POS_FIELDS = ("ra", "dec", "geocentric_distance", "heliocentric_distance")
+_GEOM_FIELDS = (
+    "phase_angle", "solar_elongation", "radial_velocity", "d_ra_dt",
+    "d_dec_dt",
+)
+
+
+@dataclass
+class EphemerisTable:
+    """Columnar bulk-ephemeris results: every array is
+    ``(n_trajectories, n_pairs)`` in (dataset order) x (request pair
+    order).  ``result(tid)`` materializes one row as the
+    ``EphemerisResult`` the per-orbit API returns (parity/migration
+    path); ``to_dataframe()`` is the survey-scale hand-off."""
+
+    traj_ids: List[str]
+    #: flattened request pairs, column order of every array
+    epochs: np.ndarray  # (P,)
+    observers: list  # (P,) Observer per pair
+    ra: np.ndarray  # (T, P) radians
+    dec: np.ndarray
+    geocentric_distance: np.ndarray  # AU
+    heliocentric_distance: np.ndarray
+    phase_angle: np.ndarray  # radians
+    solar_elongation: np.ndarray
+    radial_velocity: np.ndarray  # AU/day
+    d_ra_dt: np.ndarray  # radians/day
+    d_dec_dt: np.ndarray
+    ok: np.ndarray  # (T, P) bool
+    #: per-trajectory error string for rows that never dispatched
+    #: (failed fit / non-elliptic orbit); propagation failures are
+    #: per-entry ``ok=False`` with finite=False lanes
+    row_errors: Dict[str, str] = field(default_factory=dict)
+    #: per-pair unknown-observatory flag (those columns are errors on
+    #: every row)
+    unknown_observer: Optional[np.ndarray] = None
+    #: the request's output kind (Position/Geometry/Combined), used by
+    #: ``result`` materialization
+    output: str = Combined
+
+    def __len__(self) -> int:
+        return len(self.traj_ids)
+
+    @property
+    def n_pairs(self) -> int:
+        return len(self.epochs)
+
+    def result(self, traj_id) -> EphemerisResult:
+        """Materialize one row as the per-orbit API's EphemerisResult."""
+        try:
+            i = self.traj_ids.index(traj_id)
+        except ValueError:
+            raise KeyError(traj_id) from None
+        err = self.row_errors.get(traj_id)
+        entries = []
+        for j in range(self.n_pairs):
+            o, t = self.observers[j], float(self.epochs[j])
+            if err is not None:
+                entries.append(EphemerisEntry(t, o, error=err))
+            elif self.unknown_observer is not None and self.unknown_observer[j]:
+                entries.append(
+                    EphemerisEntry(t, o, error=f"UnknownObservatory({o.code})")
+                )
+            elif self.ok[i, j]:
+                pos = ApparentPosition(
+                    *(float(getattr(self, f)[i, j]) for f in _POS_FIELDS)
+                )
+                geom = BodyGeometry(
+                    *(float(getattr(self, f)[i, j]) for f in _GEOM_FIELDS)
+                )
+                if self.output == Position:
+                    val = pos
+                elif self.output == Geometry:
+                    val = geom
+                else:
+                    val = EphemerisValue(pos, geom)
+                entries.append(EphemerisEntry(t, o, value=val))
+            else:
+                entries.append(
+                    EphemerisEntry(
+                        t, o, error="PropagationFailed or non-finite result"
+                    )
+                )
+        return EphemerisResult(entries)
+
+    def __getitem__(self, traj_id) -> EphemerisResult:
+        return self.result(traj_id)
+
+    def to_dataframe(self):
+        """Long-format pandas DataFrame: one row per (trajectory, pair),
+        scalar columns (traj_id, epoch, observer code, ok, every
+        position/geometry field)."""
+        import pandas as pd
+
+        T, P = self.ok.shape
+        codes = np.array(
+            [getattr(o, "code", "") or "" for o in self.observers], object
+        )
+        data = {
+            "traj_id": np.repeat(np.asarray(self.traj_ids, object), P),
+            "epoch": np.tile(self.epochs, T),
+            "observer": np.tile(codes, T),
+            "ok": self.ok.ravel(),
+        }
+        for f in _POS_FIELDS + _GEOM_FIELDS:
+            data[f] = getattr(self, f).ravel()
+        return pd.DataFrame(data)
+
+
+def compute_ephemerides_batch(
+    results,
+    request: EphemerisRequest,
+    ephem,
+    ut1: Optional[Ut1Provider] = None,
+) -> EphemerisTable:
+    """Bulk ephemeris generation in ONE device dispatch (module doc).
+
+    ``results``: a ``{traj_id: LsqResult}`` map (the ``fit_lsq`` return),
+    an :class:`~outfit_tpu.lsq.table.LsqTable` (columnar service mode —
+    consumed column-wise, no per-row materialization), or a
+    ``{traj_id: (epoch, equinoctial_vector)}`` map of raw elements.
+    Every trajectory is evaluated on the SAME request grid.
+    """
+    if ut1 is None:
+        ut1 = Ut1Provider()
+
+    # ---- collect orbit rows (columnar fast path for LsqTable) -----------
+    row_errors: Dict[str, str] = {}
+    if hasattr(results, "traj_ids") and hasattr(results, "equinoctial"):
+        tids = list(results.traj_ids)
+        eq_rows = np.asarray(results.equinoctial, np.float64).copy()
+        ep_rows = np.asarray(results.epoch, np.float64).copy()
+        fit_ok = np.asarray(results.ok, bool).copy()
+        for i, tid in enumerate(tids):
+            if not fit_ok[i]:
+                row_errors[tid] = f"fit failed: {results.result(tid).error}"
+    else:
+        tids, eqs, eps, oks = [], [], [], []
+        for tid, r in results.items():
+            tids.append(tid)
+            if isinstance(r, tuple):
+                ep_i, eq_i = r
+                eqs.append(np.asarray(eq_i, np.float64))
+                eps.append(float(ep_i))
+                oks.append(True)
+            elif getattr(r, "ok", False) and getattr(r, "equinoctial", None) is not None:
+                eqs.append(np.asarray(r.equinoctial, np.float64))
+                eps.append(float(r.epoch))
+                oks.append(True)
+            else:
+                eqs.append(np.full(6, np.nan))
+                eps.append(0.0)
+                oks.append(False)
+                row_errors[tid] = f"fit failed: {getattr(r, 'error', '?')}"
+        eq_rows = np.asarray(eqs).reshape(len(tids), 6)
+        ep_rows = np.asarray(eps)
+        fit_ok = np.asarray(oks)
+
+    T = len(tids)
+    flat = _request_pairs(request, ephem, ut1)
+    if flat is None or T == 0:
+        return EphemerisTable(
+            traj_ids=tids, epochs=np.empty(0), observers=[],
+            **{f: np.zeros((T, 0)) for f in _POS_FIELDS + _GEOM_FIELDS},
+            ok=np.zeros((T, 0), bool), row_errors=row_errors,
+            unknown_observer=np.zeros(0, bool),
+            output=getattr(request, "output", Combined),
+        )
+    pairs, epochs, obs_pos, obs_vel, unknown = flat
+    P = len(pairs)
+
+    # non-elliptic precheck, vectorized (mod.rs:223 parity)
+    with np.errstate(invalid="ignore"):
+        ecc = np.hypot(eq_rows[:, 1], eq_rows[:, 2])
+    bad_e = fit_ok & ~(ecc < 1.0)
+    for i in np.flatnonzero(bad_e):
+        row_errors[tids[i]] = str(
+            InvalidOrbit(f"InvalidOrbit(e={ecc[i]:.3f} >= 1)")
+        )
+    live = fit_ok & ~bad_e
+    # masked lanes ride along on a benign circular orbit
+    benign = np.array([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    eq_safe = np.where(live[:, None], np.nan_to_num(eq_rows, nan=0.0), benign)
+    ep_safe = np.where(live, ep_rows, 57000.0)
+
+    eqb = EquinoctialElements(
+        jnp.asarray(ep_safe)[:, None],
+        *(jnp.asarray(eq_safe[:, j])[:, None] for j in range(6)),
+    )
+    out = compute_apparent(
+        eqb,
+        jnp.broadcast_to(jnp.asarray(epochs)[None, :], (T, P)),
+        obs_pos[None, :, :],
+        obs_vel[None, :, :],
+        propagator=request.config.propagator,
+        aberration=request.config.aberration,
+        ephem=ephem,
+    )
+
+    ok = np.asarray(out.ok) & live[:, None] & ~unknown[None, :]
+    cols = {
+        f: np.asarray(getattr(out.position, f)) for f in _POS_FIELDS
+    }
+    cols.update(
+        {f: np.asarray(getattr(out.geometry, f)) for f in _GEOM_FIELDS}
+    )
+    return EphemerisTable(
+        traj_ids=tids,
+        epochs=epochs,
+        observers=[o for o, _ in pairs],
+        **cols,
+        ok=ok,
+        row_errors=row_errors,
+        unknown_observer=unknown,
+        output=getattr(request, "output", Combined),
+    )

@@ -295,3 +295,133 @@ class TestUnknownObservatory:
         req = EphemerisRequest().add(bad, EphemerisMode.at([57010.0]))
         res = compute_ephemeris(kep, req, eph)
         assert res.error_count() == 1 and not res.entries[0].ok
+
+
+class TestBatchEphemerides:
+    """compute_ephemerides_batch: ONE-dispatch bulk generation must
+    reproduce the per-orbit API exactly (batch.rs:73 parity through the
+    columnar fast path), including failed-fit rows, non-elliptic orbits,
+    and unknown-observatory columns."""
+
+    def _results(self, eph):
+        from outfit_tpu.lsq.api import LsqResult
+
+        rng = np.random.default_rng(8)
+        out = {}
+        for k in range(3):
+            eqv = np.array([
+                2.0 + 0.3 * k, 0.05 * k, 0.1, 0.01, 0.02 * k, 1.0 + k,
+            ])
+            out[f"T{k}"] = LsqResult(
+                f"T{k}", ok=True, epoch=57000.0 + k, equinoctial=eqv,
+                normalised_rms=1.0, status=1,
+            )
+        out["BAD"] = LsqResult("BAD", ok=False, error="NoViableOrbit(8)")
+        out["HYP"] = LsqResult(
+            "HYP", ok=True, epoch=57000.0,
+            equinoctial=np.array([2.0, 1.2, 0.3, 0.0, 0.0, 0.0]),  # e>1
+            normalised_rms=1.0, status=1,
+        )
+        return out
+
+    def _request(self):
+        return EphemerisRequest().add(
+            Observer.geocenter(), EphemerisMode.range(57010.0, 57040.0, 10.0)
+        ).add(
+            get_observatory("809"), EphemerisMode.at([57015.0, 57025.0])
+        )
+
+    def test_matches_per_orbit_api(self, eph):
+        from outfit_tpu.ephemeris import (
+            compute_ephemerides_batch,
+            compute_ephemerides_for_results,
+        )
+
+        results = self._results(eph)
+        req = self._request()
+        per_orbit = compute_ephemerides_for_results(results, req, eph)
+        table = compute_ephemerides_batch(results, req, eph)
+
+        assert set(table.traj_ids) == set(results)
+        assert table.n_pairs == len(req)
+        for tid in results:
+            ref = per_orbit[tid]
+            got = table.result(tid)
+            assert len(got) == len(ref)
+            for a, b in zip(ref, got):
+                assert a.epoch == b.epoch
+                assert a.ok == b.ok, (tid, a.epoch, a.error, b.error)
+                if not a.ok:
+                    assert a.error == b.error
+                    continue
+                av = a.value
+                bv = b.value
+                for f in ("ra", "dec", "geocentric_distance",
+                          "heliocentric_distance"):
+                    np.testing.assert_allclose(
+                        getattr(bv.position, f), getattr(av.position, f),
+                        rtol=1e-13, atol=1e-13, err_msg=f"{tid}:{f}",
+                    )
+                for f in ("phase_angle", "solar_elongation",
+                          "radial_velocity", "d_ra_dt", "d_dec_dt"):
+                    np.testing.assert_allclose(
+                        getattr(bv.geometry, f), getattr(av.geometry, f),
+                        rtol=1e-12, atol=1e-13, err_msg=f"{tid}:{f}",
+                    )
+
+    def test_error_rows_and_columns(self, eph):
+        from outfit_tpu.ephemeris import compute_ephemerides_batch
+
+        results = self._results(eph)
+        req = self._request()
+        table = compute_ephemerides_batch(results, req, eph)
+        i_bad = table.traj_ids.index("BAD")
+        i_hyp = table.traj_ids.index("HYP")
+        assert not table.ok[i_bad].any()
+        assert not table.ok[i_hyp].any()
+        assert "fit failed" in table.row_errors["BAD"]
+        assert "InvalidOrbit" in table.row_errors["HYP"]
+        # good rows are fully ok (geocenter + a known site, elliptic)
+        i0 = table.traj_ids.index("T0")
+        assert table.ok[i0].all()
+
+    def test_unknown_observatory_columns(self, eph):
+        from outfit_tpu.ephemeris import compute_ephemerides_batch
+        import dataclasses
+
+        unknown_obs = dataclasses.replace(
+            Observer.geocenter(), code="Z99", unknown=True
+        )
+        req = EphemerisRequest().add(
+            Observer.geocenter(), EphemerisMode.at([57010.0])
+        ).add(unknown_obs, EphemerisMode.at([57010.0]))
+        table = compute_ephemerides_batch(self._results(eph), req, eph)
+        i0 = table.traj_ids.index("T0")
+        assert table.ok[i0, 0] and not table.ok[i0, 1]
+        entries = list(table.result("T0"))
+        assert entries[1].error == "UnknownObservatory(Z99)"
+
+    def test_lsq_table_columnar_input(self, eph):
+        from outfit_tpu.ephemeris import compute_ephemerides_batch
+        from outfit_tpu.lsq.table import LsqTable
+
+        results = self._results(eph)
+        lt = LsqTable.from_results(list(results), results)
+        req = self._request()
+        t_dict = compute_ephemerides_batch(results, req, eph)
+        t_tab = compute_ephemerides_batch(lt, req, eph)
+        assert t_tab.traj_ids == list(results)
+        np.testing.assert_array_equal(t_tab.ok, t_dict.ok)
+        np.testing.assert_array_equal(t_tab.ra, t_dict.ra)
+
+    def test_to_dataframe(self, eph):
+        pd = pytest.importorskip("pandas")
+        from outfit_tpu.ephemeris import compute_ephemerides_batch
+
+        table = compute_ephemerides_batch(
+            self._results(eph), self._request(), eph
+        )
+        df = table.to_dataframe()
+        assert len(df) == len(table) * table.n_pairs
+        assert {"traj_id", "epoch", "observer", "ok", "ra",
+                "phase_angle"} <= set(df.columns)
