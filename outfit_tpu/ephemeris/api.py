@@ -107,14 +107,32 @@ def compute_ephemeris(
             ]
         )
 
-    out = compute_apparent(
-        eq,
+    # one fused device dispatch through the compile-cached batch runner
+    # (T=1 row): the former eager compute_apparent call cost a ~25 ms
+    # tunnel round trip PER OP (~40 ops -> ~1 s per orbit through the
+    # relay; see ephemeris/batch.py and tools/ephem_batch_ab.py)
+    from outfit_tpu.ephemeris.batch import _get_batch_runner
+
+    runner = _get_batch_runner(
+        ephem, request.config.propagator, request.config.aberration
+    )
+    out1 = runner(
+        jnp.asarray([jnp.float64(eq.reference_epoch)]),
+        tuple(
+            jnp.asarray([jnp.float64(f)])
+            for f in (eq.semi_major_axis, eq.h, eq.k, eq.p, eq.q,
+                      eq.mean_longitude)
+        ),
         jnp.asarray(epochs),
-        obs_pos,
-        obs_vel,
-        propagator=request.config.propagator,
-        aberration=request.config.aberration,
-        ephem=ephem,
+        jnp.asarray(obs_pos),
+        jnp.asarray(obs_vel),
+    )
+    from outfit_tpu.ephemeris.compute import EphemerisOutput
+
+    out = EphemerisOutput(
+        ApparentPosition(*(f[0] for f in out1.position)),
+        BodyGeometry(*(f[0] for f in out1.geometry)),
+        out1.ok[0],
     )
 
     ok = np.asarray(out.ok)

@@ -25,6 +25,7 @@ errors-as-data posture as the fit kernels.
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,6 +158,41 @@ class EphemerisTable:
         return pd.DataFrame(data)
 
 
+def _get_batch_runner(ephem, propagator, aberration):
+    """Compile-cached jitted core (one fused device dispatch): eager
+    ``compute_apparent`` costs a ~25 ms tunnel round trip PER OP; jitted
+    it is one dispatch.  The cache lives ON the ephem object (tables are
+    jit constants; the ``_get_runner`` pattern, lsq/api.py:160-183)."""
+    store = getattr(ephem, "_ephem_batch_jit", None)
+    if store is None:
+        store = {}
+        try:
+            ephem._ephem_batch_jit = store
+        except AttributeError:
+            pass
+    key = (propagator, aberration)
+    if key not in store:
+
+        def _run(ep_safe, eq_cols, epochs, obs_pos, obs_vel):
+            T = ep_safe.shape[0]
+            P = epochs.shape[0]
+            eqb = EquinoctialElements(
+                ep_safe[:, None], *(c[:, None] for c in eq_cols)
+            )
+            return compute_apparent(
+                eqb,
+                jnp.broadcast_to(epochs[None, :], (T, P)),
+                obs_pos[None, :, :],
+                obs_vel[None, :, :],
+                propagator=propagator,
+                aberration=aberration,
+                ephem=ephem,
+            )
+
+        store[key] = jax.jit(_run)
+    return store[key]
+
+
 def compute_ephemerides_batch(
     results,
     request: EphemerisRequest,
@@ -233,18 +269,15 @@ def compute_ephemerides_batch(
     eq_safe = np.where(live[:, None], np.nan_to_num(eq_rows, nan=0.0), benign)
     ep_safe = np.where(live, ep_rows, 57000.0)
 
-    eqb = EquinoctialElements(
-        jnp.asarray(ep_safe)[:, None],
-        *(jnp.asarray(eq_safe[:, j])[:, None] for j in range(6)),
+    runner = _get_batch_runner(
+        ephem, request.config.propagator, request.config.aberration
     )
-    out = compute_apparent(
-        eqb,
-        jnp.broadcast_to(jnp.asarray(epochs)[None, :], (T, P)),
-        obs_pos[None, :, :],
-        obs_vel[None, :, :],
-        propagator=request.config.propagator,
-        aberration=request.config.aberration,
-        ephem=ephem,
+    out = runner(
+        jnp.asarray(ep_safe),
+        tuple(jnp.asarray(eq_safe[:, j]) for j in range(6)),
+        jnp.asarray(epochs),
+        jnp.asarray(obs_pos),
+        jnp.asarray(obs_vel),
     )
 
     ok = np.asarray(out.ok) & live[:, None] & ~unknown[None, :]
