@@ -112,10 +112,37 @@ class Reporter:
 
 REPORTER = Reporter()
 
+#: extra (non-ranked) metric lines already printed by the parent, in
+#: arrival order — the tail fallback when no ranked stage completed
+_EXTRAS_PRINTED = {}
+
 #: pid of the live stage child (its own session/process group), killed by
 #: the watchdog/signal paths so an exiting supervisor never orphans a
 #: wedged child on the tunnel
 _CHILD_PID = [None]
+
+
+def _flush_tail(note):
+    """Guarantee the stdout tail ends with a parseable JSON line: the
+    ranked best-so-far, else the last completed secondary metric, else an
+    explicit failure marker.  Every exit path (normal, watchdog, signal)
+    goes through here — the round-2/round-4 records were lost to exits
+    that printed nothing.  Returns True when a real measurement was
+    printed."""
+    if REPORTER.flush(note):
+        return True
+    if _EXTRAS_PRINTED:
+        log(note + " (no ranked stage completed; re-printing the last "
+            "secondary metric line)")
+        print(json.dumps(list(_EXTRAS_PRINTED.values())[-1]), flush=True)
+        return True
+    if note:
+        log(note + " (no stage completed at all)")
+    print(json.dumps({
+        "metric": "bench produced no measurement (all stages failed)",
+        "value": 0.0, "unit": "none", "vs_baseline": 0.0,
+    }), flush=True)
+    return False
 
 
 def _kill_child():
@@ -140,7 +167,7 @@ def _install_flush_guards():
                 break
             time.sleep(min(rem - 10.0, 15.0))
         _kill_child()
-        had = REPORTER.flush(
+        had = _flush_tail(
             f"watchdog: wall budget {_BUDGET_S:.0f}s nearly exhausted - "
             "flushing best-so-far metric and exiting"
         )
@@ -150,8 +177,8 @@ def _install_flush_guards():
 
     def _on_signal(signum, frame):
         _kill_child()
-        REPORTER.flush(f"signal {signum}: flushing best-so-far metric")
-        os._exit(0)
+        had = _flush_tail(f"signal {signum}: flushing best-so-far metric")
+        os._exit(0 if had else 3)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
@@ -918,12 +945,20 @@ def accuracy_certificate(n_traj: int = 1024):
         jnp.ones((n_traj, n_obs), bool),
     )
 
+    lsq_jits = {}  # cfg -> jitted runner: a fresh jit(lambda) per call
+    # would defeat jit's function-identity cache and retrace/recompile
+    # the identical kernel (minutes through the tunnel)
+
     def run_lsq(seed_eq, seed_ep, precision, **cfg_kw):
         cfg_kw.setdefault("divergence_grace_iterations", 2)
         cfg = DifferentialCorrectionConfig(precision=precision, **cfg_kw)
-        res = jax.jit(
-            lambda e, t, o: run_differential_correction(e, t, o, cfg)
-        )(jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs)
+        fn = lsq_jits.get(cfg)
+        if fn is None:
+            fn = lsq_jits[cfg] = jax.jit(
+                lambda e, t, o, _c=cfg: run_differential_correction(
+                    e, t, o, _c)
+            )
+        res = fn(jnp.asarray(seed_eq), jnp.asarray(seed_ep), obs)
         jax.block_until_ready(res)
         return res
 
@@ -1441,12 +1476,6 @@ def child_main(stage_name, result_path):
     return 0
 
 
-#: extra (non-ranked) metric lines already printed by the parent, plus the
-#: order they arrived in (the final-flush fallback when no ranked stage
-#: completed)
-_EXTRAS_PRINTED = {}
-
-
 def _drain_results(rpath, offset, last_activity=None):
     """Feed complete result-file lines past ``offset`` into the parent
     Reporter; returns the new consumed byte offset.  Partial trailing
@@ -1624,21 +1653,8 @@ def supervisor_main():
             retried.add(name)
             queue.insert(0, name)
 
-    if not REPORTER.flush("final: re-printing the headline metric line"):
-        if _EXTRAS_PRINTED:
-            # no ranked stage completed but a secondary metric did (e.g.
-            # only DOP853 survived): the tail must end with a real number
-            last = list(_EXTRAS_PRINTED.values())[-1]
-            log("final: no ranked stage completed; re-printing the last "
-                "secondary metric line")
-            print(json.dumps(last), flush=True)
-            return 0
-        print(json.dumps({
-            "metric": "bench produced no measurement (all stages failed)",
-            "value": 0.0, "unit": "none", "vs_baseline": 0.0,
-        }), flush=True)
-        return 3
-    return 0
+    had = _flush_tail("final: re-printing the headline metric line")
+    return 0 if had else 3
 
 
 def main():

@@ -96,20 +96,24 @@ def compute_ephemeris(
     if ut1 is None:
         ut1 = Ut1Provider()
 
-    flat = _request_pairs(request, ephem, ut1) if _flat is None else _flat
-    if flat is None:
-        return EphemerisResult([])
-    pairs, epochs, obs_pos, obs_vel, unknown = flat
-
-    # precheck (mod.rs:223): non-elliptic orbits error every entry
+    # precheck (mod.rs:223): non-elliptic orbits error every entry —
+    # BEFORE the observer-state device work, which would be discarded
     ecc = float(np.hypot(float(eq.h), float(eq.k)))
     if ecc >= 1.0:
+        pairs = [
+            (e.observer, t) for e in request.entries for t in e.mode.epochs
+        ]
         return EphemerisResult(
             [
                 EphemerisEntry(t, o, error=str(InvalidOrbit(f"InvalidOrbit(e={ecc:.3f} >= 1)")))
                 for o, t in pairs
             ]
         )
+
+    flat = _request_pairs(request, ephem, ut1) if _flat is None else _flat
+    if flat is None:
+        return EphemerisResult([])
+    pairs, epochs, obs_pos, obs_vel, unknown = flat
 
     # one fused device dispatch through the compile-cached batch runner
     # (T=1 row): the former eager compute_apparent call cost a ~25 ms

@@ -255,18 +255,22 @@ def compute_ephemerides_batch(
     pairs, epochs, obs_pos, obs_vel, unknown = flat
     P = len(pairs)
 
-    # non-elliptic precheck, vectorized (mod.rs:223 parity)
+    # non-elliptic precheck, vectorized (mod.rs:223 parity).  NaN ecc is
+    # NOT flagged here — the per-orbit API's `ecc >= 1.0` passes NaN
+    # through to the kernel, which reports PropagationFailed; the batch
+    # path must classify identically
     with np.errstate(invalid="ignore"):
         ecc = np.hypot(eq_rows[:, 1], eq_rows[:, 2])
-    bad_e = fit_ok & ~(ecc < 1.0)
+        bad_e = fit_ok & (ecc >= 1.0)
     for i in np.flatnonzero(bad_e):
         row_errors[tids[i]] = str(
             InvalidOrbit(f"InvalidOrbit(e={ecc[i]:.3f} >= 1)")
         )
     live = fit_ok & ~bad_e
-    # masked lanes ride along on a benign circular orbit
+    # dead lanes ride along on a benign circular orbit; live rows keep
+    # their values verbatim (including NaN) for per-orbit kernel parity
     benign = np.array([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
-    eq_safe = np.where(live[:, None], np.nan_to_num(eq_rows, nan=0.0), benign)
+    eq_safe = np.where(live[:, None], eq_rows, benign)
     ep_safe = np.where(live, ep_rows, 57000.0)
 
     runner = _get_batch_runner(

@@ -1331,26 +1331,29 @@ def fit_lsq_stream_escalating(
                     cur, ephem, p, c, seed=seed, ut1=ut1,
                     error_model=error_model, mesh=mesh,
                 )
+                clean = {}  # merged id -> clean-id result (retry_if input)
                 for mtid, r in res_k.items():
                     hi_s, tid = mtid.split("|", 1)
                     if hi_s.startswith("~fill"):
                         continue  # sacrificial shape filler, discard
                     tgt = held[int(hi_s)][1]
                     rr = dataclasses.replace(r, traj_id=tid)
+                    clean[mtid] = rr
                     if isinstance(tgt, dict):
                         tgt[tid] = rr
                     else:
                         tgt.patch_row(tid, rr)
                 if k == len(stages) - 1:
                     break
-                # sacrificial '~fill' shape-pinning rows never escalate:
-                # their results are discarded, and re-fitting them would
-                # waste device work and make later-stage compile
-                # composition depend on filler outcomes
-                retry = {
-                    t for t, r in res_k.items()
-                    if not t.startswith("~fill") and retry_if(r)
-                }
+                # retry_if sees the CLEAN-id results (parity with
+                # _failed_tids and fit_lsq_escalating: a user predicate
+                # inspecting r.traj_id must never see the merged
+                # '<hi>|<tid>' prefix); sacrificial '~fill' rows are
+                # already excluded from ``clean`` — their results are
+                # discarded, and re-fitting them would waste device work
+                # and make later-stage compile composition depend on
+                # filler outcomes
+                retry = {t for t, rr in clean.items() if retry_if(rr)}
                 if not retry:
                     break
                 rows = [

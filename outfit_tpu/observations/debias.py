@@ -48,6 +48,7 @@ columns as device arrays (lsq/iteration.py residuals).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -143,22 +144,19 @@ class DebiasTable:
                     continue
                 if s.startswith(("!", "#")):
                     body = s.lstrip("!#").strip()
-                    up = body.upper().replace(" ", "")
-                    if "NSIDE=" in up:
-                        try:
-                            nside = int(
-                                "".join(
-                                    c for c in up.split("NSIDE=", 1)[1]
-                                    if c.isdigit()
-                                ) or nside
-                            )
-                        except ValueError:
-                            pass
+                    # FIRST integer after NSIDE= only: real headers carry
+                    # trailing digits ("NSIDE= 64 (49152 pixels)")
+                    m = re.search(r"NSIDE\s*=\s*(\d+)", body, re.IGNORECASE)
+                    if m:
+                        nside = int(m.group(1))
                     toks = body.split()
-                    if toks and all(
-                        len(t) == 1 and t.isalnum() for t in toks
+                    if (
+                        len(toks) >= 2
+                        and all(len(t) == 1 and t.isalpha() for t in toks)
                     ):
-                        # the catalog-code column listing (last one wins)
+                        # the catalog-code column listing (last such line
+                        # wins; MPC catalog codes are single LETTERS, so
+                        # numeric ruler/flag comments never match)
                         catalogs = toks
                     continue
                 data_lines.append(s)

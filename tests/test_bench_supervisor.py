@@ -112,3 +112,45 @@ def test_supervisor_recovers_real_jax_stage_after_wedge():
     last = _last_json_line(p.stdout)
     assert last["unit"] == "steps/sec/chip"
     assert last["value"] > 0
+
+
+def test_flush_tail_never_leaves_an_empty_tail():
+    """_flush_tail — shared by the final, watchdog, and signal exit paths
+    (the per-stage cap normally beats the watchdog by design; the
+    watchdog is the parent-hang last resort) — must always print a
+    parseable JSON line: the ranked best, else the last secondary
+    metric, else the explicit failure marker."""
+    code = r"""
+import json, sys
+sys.path.insert(0, %r)
+import bench
+
+# 1. nothing at all -> failure marker, returns False
+assert bench._flush_tail("t1") is False
+
+# 2. a secondary (extra) metric exists -> it is re-printed, True
+bench._EXTRAS_PRINTED["k"] = {
+    "metric": "secondary-only", "value": 7.0, "unit": "x",
+    "vs_baseline": 0.0,
+}
+assert bench._flush_tail("t2") is True
+
+# 3. a ranked result outranks the extra fallback
+bench.REPORTER.report({
+    "metric": "ranked-best", "value": 1.0, "unit": "y",
+    "vs_baseline": 0.0,
+}, tier=2)
+assert bench._flush_tail("t3") is True
+print("UNIT-DONE")
+"""
+    p = subprocess.run(
+        [sys.executable, "-c", code % REPO],
+        capture_output=True, text=True, cwd=REPO, timeout=60,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [json.loads(ln) for ln in p.stdout.strip().splitlines()
+             if ln.strip().startswith("{")]
+    # marker, then the secondary, then ranked (printed on report) + flush
+    assert "no measurement" in lines[0]["metric"]
+    assert lines[1]["metric"] == "secondary-only"
+    assert lines[-1]["metric"] == "ranked-best"

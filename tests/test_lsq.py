@@ -987,6 +987,39 @@ class TestEscalation:
         rb = res.result("B")
         assert rb.ok and not rb.fell_back_to_iod
 
+    def test_stream_escalating_multistage_retry_uses_clean_ids(self, eph):
+        """With >=3 stages, the stage-k -> k+1 retry predicate must see
+        CLEAN trajectory ids, not the merged '<hi>|<tid>' prefix (ADVICE
+        r4 follow-up): a traj_id-inspecting predicate drives A through
+        stage 1 (which rejects it at the perihelion cap) and must still
+        escalate it to stage 2, whose result lands in the final table."""
+        from outfit_tpu.lsq import fit_lsq_stream_escalating
+
+        ds = self._two_traj(eph)
+        lean = IODParams(n_noise_realizations=0)
+        reject_a = IODParams(n_noise_realizations=0, max_perihelion_au=1.6)
+        rich = IODParams(n_noise_realizations=0, max_triplets=12)
+        cfg = DifferentialCorrectionConfig()
+
+        out = list(fit_lsq_stream_escalating(
+            [ds], eph,
+            [(lean, cfg), (reject_a, cfg), (rich, cfg)], seed=42,
+            retry_if=lambda r: r.traj_id == "A",
+        ))
+        _ds_out, res = out[0]
+        ra = res.result("A")
+        # the old code compared the prefixed id '0|A' against 'A' in the
+        # stage-1 -> 2 retry set, so A stayed a stage-1 IOD failure
+        assert ra.ok, ra.error
+        a_idx = ds.trajectory_obs_indices("A")
+        solo = fit_lsq(
+            self._two_traj(eph).subset(a_idx), eph, rich, cfg, seed=42
+        )["A"]
+        np.testing.assert_allclose(
+            np.asarray(ra.equinoctial), np.asarray(solo.equinoctial),
+            rtol=0, atol=1e-11,
+        )
+
 
 class TestLsqTable:
     """Columnar results (``as_table=True``) must materialize EXACTLY the

@@ -878,3 +878,23 @@ class TestRealDebiasTable:
         ds.apply_debias(t)
         assert np.isfinite(ds.bias_ra).all()
         assert np.abs(ds.bias_dec).max() < 10 * 4.8e-6  # < 10 arcsec
+
+
+class TestDebiasHeaderVariants:
+    def test_real_world_header_forms(self, tmp_path):
+        """Published bias.dat headers carry trailing digits and extra
+        comments; NSIDE parsing takes the FIRST integer and the catalog
+        line must be letters-only (numeric ruler comments never match)."""
+        from outfit_tpu.observations.debias import DebiasTable
+
+        p = tmp_path / "bias.dat"
+        with open(p, "w") as f:
+            f.write("! Star catalog position corrections, version 2018\n")
+            f.write("! HEALPix NSIDE= 1 (12 pixels), RING scheme\n")
+            f.write("! a t\n")
+            f.write("! 1 2 3 4 5 6 7 8\n")  # numeric column ruler
+            for _ in range(12):
+                f.write("1.0 -0.5 100.0 50.0 0 0 0 0\n")
+        t = DebiasTable.load(str(p))
+        assert t.nside == 1
+        assert t.catalogs == ["a", "t"]
