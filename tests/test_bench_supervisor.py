@@ -52,9 +52,13 @@ def test_supervisor_kills_wedged_stage_and_continues():
     timeout and the NEXT stage still runs to completion, leaving rc=0 and
     a valid final metric line (the exact failure that emptied
     BENCH_r02/BENCH_r04)."""
+    # stall 20s, not smaller: the stall clock starts at spawn, so the
+    # window must also cover the NEXT stage's interpreter startup on a
+    # loaded machine (a 6s window once killed the healthy noop stage
+    # while a parallel 8-device XLA compile thrashed the host)
     p = _run_bench(
         "wedge,noop",
-        {"OUTFIT_BENCH_STALL_S": "6", "OUTFIT_BENCH_BUDGET_S": "120"},
+        {"OUTFIT_BENCH_STALL_S": "20", "OUTFIT_BENCH_BUDGET_S": "120"},
     )
     assert p.returncode == 0, f"rc={p.returncode}\n{p.stderr[-2000:]}"
     assert "KILLED" in p.stderr, p.stderr[-2000:]
@@ -74,7 +78,7 @@ def test_force_wedge_env_and_failure_marker():
         "noop",
         {
             "OUTFIT_BENCH_FORCE_WEDGE": "noop",
-            "OUTFIT_BENCH_STALL_S": "6",
+            "OUTFIT_BENCH_STALL_S": "20",
             "OUTFIT_BENCH_BUDGET_S": "90",
         },
     )
