@@ -1390,8 +1390,14 @@ _STAGE_DEFS = [
     # ragged 27, f64 44, accuracy 61-220); caps bound a wedge's damage
     ("prop-fallback", 60, 240, False, _stage_prop),
     ("kernels-only", 120, 420, False, _stage_kernels),
-    ("stream", 150, 480, True, _stage_stream),
-    ("e2e-real-cadence", 160, 480, True, _stage_real),
+    # caps are loose on purpose: the stall detector (240 s of silence)
+    # catches true wedges — compiles emit heartbeats, so a cap kill can
+    # only hit a stage that is genuinely progressing.  A COLD TPU cache
+    # was measured to push e2e-real-cadence past 480 s of tunnel
+    # compiles; the cap must not discard a nearly-finished done-bar
+    # stage (the supervisor still clamps every cap to remaining budget)
+    ("stream", 150, 600, True, _stage_stream),
+    ("e2e-real-cadence", 160, 700, True, _stage_real),
     ("dop853-nbody", 60, 300, True, _stage_dop),
     ("ephemeris-gen", 60, 240, False, _stage_ephemeris),
     ("e2e-sequential", 200, 420, False, _stage_e2e_seq),
