@@ -1380,22 +1380,35 @@ def _stage_wedge(emit, C):
     time.sleep(10 ** 9)
 
 
-#: (name, historical cost s, hard cap s, retry-on-wedge, runner); order is
-#: the execution order — the done-bar stages (headline stream, escalating
-#: real-cadence, DOP853) run before the informational ones so a shrinking
-#: budget sheds the right stages first
+def _stage_slow(emit, C):
+    """Test-only stage: progresses forever (chatty, never silent) so the
+    CAP kill path — distinct from the stall/wedge path — is testable:
+    the supervisor must classify the kill as "slow but progressing" and
+    grant one retry from the cap pool without burning a wedge slot."""
+    log("slow stage: progressing forever (cap kill test)")
+    while True:
+        time.sleep(0.5)
+        log("slow stage: still working")
+
+
+#: (name, historical cost s, hard cap s, done-bar/retryable, runner);
+#: order is the execution order — the done-bar stages (headline stream,
+#: escalating real-cadence, DOP853) run before the informational ones so
+#: a shrinking budget sheds the right stages first, and the supervisor
+#: additionally reserves the later done-bar stages' costs when capping
+#: the earlier ones
 _STAGE_DEFS = [
     # costs = measured round-5 warm-cache stage walls + margin (prop 52,
     # kernels 45, stream 104, real 60-226, dop 15, ephgen 31, seq 174,
-    # ragged 27, f64 44, accuracy 61-220); caps bound a wedge's damage
+    # ragged 27, f64 44, accuracy 61-220).  Kill semantics: the 240 s
+    # STALL detector catches true wedges (compiles emit heartbeats;
+    # silence means a dead dispatch) and earns a fresh-client retry;
+    # the CAP bounds a slow-but-progressing stage (cold compiles) and
+    # earns at most one warm-cache retry from a separate pool.  A COLD
+    # TPU cache was measured to push e2e-real-cadence past 480 s of
+    # tunnel compiles, hence the loose done-bar caps
     ("prop-fallback", 60, 240, False, _stage_prop),
     ("kernels-only", 120, 420, False, _stage_kernels),
-    # caps are loose on purpose: the stall detector (240 s of silence)
-    # catches true wedges — compiles emit heartbeats, so a cap kill can
-    # only hit a stage that is genuinely progressing.  A COLD TPU cache
-    # was measured to push e2e-real-cadence past 480 s of tunnel
-    # compiles; the cap must not discard a nearly-finished done-bar
-    # stage (the supervisor still clamps every cap to remaining budget)
     ("stream", 150, 600, True, _stage_stream),
     ("e2e-real-cadence", 160, 700, True, _stage_real),
     ("dop853-nbody", 60, 300, True, _stage_dop),
@@ -1406,10 +1419,13 @@ _STAGE_DEFS = [
     ("accuracy-certificate", 180, 480, False, _stage_accuracy),
     ("wedge", 5, 60, False, _stage_wedge),  # test-only, never in default order
     ("noop", 2, 30, False, _stage_noop),  # test-only, never in default order
+    # test-only: chatty never-finishing stage; retryable=True so the
+    # cap-retry pool is exercised (cap 10 s keeps the test fast)
+    ("slow", 3, 10, True, _stage_slow),
 ]
 
 #: stages excluded from the default execution order (test fixtures)
-_TEST_ONLY_STAGES = ("wedge", "noop")
+_TEST_ONLY_STAGES = ("wedge", "noop", "slow")
 
 
 #: main-thread frame names that mean "an XLA compile is in flight" —
@@ -1519,8 +1535,10 @@ def _drain_results(rpath, offset, last_activity=None):
 
 def _run_stage_child(name, cap_s, stall_s, child_env):
     """Run one stage in its own process group, tailing its result file and
-    merged output.  Returns True when the child was KILLED for a stall or
-    cap overrun (the wedge signature), False otherwise."""
+    merged output.  Returns the kill kind: ``"stall"`` (no output for
+    ``stall_s`` — the true wedge signature), ``"cap"`` (exceeded its wall
+    cap while still producing output — slow, e.g. cold compiles, but
+    progressing), or ``None`` (ran to completion)."""
     import subprocess
     import tempfile
 
@@ -1551,17 +1569,18 @@ def _run_stage_child(name, cap_s, stall_s, child_env):
 
     consumed = 0
     t0 = time.time()
-    killed = None
+    killed = kind = None
     while True:
         consumed = _drain_results(rpath, consumed, last_activity)
         if p.poll() is not None:
             break
         now = time.time()
         if now - t0 > cap_s:
-            killed = f"exceeded its {cap_s:.0f}s cap"
+            killed, kind = f"exceeded its {cap_s:.0f}s cap", "cap"
         elif now - last_activity[0] > stall_s:
             killed = (f"produced no output for {stall_s:.0f}s "
                       "(wedge signature: indefinite silence)")
+            kind = "stall"
         if killed:
             log(f"stage {name}: KILLED after {now-t0:.1f}s - {killed}; "
                 "continuing with the next stage on a fresh client")
@@ -1586,7 +1605,7 @@ def _run_stage_child(name, cap_s, stall_s, child_env):
         os.unlink(rpath)
     except OSError:
         pass
-    return killed is not None
+    return kind
 
 
 def supervisor_main():
@@ -1633,6 +1652,16 @@ def supervisor_main():
     reserve_s = 20.0
     retries_left = 2  # total wedge-retry budget across the whole run
     retried = set()
+    cap_retried = set()  # separate pool: cap retries must not burn wedge slots
+
+    def _downstream_done_bar_cost(q):
+        """Budget the later done-bar (retryable) stages still in the queue
+        need: the loose caps on the early compile-heavy stages must never
+        let a slow stream/real-cadence run shed the DOP853 line — the
+        VERDICT closure bar names all three."""
+        return sum(
+            defs[n][1] * 1.2 for n in q if n in defs and defs[n][3]
+        )
 
     queue = list(order)
     while queue:
@@ -1648,16 +1677,44 @@ def supervisor_main():
                 f"{_remaining():.0f}s left of the {_BUDGET_S:.0f}s budget"
             )
             continue
-        cap = min(cap_s, _remaining() - reserve_s)
-        wedged = _run_stage_child(name, cap, stall_s, child_env)
-        if (wedged and retryable and retries_left > 0
-                and name not in retried
-                and _remaining() > cost_s * 2 + reserve_s):
-            log(f"stage {name}: wedge-retrying once on a fresh client "
-                f"({retries_left - 1} retries left after this)")
-            retries_left -= 1
-            retried.add(name)
-            queue.insert(0, name)
+        # a stage may use the full budget MINUS what the remaining
+        # done-bar stages need, but always gets at least its own
+        # estimated cost's window
+        cap = min(cap_s, max(
+            _remaining() - reserve_s - _downstream_done_bar_cost(queue),
+            cost_s * 1.2,
+        ))
+        cap = min(cap, _remaining() - reserve_s)
+        if cap < cap_s:
+            log(f"stage {name}: cap clamped {cap_s:.0f}->{cap:.0f}s "
+                f"({_remaining():.0f}s budget left, "
+                f"{_downstream_done_bar_cost(queue):.0f}s reserved for "
+                "remaining done-bar stages)")
+        kind = _run_stage_child(name, cap, stall_s, child_env)
+        if kind == "stall":
+            # true wedge: a parallel fresh process was measured to run
+            # fine during a reproduced wedge, so a fresh client retry
+            # has a real chance — budgeted run-wide
+            if (retryable and retries_left > 0 and name not in retried
+                    and _remaining() > cost_s * 2 + reserve_s
+                    + _downstream_done_bar_cost(queue)):
+                log(f"stage {name}: wedge-retrying once on a fresh client "
+                    f"({retries_left - 1} retries left after this)")
+                retries_left -= 1
+                retried.add(name)
+                queue.insert(0, name)
+        elif kind == "cap":
+            # slow but progressing (cold compiles): the persistent
+            # compile cache keeps the killed attempt's artifacts, so a
+            # retry resumes from warm kernels instead of starting over
+            # — and must not consume the wedge-retry pool
+            if (retryable and name not in cap_retried
+                    and _remaining() > cost_s * 2 + reserve_s
+                    + _downstream_done_bar_cost(queue)):
+                log(f"stage {name}: cap overrun was still progressing; "
+                    "retrying once on the now-warm compile cache")
+                cap_retried.add(name)
+                queue.insert(0, name)
 
     had = _flush_tail("final: re-printing the headline metric line")
     return 0 if had else 3

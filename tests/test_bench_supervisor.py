@@ -118,6 +118,28 @@ def test_supervisor_recovers_real_jax_stage_after_wedge():
     assert last["value"] > 0
 
 
+def test_cap_kill_is_not_a_wedge_and_gets_one_cap_retry():
+    """A stage that keeps producing output but overruns its cap is a
+    SLOW stage, not a wedge: the supervisor must kill it at the cap,
+    classify it as progressing, grant exactly ONE retry from the cap
+    pool (warm-compile-cache rationale), and never log the wedge-retry
+    message for it — then continue to the next stage and exit rc=0."""
+    p = _run_bench(
+        "slow,noop",
+        {"OUTFIT_BENCH_STALL_S": "240", "OUTFIT_BENCH_BUDGET_S": "120"},
+        timeout=200,
+    )
+    assert p.returncode == 0, f"rc={p.returncode}\n{p.stderr[-2000:]}"
+    assert p.stderr.count("cap overrun was still progressing") == 1, (
+        p.stderr[-3000:]
+    )
+    assert "wedge-retrying" not in p.stderr
+    # killed at the cap on the first attempt AND on the single retry
+    assert p.stderr.count("exceeded its 10s cap") == 2, p.stderr[-3000:]
+    last = _last_json_line(p.stdout)
+    assert "noop" in last["metric"]
+
+
 def test_flush_tail_never_leaves_an_empty_tail():
     """_flush_tail — shared by the final, watchdog, and signal exit paths
     (the per-stage cap normally beats the watchdog by design; the
