@@ -37,12 +37,17 @@ class EphemerisValue:
     geometry: BodyGeometry
 
 
-def _request_pairs(request: EphemerisRequest, ephem, ut1):
+def _request_pairs(request: EphemerisRequest, ephem, ut1, with_states=True):
     """Flatten a request into (observer, epoch) pairs + the observers'
     heliocentric states.  The observer-fixed vectors are computed ONCE per
     observer entry and broadcast over its epochs (ObserverFixedCache
     parity, mod.rs:258).  Returns ``None`` for an empty request, else
-    ``(pairs, epochs, obs_pos, obs_vel, unknown)``."""
+    ``(pairs, epochs, obs_pos, obs_vel, unknown)``.
+
+    ``with_states=False`` skips the observer-state device work (gast /
+    pvobs / heliocentric dispatches) and returns ``None`` states — for
+    callers that only need the pair grid (e.g. every fit in a batch
+    failed, so all entries are errors and no orbit will be evaluated)."""
     pairs = []
     fp_rows, fv_rows = [], []
     for entry in request.entries:
@@ -51,6 +56,8 @@ def _request_pairs(request: EphemerisRequest, ephem, ut1):
         if not eps:
             continue
         pairs.extend((o, t) for t in eps)
+        if not with_states:
+            continue
         fp_rows.append(
             np.broadcast_to(np.asarray(earth_fixed_position(o)), (len(eps), 3))
         )
@@ -66,6 +73,8 @@ def _request_pairs(request: EphemerisRequest, ephem, ut1):
     unknown = np.array([bool(getattr(o, "unknown", False)) for o, _ in pairs])
 
     epochs = np.array([t for _, t in pairs])
+    if not with_states:
+        return pairs, epochs, None, None, unknown
     fixed_pos = np.concatenate(fp_rows, axis=0)
     fixed_vel = np.concatenate(fv_rows, axis=0)
 
@@ -118,38 +127,29 @@ def compute_ephemeris(
     # one fused device dispatch through the compile-cached batch runner
     # (T=1 row): the former eager compute_apparent call cost a ~25 ms
     # tunnel round trip PER OP (~40 ops -> ~1 s per orbit through the
-    # relay; see ephemeris/batch.py and tools/ephem_batch_ab.py)
-    from outfit_tpu.ephemeris.batch import _get_batch_runner
+    # relay; see ephemeris/batch.py and tools/ephem_batch_ab.py).  The
+    # pair axis is bucket-padded so interactive callers with varying
+    # epoch grids compile once per power-of-two bucket, not once per
+    # exact pair count (_run_batch_padded)
+    from outfit_tpu.ephemeris.batch import _get_batch_runner, _run_batch_padded
 
     runner = _get_batch_runner(
         ephem, request.config.propagator, request.config.aberration
     )
-    out1 = runner(
-        jnp.asarray([jnp.float64(eq.reference_epoch)]),
-        tuple(
-            jnp.asarray([jnp.float64(f)])
-            for f in (eq.semi_major_axis, eq.h, eq.k, eq.p, eq.q,
-                      eq.mean_longitude)
-        ),
-        jnp.asarray(epochs),
-        jnp.asarray(obs_pos),
-        jnp.asarray(obs_vel),
+    ep1 = np.asarray([float(eq.reference_epoch)])
+    eq1 = np.asarray(
+        [[float(f) for f in (eq.semi_major_axis, eq.h, eq.k, eq.p, eq.q,
+                             eq.mean_longitude)]]
     )
-    from outfit_tpu.ephemeris.compute import EphemerisOutput
-
-    out = EphemerisOutput(
-        ApparentPosition(*(f[0] for f in out1.position)),
-        BodyGeometry(*(f[0] for f in out1.geometry)),
-        out1.ok[0],
+    pos1, geom1, ok1 = _run_batch_padded(
+        runner, ep1, eq1, epochs, obs_pos, obs_vel, pad_rows=False
     )
 
-    ok = np.asarray(out.ok)
-    # ONE device->host transfer per output field, hoisted out of the entry
-    # loop (np.asarray on a jax array inside the loop transferred every full
-    # array once per entry: O(n^2) data movement, ~25 ms/dispatch through
-    # the axon tunnel)
-    pos_np = [np.asarray(f) for f in out.position]
-    geom_np = [np.asarray(f) for f in out.geometry]
+    ok = ok1[0]
+    # already numpy (one device->host transfer per output field, never one
+    # per entry — ~25 ms/dispatch through the axon tunnel)
+    pos_np = [f[0] for f in pos1]
+    geom_np = [f[0] for f in geom1]
     kind = getattr(request, "output", Combined)
     entries = []
     for i, (o, t) in enumerate(pairs):
@@ -194,8 +194,14 @@ def compute_ephemerides_for_results(
     if ut1 is None:
         ut1 = Ut1Provider()
     # the request's observer heliocentric states are orbit-independent:
-    # compute them once, not once per trajectory
-    flat = _request_pairs(request, ephem, ut1)
+    # compute them once, not once per trajectory — and not at all when
+    # every fit failed (short-arc reject batches): those rows yield
+    # all-error entries with zero device work
+    any_ok = any(
+        getattr(r, "ok", False) and getattr(r, "equinoctial", None) is not None
+        for r in results.values()
+    )
+    flat = _request_pairs(request, ephem, ut1) if any_ok else None
     out = {}
     for tid, r in results.items():
         eqv = getattr(r, "equinoctial", None)

@@ -88,6 +88,10 @@ class EphemerisTable:
     #: the request's output kind (Position/Geometry/Combined), used by
     #: ``result`` materialization
     output: str = Combined
+    #: lazily built {traj_id: row} map; never set directly
+    _tid_index: Optional[Dict[str, int]] = field(
+        default=None, repr=False, compare=False
+    )
 
     def __len__(self) -> int:
         return len(self.traj_ids)
@@ -98,9 +102,14 @@ class EphemerisTable:
 
     def result(self, traj_id) -> EphemerisResult:
         """Materialize one row as the per-orbit API's EphemerisResult."""
+        # O(1) via a lazily built id->row map (traj_ids is immutable after
+        # construction): a per-lookup list.index would make the advertised
+        # per-orbit migration loop O(T^2) over survey catalogs
+        if self._tid_index is None:
+            self._tid_index = {t: k for k, t in enumerate(self.traj_ids)}
         try:
-            i = self.traj_ids.index(traj_id)
-        except ValueError:
+            i = self._tid_index[traj_id]
+        except KeyError:
             raise KeyError(traj_id) from None
         err = self.row_errors.get(traj_id)
         entries = []
@@ -193,6 +202,51 @@ def _get_batch_runner(ephem, propagator, aberration):
     return store[key]
 
 
+def _bucket_pow2(n: int, lo: int = 8) -> int:
+    """Next power of two >= n (floored at ``lo``): the jitted runner's
+    compile key is the (T, P) shape, so exact shapes would recompile per
+    distinct request size — seconds-to-minutes each through the tunnel.
+    Bucketing bounds total compiles at log2 of the largest size seen."""
+    return max(lo, 1 << (int(n) - 1).bit_length())
+
+
+def _run_batch_padded(runner, ep_safe, eq_safe, epochs, obs_pos, obs_vel,
+                      pad_rows=True):
+    """Call the jitted runner on bucket-padded shapes and slice back.
+
+    The pair axis (and, for the bulk path, the orbit axis) is padded to
+    a power-of-two bucket with EDGE values — real in-ephemeris-range
+    epochs and real observer states duplicated from the last row — so
+    padded lanes do benign finite work and cannot perturb live lanes
+    (everything is elementwise per (orbit, pair)).  Returns numpy
+    ``(position, geometry, ok)`` sliced to the true (T, P)."""
+    T, P = ep_safe.shape[0], epochs.shape[0]
+    Pb = _bucket_pow2(P)
+    Tb = _bucket_pow2(T) if pad_rows else T
+    epochs = np.asarray(epochs)
+    obs_pos = np.asarray(obs_pos)
+    obs_vel = np.asarray(obs_vel)
+    if Pb != P:
+        epochs = np.pad(epochs, (0, Pb - P), mode="edge")
+        obs_pos = np.pad(obs_pos, ((0, Pb - P), (0, 0)), mode="edge")
+        obs_vel = np.pad(obs_vel, ((0, Pb - P), (0, 0)), mode="edge")
+    if Tb != T:
+        ep_safe = np.pad(ep_safe, (0, Tb - T), mode="edge")
+        eq_safe = np.pad(eq_safe, ((0, Tb - T), (0, 0)), mode="edge")
+    out = runner(
+        jnp.asarray(ep_safe),
+        tuple(jnp.asarray(eq_safe[:, j]) for j in range(6)),
+        jnp.asarray(epochs),
+        jnp.asarray(obs_pos),
+        jnp.asarray(obs_vel),
+    )
+    pos = ApparentPosition(
+        *(np.asarray(f)[:T, :P] for f in out.position)
+    )
+    geom = BodyGeometry(*(np.asarray(f)[:T, :P] for f in out.geometry))
+    return pos, geom, np.asarray(out.ok)[:T, :P]
+
+
 def compute_ephemerides_batch(
     results,
     request: EphemerisRequest,
@@ -224,11 +278,28 @@ def compute_ephemerides_batch(
         tids, eqs, eps, oks = [], [], [], []
         for tid, r in results.items():
             tids.append(tid)
-            if isinstance(r, tuple):
+            # raw elements: any 2-sequence (epoch, equinoctial_vector) —
+            # tuple, list, or array pair (zip/JSON pipelines produce
+            # lists; a tuple-only check silently misclassified those as
+            # failed fits)
+            if isinstance(r, (tuple, list)) or (
+                isinstance(r, np.ndarray) and r.dtype == object
+            ):
+                if len(r) != 2:
+                    raise TypeError(
+                        f"results[{tid!r}]: raw-elements entry must be "
+                        f"(epoch, equinoctial_vector), got length {len(r)}"
+                    )
                 ep_i, eq_i = r
                 eqs.append(np.asarray(eq_i, np.float64))
                 eps.append(float(ep_i))
                 oks.append(True)
+            elif not hasattr(r, "ok"):
+                raise TypeError(
+                    f"results[{tid!r}]: expected an LsqResult-like object "
+                    "(with .ok/.equinoctial/.epoch) or a raw "
+                    f"(epoch, equinoctial_vector) pair, got {type(r).__name__}"
+                )
             elif getattr(r, "ok", False) and getattr(r, "equinoctial", None) is not None:
                 eqs.append(np.asarray(r.equinoctial, np.float64))
                 eps.append(float(r.epoch))
@@ -243,7 +314,23 @@ def compute_ephemerides_batch(
         fit_ok = np.asarray(oks)
 
     T = len(tids)
-    flat = _request_pairs(request, ephem, ut1)
+
+    # non-elliptic precheck, vectorized (mod.rs:223 parity).  NaN ecc is
+    # NOT flagged here — the per-orbit API's `ecc >= 1.0` passes NaN
+    # through to the kernel, which reports PropagationFailed; the batch
+    # path must classify identically.  Runs BEFORE the observer-state
+    # device work so an all-dead batch costs zero dispatches
+    with np.errstate(invalid="ignore"):
+        ecc = np.hypot(eq_rows[:, 1], eq_rows[:, 2])
+        bad_e = fit_ok & (ecc >= 1.0)
+    for i in np.flatnonzero(bad_e):
+        row_errors[tids[i]] = str(
+            InvalidOrbit(f"InvalidOrbit(e={ecc[i]:.3f} >= 1)")
+        )
+    live = fit_ok & ~bad_e
+    any_live = bool(live.any())
+
+    flat = _request_pairs(request, ephem, ut1, with_states=any_live)
     if flat is None or T == 0:
         return EphemerisTable(
             traj_ids=tids, epochs=np.empty(0), observers=[],
@@ -255,18 +342,19 @@ def compute_ephemerides_batch(
     pairs, epochs, obs_pos, obs_vel, unknown = flat
     P = len(pairs)
 
-    # non-elliptic precheck, vectorized (mod.rs:223 parity).  NaN ecc is
-    # NOT flagged here — the per-orbit API's `ecc >= 1.0` passes NaN
-    # through to the kernel, which reports PropagationFailed; the batch
-    # path must classify identically
-    with np.errstate(invalid="ignore"):
-        ecc = np.hypot(eq_rows[:, 1], eq_rows[:, 2])
-        bad_e = fit_ok & (ecc >= 1.0)
-    for i in np.flatnonzero(bad_e):
-        row_errors[tids[i]] = str(
-            InvalidOrbit(f"InvalidOrbit(e={ecc[i]:.3f} >= 1)")
+    if not any_live:
+        # every row is a failed fit / non-elliptic orbit: all entries are
+        # errors, so no orbit evaluation and no observer-state dispatches
+        # (values are unspecified where ok=False; NaN is the honest fill)
+        return EphemerisTable(
+            traj_ids=tids, epochs=epochs, observers=[o for o, _ in pairs],
+            **{f: np.full((T, P), np.nan)
+               for f in _POS_FIELDS + _GEOM_FIELDS},
+            ok=np.zeros((T, P), bool), row_errors=row_errors,
+            unknown_observer=unknown,
+            output=getattr(request, "output", Combined),
         )
-    live = fit_ok & ~bad_e
+
     # dead lanes ride along on a benign circular orbit; live rows keep
     # their values verbatim (including NaN) for per-orbit kernel parity
     benign = np.array([2.0, 0.0, 0.0, 0.0, 0.0, 0.0])
@@ -276,21 +364,13 @@ def compute_ephemerides_batch(
     runner = _get_batch_runner(
         ephem, request.config.propagator, request.config.aberration
     )
-    out = runner(
-        jnp.asarray(ep_safe),
-        tuple(jnp.asarray(eq_safe[:, j]) for j in range(6)),
-        jnp.asarray(epochs),
-        jnp.asarray(obs_pos),
-        jnp.asarray(obs_vel),
+    pos, geom, ok_k = _run_batch_padded(
+        runner, ep_safe, eq_safe, epochs, obs_pos, obs_vel, pad_rows=True
     )
 
-    ok = np.asarray(out.ok) & live[:, None] & ~unknown[None, :]
-    cols = {
-        f: np.asarray(getattr(out.position, f)) for f in _POS_FIELDS
-    }
-    cols.update(
-        {f: np.asarray(getattr(out.geometry, f)) for f in _GEOM_FIELDS}
-    )
+    ok = ok_k & live[:, None] & ~unknown[None, :]
+    cols = {f: getattr(pos, f) for f in _POS_FIELDS}
+    cols.update({f: getattr(geom, f) for f in _GEOM_FIELDS})
     return EphemerisTable(
         traj_ids=tids,
         epochs=epochs,

@@ -71,6 +71,10 @@ class LsqTable:
     _dt_min: float = 0.0
     _dt_max: float = 0.0
     _ktrips: Optional[np.ndarray] = None
+    #: lazily built {traj_id: row} map (_row_index); never set directly
+    _tid_index: Optional[Dict[str, int]] = field(
+        default=None, repr=False, compare=False
+    )
 
     def __len__(self) -> int:
         return len(self.traj_ids)
@@ -85,9 +89,19 @@ class LsqTable:
     # -- lazy per-row views -------------------------------------------------
 
     def _row_index(self, traj_id) -> int:
+        # O(1) via a lazily built id->row map: ``traj_ids`` is immutable
+        # after construction (patch_row rewrites row VALUES, never ids),
+        # so a per-lookup list.index would make any "for tid in
+        # table.traj_ids: table.result(tid)" migration loop O(T^2) at
+        # survey scale
+        if self._tid_index is None:
+            object.__setattr__(
+                self, "_tid_index",
+                {t: i for i, t in enumerate(self.traj_ids)},
+            )
         try:
-            return self.traj_ids.index(traj_id)
-        except ValueError:
+            return self._tid_index[traj_id]
+        except KeyError:
             raise KeyError(traj_id) from None
 
     def iod_error(self, i: int) -> Optional[str]:

@@ -414,6 +414,61 @@ class TestBatchEphemerides:
         np.testing.assert_array_equal(t_tab.ok, t_dict.ok)
         np.testing.assert_array_equal(t_tab.ra, t_dict.ra)
 
+    def test_raw_elements_accepts_lists_and_tuples(self, eph):
+        """A raw-elements entry is any 2-sequence (epoch, eq_vector):
+        zip()/JSON pipelines produce lists, and a tuple-only check used
+        to silently misclassify those as failed fits."""
+        from outfit_tpu.ephemeris import compute_ephemerides_batch
+
+        eqv = np.array([2.0, 0.05, 0.1, 0.01, 0.0, 1.0])
+        req = self._request()
+        t_tup = compute_ephemerides_batch({"A": (57000.0, eqv)}, req, eph)
+        t_list = compute_ephemerides_batch({"A": [57000.0, eqv]}, req, eph)
+        assert t_list.row_errors == {} == t_tup.row_errors
+        np.testing.assert_array_equal(t_list.ok, t_tup.ok)
+        np.testing.assert_array_equal(t_list.ra, t_tup.ra)
+
+    def test_unrecognized_entry_raises(self, eph):
+        """Neither an LsqResult-like object nor a 2-sequence must raise
+        loudly instead of yielding a silent all-error row."""
+        from outfit_tpu.ephemeris import compute_ephemerides_batch
+
+        with pytest.raises(TypeError, match="raw-elements entry"):
+            compute_ephemerides_batch(
+                {"A": (57000.0, np.zeros(6), "extra")}, self._request(), eph
+            )
+        with pytest.raises(TypeError, match="LsqResult-like"):
+            compute_ephemerides_batch({"A": 57000.0}, self._request(), eph)
+
+    def test_all_failed_batch_skips_device_work(self):
+        """An all-failed-fit batch yields error rows with ZERO device
+        dispatches — pinned by passing ephem=None, which any observer-
+        state or orbit evaluation would immediately trip over."""
+        from outfit_tpu.ephemeris import (
+            compute_ephemerides_batch,
+            compute_ephemerides_for_results,
+        )
+        from outfit_tpu.lsq.api import LsqResult
+
+        results = {
+            "A": LsqResult("A", ok=False, error="NoViableOrbit(3)"),
+            "B": LsqResult("B", ok=False, error="NoFeasibleTriplets"),
+        }
+        req = self._request()
+        table = compute_ephemerides_batch(results, req, None)
+        assert set(table.row_errors) == {"A", "B"}
+        assert table.ok.shape == (2, len(req))
+        assert not table.ok.any()
+        entries = list(table.result("A"))
+        assert len(entries) == len(req)
+        assert all("fit failed" in e.error for e in entries)
+
+        per_orbit = compute_ephemerides_for_results(results, req, None)
+        assert set(per_orbit) == {"A", "B"}
+        assert all(
+            "fit failed" in e.error for e in per_orbit["B"]
+        )
+
     def test_to_dataframe(self, eph):
         pd = pytest.importorskip("pandas")
         from outfit_tpu.ephemeris import compute_ephemerides_batch
