@@ -152,7 +152,13 @@ class LsqTable:
         i = self._row_index(traj_id)
         iod = self.iod_result(traj_id)
         code = int(self.iod_error_code[i])
-        if not self.kept[i] or not iod.ok:
+        # trust the stored ok flag before inferring from the IOD columns:
+        # hand-built results (from_results with r.iod=None — migration /
+        # test paths) have no IOD stage, and inferring "IOD failed" from
+        # its absence silently flipped their ok=True on round trip.  The
+        # device pipeline always fills both, so its rows never hit the
+        # ok[i]-True-with-failed-IOD combination
+        if not self.ok[i] and (not self.kept[i] or not iod.ok):
             return LsqResult(
                 traj_id, ok=False,
                 error=f"IOD failed: {iod.error}", iod=iod,

@@ -1463,3 +1463,33 @@ class TestPatchRow:
         assert t.iod_kind[0] == -1
         assert not t.iod_corrected[0]
         assert not t.result("A").ok
+
+    def test_row_lookup_is_stable_across_patch_row(self):
+        """_row_index's lazy {tid: row} map relies on traj_ids being
+        immutable after construction: lookups (result / patch_row /
+        __contains__ of unknown ids) must stay correct after rows are
+        patched, and unknown ids must raise KeyError both before and
+        after the map is built."""
+        from outfit_tpu.lsq.api import LsqResult
+        from outfit_tpu.lsq.table import LsqTable
+
+        results = {
+            t: LsqResult(
+                t, ok=True, status=1, normalised_rms=1.0,
+                epoch=57000.0, equinoctial=np.full(6, float(k)),
+                covariance=np.eye(6), uncertainties=np.ones(6),
+                n_active_obs=8, total_newton_iterations=2,
+            )
+            for k, t in enumerate(["A", "B", "C"])
+        }
+        t = LsqTable.from_results(list(results), results)
+        with pytest.raises(KeyError):
+            t.result("NOPE")  # unknown id before the map exists
+        assert float(t.result("C").equinoctial[0]) == 2.0
+        t.patch_row("B", LsqResult("B", ok=False, error="x"))
+        # lookups after patch_row: same rows, patched values
+        assert not t.result("B").ok
+        assert float(t.result("A").equinoctial[0]) == 0.0
+        assert float(t.result("C").equinoctial[0]) == 2.0
+        with pytest.raises(KeyError):
+            t.patch_row("NOPE", LsqResult("NOPE", ok=False, error="x"))
